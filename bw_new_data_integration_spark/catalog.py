@@ -1,0 +1,57 @@
+"""Table catalog over the parquet test fixtures.
+
+The reference's "catalog" is an SSAS cube catalog name per pipeline
+(``pipelines/pipelines.yaml`` in the reference); here a catalog is a
+directory of parquet tables. At scale this would be an external
+metastore / Delta catalog; the API is the same either way:
+``load(spark, sf_dir, "lineitem")``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Columnar scan with predicate pushdown + pruning.
+
+    ``events`` is stored with nanosecond timestamps, which Spark's
+    parquet reader rejects; read them as long and convert to
+    microsecond-precision timestamps with *integer* division (a double
+    division would lose precision at 1e18 nanos). A DuckDB oracle must
+    mirror the truncation with ``ts::TIMESTAMP``.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,143 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+Beyond-reference surface (the reference system has no text analytics;
+these are the operators a 100 TB document pipeline needs): token
+counting, quality scoring, n-gram shingling, language-ID heuristics,
+and document fingerprinting. All built-in-expression based — at 100 TB
+these run inside whole-stage codegen over the parquet scan, with no
+Python in the row path.
+
+Portability note: fingerprints/minhashes are built from ``md5`` hex
+(identical across Spark, DuckDB, and most engines) rather than
+engine-private hash functions, so results are verifiable against a SQL
+oracle bit-for-bit. Lexicographic MIN over fixed-width hex equals
+numeric MIN, so a minhash can stay a string end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny multilingual stopword seed lists for the lang-id heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "des", "dans", "que"),
+    "es": ("el", "la", "los", "que", "de", "no", "una", "por", "con", "para"),
+    "it": ("il", "la", "che", "di", "non", "una", "per", "con", "del", "sono"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization -> array<string>, empties removed."""
+    arr = F.split(F.trim(c), r"\s+")
+    return F.filter(arr, lambda t: t != "")
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens(c)).cast("bigint")
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punctuation boundaries — a cheap, deterministic proxy
+    for a BPE tokenizer's token count (regex segmentation; counts runs
+    of letters, runs of digits, and individual punctuation marks).
+    """
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0)
+    return F.size(pieces).cast("bigint")
+
+
+def punct_ratio(c: Column) -> Column:
+    """share of non-space chars that are punctuation/symbols (double)."""
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    punct = F.length(F.regexp_replace(c, r"[\sA-Za-z0-9]", ""))
+    return F.when(nonspace > 0, punct.cast("double") / nonspace.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """share of tokens that are (lowercase) stopwords (double)."""
+    toks = tokens(F.lower(c))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    total = F.size(toks)
+    return F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_token_len(c: Column) -> Column:
+    toks = tokens(c)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t).cast("bigint")
+    )
+    return F.when(F.size(toks) > 0, total_chars.cast("double") / F.size(toks).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not
+    punctuation-soup, contains stopwords, sane mean token length.
+    Deterministic and SQL-expressible (oracle-checkable).
+    """
+    len_ok = F.least(F.length(c).cast("double") / F.lit(200.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 4.0, F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    tok_len = mean_token_len(c)
+    tok_ok = F.when((tok_len >= 3.0) & (tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.3 + tok_ok * 0.2).alias("quality")
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-marker language ID over {en,de,fr,es,it}; 'und' when no
+    marker hits. Greedy argmax with deterministic tie-break by language
+    code order (the WHEN-chain encodes strict '>' so earlier languages
+    win ties).
+    """
+    toks = tokens(F.lower(c))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        is_better = s > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best
+
+
+def char_shingles(c: Column, k: int = 8) -> Column:
+    """All k-char shingles of the lowercased text -> array<string>.
+
+    Built with ``sequence`` + ``transform`` (JVM-side); at 100 TB this
+    is the explode input for minhash — no Python involved.
+    """
+    s = F.lower(c)
+    n = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.when(n >= k, F.transform(idx, lambda i: s.substr(i, F.lit(k)))).otherwise(F.array(s))
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Word n-grams (space-joined) -> array<string>; whole text when
+    shorter than n tokens."""
+    toks = tokens(F.lower(c))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1)))
+    gram = lambda i: F.array_join(F.slice(toks, i, n), " ")  # noqa: E731
+    return F.when(cnt >= n, F.transform(idx, gram)).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    lowercased text. Exact-dup detection key (content hash), portable
+    across engines.
+    """
+    normalized = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(normalized)

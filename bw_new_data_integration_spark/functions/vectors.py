@@ -1,0 +1,41 @@
+"""Vector math over ``array<float/double>`` embedding columns.
+
+Built on ``zip_with``/``aggregate`` higher-order functions: JVM-side,
+sequential left-fold summation in index order — deterministic and
+bit-identical to a SQL oracle doing the same fold, unlike a parallel
+reduction. At 100 TB these feed the similarity-search operators
+(operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "norm", "cosine", "l2_normalize"]
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product, sequential fold in element order (double)."""
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    """L2 norm (double)."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; null when either side has zero norm."""
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+
+
+def l2_normalize(a: Column) -> Column:
+    n = norm(a)
+    return F.when(n > 0, F.transform(_as_double(a), lambda x: x / n))

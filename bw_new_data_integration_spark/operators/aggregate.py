@@ -1,0 +1,108 @@
+"""Grouped aggregation operators (SURVEY.md §2.4, A1-A5).
+
+The reference pushes all aggregation into an OLAP cube via MDX
+(``CrossJoin(dims) × measures, NON EMPTY, WHERE slicer``); here the
+same semantics are a declarative ``groupBy(dims).agg(measures)`` plan —
+Catalyst compiles it to partial (map-side) + final hash aggregation
+with whole-stage codegen, which is exactly the distributed execution
+the cube was doing internally.
+
+Numeric policy for oracle parity: measures aggregate in **decimal**
+(exact, associative — immune to partial-agg ordering) and surface as
+double. At 100 TB the decimal sum costs a little over a double sum but
+guarantees run-to-run determinism, which the hash-compare gate needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_sum(c: Column | str, scale: int = 6) -> Column:
+    """Order-independent sum: cast to decimal, sum exactly, emit double."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
+
+
+def exact_avg(c: Column | str, scale: int = 6) -> Column:
+    """avg = exact decimal sum / count, divided in double."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double") / F.count(col).cast("double")
+
+
+def ratio(num: Column, den: Column) -> Column:
+    """Post-aggregation ratio measure (A3): null on zero denominator."""
+    return F.when(den != 0, num / den)
+
+
+def grouped_multi_measure(
+    df: DataFrame,
+    dims: Sequence[str],
+    measures: dict[str, Column],
+    non_empty: bool = True,
+) -> DataFrame:
+    """The cube query shape: group by dimension tuple, compute measure
+    map, optionally drop all-null measure rows (MDX ``NON EMPTY``, F3).
+
+    ``measures`` maps output name -> aggregate expression.
+    """
+    aggs = [expr.alias(name) for name, expr in measures.items()]
+    out = df.groupBy(*dims).agg(*aggs)
+    if non_empty:
+        cond = None
+        for name in measures:
+            c = F.col(name).isNotNull()
+            cond = c if cond is None else (cond | c)
+        if cond is not None:
+            out = out.filter(cond)
+    return out
+
+
+def drop_rollup_rows(df: DataFrame, dims: Sequence[str], token: str = "All") -> DataFrame:
+    """Drop cube rollup rows where any dimension equals the literal
+    ``'All'`` (F2, reference ``modules/pipeline_runner.py:159-166``)."""
+    out = df
+    for d in dims:
+        out = out.filter(F.col(d) != token)
+    return out
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """Union of partial results by column name (A5/O3). The reference
+    concatenated per-fiscal-year frames; in Spark, prefer *not*
+    splitting at all — but backfill orchestration still unions slices.
+    """
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, dfs)
+
+
+def year_over_year(
+    df: DataFrame,
+    keys: Sequence[str],
+    year_col: str,
+    measure_cols: Sequence[str],
+) -> DataFrame:
+    """YoY measures (A4): for each key×year, attach last year's values
+    as ``ly_<measure>``.
+
+    The reference gets TY/LY/L2Y/L3Y as pre-computed cube members; here
+    it's a window ``lag`` over the year dimension — one shuffle on
+    (keys), no self-join, no second scan.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(year_col))
+    out = df
+    for m in measure_cols:
+        out = out.withColumn(
+            f"ly_{m}",
+            F.when(
+                F.lag(year_col).over(w) == F.col(year_col) - 1,
+                F.lag(m).over(w),
+            ),
+        )
+    return out

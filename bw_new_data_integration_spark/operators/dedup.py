@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines (beyond-reference).
+
+Five strategies, orderable by cost/recall, all shuffle-conscious:
+
+- **exact**: content-hash groupBy — one shuffle on a 32-char md5 key.
+- **minhash LSH**: shingle → per-hash-function min → band → bucket
+  join. Candidate generation never compares all pairs: docs meet only
+  inside an LSH bucket. This is the 100 TB path.
+- **simhash**: 64-bit weighted-bit fingerprint; near-dups share the
+  fingerprint (or differ in few bits).
+- **n-gram Jaccard**: exact similarity on candidate pairs (verifier
+  stage after LSH, or standalone at small scale).
+- **embedding cosine**: near-dup when cosine ≥ threshold, bucketed by
+  random-hyperplane LSH at scale (see operators/similarity.py).
+
+Hashes are md5-hex-based so a SQL oracle reproduces them bit-for-bit
+(lexicographic min over fixed-width hex == numeric min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bw_new_data_integration_spark.functions.text import fingerprint, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) content hash.
+
+    Single hash-shuffle; at 100 TB, map-side partial min keeps the
+    shuffle tiny (one row per distinct hash per partition).
+    """
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Per-document minhash signature as ``num_hashes`` columns
+    ``mh_0..mh_{n-1}`` (md5-hex strings).
+
+    Hash family: ``md5(i || '|' || shingle)`` for seed i — independent
+    permutation approximations. Computed by exploding shingles and
+    taking per-seed MIN in one aggregation (map-side combine keeps the
+    shuffle at one row per doc).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_words)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash LSH.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    a pair is a candidate if any band matches. The join is an equi-join
+    on (band_id, band_hash) — hash-partitioned, never all-pairs; at
+    scale the bucket sizes are the only quadratic risk, and salting or
+    AQE skew-split handles a degenerate bucket (e.g. boilerplate docs).
+
+    Returns distinct (a_id, b_id) with a_id < b_id.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a_id"), F.col(f"r.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity.
+
+    With ``pairs`` (candidate (a_id, b_id) from LSH) this is the
+    verifier stage: joins shingle sets only for candidates. Without, it
+    computes similarity for all pairs sharing ≥1 shingle — fine at
+    test scale, quadratic-risk at 100 TB (use LSH first there).
+
+    Jaccard = |A∩B| / (|A| + |B| - |A∩B|), computed from distinct
+    shingles via a co-group count — no arrays collected to the driver.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_words)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    if pairs is not None:
+        cand = pairs.alias("p")
+        inter = (
+            cand.join(a, F.col(f"a.{id_col}") == F.col("p.a_id"))
+            .join(b, (F.col(f"b.{id_col}") == F.col("p.b_id")) & (F.col("a.sh") == F.col("b.sh")))
+            .groupBy("p.a_id", "p.b_id")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+            .agg(F.count("*").alias("n_inter"))
+        )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("a_id") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("b_id") == F.col(f"sb.{id_col}"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Each token hashes to 64 bits (md5 prefix); bit b of the fingerprint
+    is 1 iff more token-hashes have bit b set than not. Expressed as an
+    explode + per-bit vote aggregation: one shuffle, map-side combine.
+    Near-dups are rows whose fingerprints agree (or within small
+    Hamming distance — compare via ``bit_count(a ^ b)``).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    # 64-bit token hash from md5 prefix (conv hex->dec as unsigned, cast long)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    toks = toks.withColumn("th", h)
+    votes = [
+        F.sum(F.when(F.col("th").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(60)  # 15 hex chars = 60 bits
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(60):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return voted.select(F.col(id_col), fp.alias("simhash"))
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Brute force all-pairs at test scale; at 100 TB route through
+    ``similarity.lsh_bucket_candidates`` first and verify cosine only
+    inside buckets.
+    """
+    from bw_new_data_integration_spark.functions.vectors import cosine
+
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

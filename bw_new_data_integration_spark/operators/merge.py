@@ -1,0 +1,89 @@
+"""Keyed upsert / merge operators (SURVEY.md §2.5 J2-J4, §2.8 K1-K4).
+
+The reference's sink is ``PATCH table(alternate_key='v')`` — update if
+the key exists, insert otherwise — batched 400/request over 6 threads
+(reference ``modules/dataverse.py:40-220``). Its within-batch
+last-write-wins is nondeterministic under the thread pool; here merge
+is a **deterministic** DataFrame operation:
+
+1. source is deduplicated per key by an explicit ordering
+   (``dedupe_latest``) — defined last-write-wins,
+2. target rows whose key appears in source are replaced, others kept,
+   new keys appended (``merge_upsert``).
+
+Without Delta on the classpath (v1 image), this is the classic
+"emulate MERGE with anti-join + union" pattern; the shuffle is on the
+business key, broadcast-joined automatically when the source is small
+(incremental trailing window into a large target). With Delta/Iceberg
+available the same API routes to ``MERGE INTO``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedupe_latest(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[str], desc: bool = True
+) -> DataFrame:
+    """Deterministic last-write-wins per key: keep the first row per
+    key under ``order_by`` (descending by default = latest wins).
+    One shuffle on ``keys``; at scale AQE handles key skew.
+    """
+    ordering = [F.col(c).desc_nulls_last() if desc else F.col(c).asc_nulls_last() for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Upsert: rows of ``target`` whose key is absent from ``source``,
+    plus all of ``source`` (J4 / K1).
+
+    ``source`` must be unique per key (apply ``dedupe_latest`` first if
+    not). Anti-join + union — equivalent to
+    ``MERGE INTO t USING s ON keys WHEN MATCHED UPDATE * WHEN NOT
+    MATCHED INSERT *``. Idempotent: merging the same source twice
+    yields the same result.
+    """
+    kept = target.join(source.select(*keys).distinct(), on=list(keys), how="left_anti")
+    return kept.unionByName(source.select(*target.columns))
+
+
+def merge_update_only(
+    target: DataFrame, source: DataFrame, keys: Sequence[str], update_cols: Sequence[str]
+) -> DataFrame:
+    """Update a subset of columns for matching keys; never insert (K4,
+    reference ``populate_service_columns.py:236-303``).
+
+    Equivalent to ``MERGE ... WHEN MATCHED THEN UPDATE SET <subset>``.
+    """
+    src = source.select(*keys, *[F.col(c).alias(f"__src_{c}") for c in update_cols])
+    joined = target.join(src, on=list(keys), how="left")
+    out = joined
+    for c in update_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__src_{c}"), F.col(c)))
+    return out.drop(*[f"__src_{c}" for c in update_cols])
+
+
+def split_create_update(
+    source: DataFrame, existing_keys: DataFrame, keys: Sequence[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Create-vs-update partitioning against an existing key set (J2,
+    reference ``load_store_hours.py:157-192``): returns
+    ``(to_create, to_update)``. ``existing_keys`` is dimension-sized —
+    Catalyst broadcasts it; no shuffle of the big side.
+    """
+    ek = F.broadcast(existing_keys.select(*keys).distinct())
+    to_update = source.join(ek, on=list(keys), how="left_semi")
+    to_create = source.join(ek, on=list(keys), how="left_anti")
+    return to_create, to_update
+
+
+def delete_matching(target: DataFrame, keys_to_delete: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Mass delete by key set (K2) as an anti-join."""
+    return target.join(keys_to_delete.select(*keys).distinct(), on=list(keys), how="left_anti")

@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (beyond-reference).
+
+Two tiers:
+
+- **brute-force top-k** — exact cosine against every corpus vector,
+  ranked per query by a window. Correctness baseline and perfectly
+  fine when the query set is small (the corpus scan is one pass).
+- **LSH-bucketed ANN** — random-hyperplane signatures bucket the
+  corpus; a query only scores vectors sharing its bucket (or a
+  neighboring probe). At 100 TB the corpus side is hash-partitioned by
+  bucket and the bucket join replaces the all-pairs cross join.
+
+Hyperplanes are generated from a seeded RNG on the driver (a few KB)
+and broadcast as literal arrays — deterministic, no Python in the row
+path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bw_new_data_integration_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Cross join (queries broadcast — the small side) → cosine → per-query
+    row_number. Ties broken by corpus id for determinism. Self-matches
+    (same id) are excluded when the id columns collide.
+    """
+    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")))
+    scored = corpus.crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Seeded random hyperplanes for sign-LSH (driver-side, tiny)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def signature_col(vec_col, planes: list[list[float]]):
+    """Sign-LSH bucket id: one bit per hyperplane (int)."""
+    sig = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, plane) >= 0, 1).otherwise(0)
+        sig = sig + (bit.cast("bigint") * F.lit(1 << i))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    sign-LSH bucket. Recall < 1.0 by design; raise recall with fewer
+    planes (bigger buckets) or multi-probe. The join is an equi-join on
+    the bucket id — shuffle on a small int key instead of a cross join.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("__bucket", signature_col(vec_col, planes))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        signature_col(vec_col, planes).alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,84 @@
+"""Slicers, trailing windows, and ranking operators.
+
+The reference's incremental model is "re-sync a trailing window with
+idempotent upsert" (SURVEY.md §2.9): MyView 81/82 = last 7/14 days
+(reference ``modules/mdx_queries.py:13-18``), fiscal-year and
+13×28-day fiscal-period slicers spliced into MDX WHERE clauses
+(``modules/olap_sync.py:263-296``). Here slicers are plain filters —
+on a date/fiscal partition column they become partition pruning at the
+parquet/Delta scan, i.e. the 100 TB table is never read outside the
+slice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def trailing_window(
+    df: DataFrame, ts_col: str, days: int, anchor: Column | None = None
+) -> DataFrame:
+    """Trailing N-day slice (F6). ``anchor`` defaults to the dataset
+    max — deterministic over fixed fixtures (tests), while production
+    passes ``F.current_date()``.
+
+    The max-anchor path computes the max in a separate tiny aggregate
+    and injects it as a literal so the main scan still gets a pushable
+    predicate.
+    """
+    if anchor is None:
+        anchor_val = df.agg(F.max(ts_col)).collect()[0][0]
+        anchor = F.lit(anchor_val)
+    cutoff = F.date_sub(anchor.cast("date"), days)
+    return df.filter(F.col(ts_col) >= cutoff)
+
+
+def fiscal_year_of(date_col: Column, fy_start_month: int = 1) -> Column:
+    """Fiscal year slicer column (F4). With January start this is the
+    calendar year; the reference's 13-4 calendar anchors periods inside
+    the fiscal year."""
+    if fy_start_month == 1:
+        return F.year(date_col)
+    return F.year(F.add_months(date_col, 12 - (fy_start_month - 1))) - 1
+
+
+def fiscal_period_of(date_col: Column, fy_start: Column | str) -> Column:
+    """13-period (28-day) fiscal calendar period number, 1-13 (F5).
+
+    ``fy_start`` is the first day of the fiscal year; days 0-27 are
+    period 1, etc. Period 13 absorbs the remainder (day 364/365).
+    """
+    start = F.col(fy_start) if isinstance(fy_start, str) else fy_start
+    day_of_fy = F.datediff(date_col, start)
+    return F.least(F.floor(day_of_fy / 28) + 1, F.lit(13)).cast("int")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_name: str = "rk",
+) -> DataFrame:
+    """Top-K per group via row_number window. One shuffle on the group
+    key; with AQE, skewed groups split. Deterministic only if
+    ``order_cols`` form a total order — callers append a tiebreaker.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_name, F.row_number().over(w)).filter(F.col(rank_name) <= k)
+
+
+def sessionize(
+    df: DataFrame, user_col: str, ts_col: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Sessionization: new session when the gap to the previous event
+    exceeds ``gap_minutes``. lag + conditional cumsum — two window
+    passes over one shuffle on the user key.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return df.withColumn("session_seq", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
