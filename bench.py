@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock over the headline set (each query fully
+materialized via a count/collect action). Per-query seconds land in
+``queries``. The set exercises the engine's hot paths: wide aggregation,
+broadcast joins, window functions, merge/upsert, dedup + minhash LSH,
+similarity search, and text analytics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bw_new_data_integration_spark import queries as q
+from bw_new_data_integration_spark.session import get_spark
+
+HEADLINE = [
+    "a1_pricing_summary",
+    "a2_grouped_5dim",
+    "a4_yoy_sales",
+    "j2_broadcast_lookup",
+    "j4_merge_upsert",
+    "k1_dedupe_latest",
+    "f6_trailing_window",
+    "o2_top_k_per_group",
+    "sessionize_events",
+]
+# beyond-reference training-data ops join the headline set as they land
+OPTIONAL = [
+    "dedup_exact_docs",
+    "dedup_lsh_candidates",
+    "ann_brute_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+
+    registry = q.registry()
+    names = HEADLINE + [n for n in OPTIONAL if n in registry]
+
+    # warm the JVM/codegen once with the cheapest query so the timed
+    # runs measure the engine, not session startup
+    registry["a1_pricing_summary"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.time()
+        df = registry[name](spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -97,10 +97,14 @@ def lang_id(c: Column) -> Column:
     win ties).
     """
     toks = tokens(F.lower(c))
-    scores = {
-        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+
+    def marker_hits(markers: tuple[str, ...]):
+        # NB: the higher-order lambda must be unary — pyspark treats
+        # extra (even defaulted) parameters as lambda variables.
+        wordlist = list(markers)
+        return F.size(F.filter(toks, lambda t: t.isin(wordlist)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
     langs = sorted(LANG_MARKERS)
     best = F.lit("und")
     best_score = F.lit(0)

@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bw_new_data_integration_spark.functions.vectors import cosine, dot
+from bw_new_data_integration_spark.functions.vectors import dot
 
 
 def brute_force_topk(
@@ -38,12 +38,23 @@ def brute_force_topk(
     row_number. Ties broken by corpus id for determinism. Self-matches
     (same id) are excluded when the id columns collide.
     """
-    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")))
-    scored = corpus.crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
+    from bw_new_data_integration_spark.functions.vectors import norm
+
+    # norms precomputed per row (not per pair) — identical fold, ~dim× faster
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec"), norm(F.col(vec_col)).alias("__qnorm")
+        )
+    )
+    c = corpus.select(id_col, vec_col, norm(F.col(vec_col)).alias("__cnorm"))
+    scored = c.crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
     scored = scored.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+        F.when(
+            (F.col("__cnorm") > 0) & (F.col("__qnorm") > 0),
+            dot(F.col(vec_col), F.col("__qvec")) / (F.col("__cnorm") * F.col("__qnorm")),
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -81,11 +92,19 @@ def lsh_topk(
     planes (bigger buckets) or multi-probe. The join is an equi-join on
     the bucket id — shuffle on a small int key instead of a cross join.
     """
+    from bw_new_data_integration_spark.functions.vectors import norm
+
     planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("__bucket", signature_col(vec_col, planes))
+    c = corpus.select(
+        id_col,
+        vec_col,
+        norm(F.col(vec_col)).alias("__cnorm"),
+        signature_col(vec_col, planes).alias("__bucket"),
+    )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
         signature_col(vec_col, planes).alias("__bucket"),
     )
     scored = (
@@ -94,7 +113,10 @@ def lsh_topk(
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+            F.when(
+                (F.col("__cnorm") > 0) & (F.col("__qnorm") > 0),
+                dot(F.col(vec_col), F.col("__qvec")) / (F.col("__cnorm") * F.col("__qnorm")),
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())

@@ -757,3 +757,297 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sess = window_ops.sessionize(ev, "user_id", "ts", gap_minutes=30)
     return sess.groupBy("user_id").agg(F.max("session_seq").cast("bigint").alias("n_sessions"))
+
+
+# ===========================================================================
+# Beyond-reference: training-data pipeline operators over documents /
+# embeddings. Oracle SQL for the hash-based ops is GENERATED from the
+# same constants the Spark operators use, so both engines execute the
+# same algorithm definition.
+# ===========================================================================
+
+_SHINGLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM toks
+)
+"""
+
+
+def _minhash_select_sql(num_hashes: int) -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}|' || s)) AS mh_{i}" for i in range(num_hashes)
+    )
+    return _SHINGLE_SQL + f"SELECT doc_id, {mins}\nFROM sh GROUP BY doc_id"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: content-hash groupBy (keep lowest doc_id per hash).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_docs",
+    oracle=r"""
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+       min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (4 hash functions, word 3-gram shingles).
+# ---------------------------------------------------------------------------
+@register("dedup_minhash_signatures", oracle=_minhash_select_sql(4))
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, num_hashes=4)
+
+
+# ---------------------------------------------------------------------------
+# Banded minhash LSH candidate pairs (12 hashes, 4 bands of 3).
+# ---------------------------------------------------------------------------
+def _lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    rpb = num_hashes // bands
+    band_structs = ", ".join(
+        "{{'band': {b}, 'bh': md5(concat_ws('|', {parts}))}}".format(
+            b=b, parts=", ".join(f"mh_{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(bands)
+    )
+    return (
+        _minhash_select_sql(num_hashes).replace("WITH toks", "WITH sig AS (\nWITH toks", 1)
+        + """),
+buckets AS (
+  SELECT doc_id, unnest([{band_structs}], recursive := true)
+  FROM sig
+)
+SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+FROM buckets l JOIN buckets r
+  ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+""".format(band_structs=band_structs)
+    )
+
+
+@register("dedup_lsh_candidates", oracle=_lsh_oracle())
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, num_hashes=12, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity (threshold 0.5, all-pairs mode).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLE_SQL
+    + """,
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.a_id = sa.doc_id
+JOIN sizes sb ON inter.b_id = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit, md5-derived token hashes) — generated bit-vote SQL.
+# ---------------------------------------------------------------------------
+def _simhash_oracle(bits: int = 60) -> str:
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN (th & (1::BIGINT << {b})) <> 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END" for b in range(bits))
+    return rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS t
+        FROM documents)
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15))::UBIGINT AS BIGINT) AS th FROM toks
+),
+voted AS (
+  SELECT doc_id, {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM voted
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (threshold 0.3 — the synthetic
+# embeddings top out around cos 0.51).
+# ---------------------------------------------------------------------------
+# DuckDB dot product mirroring Spark's sequential left-fold in double —
+# list_inner_product is NOT bit-stable vs the fold (different summation
+# order), so the oracle spells out the same zip→cast→multiply→sum.
+def _dot_sql(x: str, y: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({x}, {y}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+_COS_SQL = (
+    f"{_dot_sql('a.embedding', 'b.embedding')}"
+    f" / (sqrt({_dot_sql('a.embedding', 'a.embedding')})"
+    f" * sqrt({_dot_sql('b.embedding', 'b.embedding')}))"
+)
+
+
+@register(
+    "dedup_embedding_near_dups",
+    oracle=f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       CAST({_COS_SQL} AS DOUBLE) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE CAST({_COS_SQL} AS DOUBLE) >= 0.3
+""",
+)
+def dedup_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force cosine top-k (exact baseline).
+# ---------------------------------------------------------------------------
+@register(
+    "ann_brute_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, a.vec_id, CAST({_COS_SQL.replace('b.embedding', 'q.embedding')} AS DOUBLE) AS cos_sim
+  FROM embeddings a CROSS JOIN q
+  WHERE a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10
+""",
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.brute_force_topk(emb, qs, k=10)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Text quality scoring: length/punct/stopword/token-length heuristics.
+# ---------------------------------------------------------------------------
+_STOPWORD_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in text.EN_STOPWORDS) + "]"
+
+@register(
+    "text_quality",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS ltoks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[\sA-Za-z0-9]', '', 'g')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens,
+         CASE WHEN nonspace > 0 THEN CAST(punct AS DOUBLE) / CAST(nonspace AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(ltoks) > 0
+              THEN CAST(len(list_filter(ltoks, t -> list_contains({_STOPWORD_LIST_SQL}, t))) AS DOUBLE) / CAST(len(ltoks) AS DOUBLE)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS mean_token_len,
+         least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS len_ok
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio, mean_token_len,
+       len_ok * 0.3 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+         + least(stopword_ratio * 5.0, 1.0) * 0.3
+         + (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+FROM m
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(c).alias("n_tokens"),
+        text.bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        text.punct_ratio(c).alias("punct_ratio"),
+        text.stopword_ratio(c).alias("stopword_ratio"),
+        text.mean_token_len(c).alias("mean_token_len"),
+        text.quality_score(c).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-marker argmax, deterministic tie-break.
+# ---------------------------------------------------------------------------
+def _lang_id_oracle() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    score_cols = ",\n         ".join(
+        "len(list_filter(w, t -> list_contains([{m}], t))) AS s_{lang}".format(
+            m=", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best = "'und'"
+    best_score = "0"
+    for lang in langs:
+        best = f"CASE WHEN s_{lang} > ({best_score}) THEN '{lang}' ELSE ({best}) END"
+        best_score = f"CASE WHEN s_{lang} > ({best_score}) THEN s_{lang} ELSE ({best_score}) END"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS w
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, lang,
+         {score_cols}
+  FROM toks
+)
+SELECT doc_id, lang AS lang_actual, {best} AS lang_pred FROM scores
+"""
+
+
+@register("text_lang_id", oracle=_lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_actual"), text.lang_id(F.col("text")).alias("lang_pred")
+    )
