@@ -1,0 +1,282 @@
+"""YAML pipeline compiler: the reference's config surface, compiled to
+a Catalyst plan.
+
+The reference declares pipelines in ``pipelines/pipelines.yaml`` (one
+entry per dataset: source catalog + MDX + mapping path) and per-target
+column mappings in ``pipelines/mappings/*.yaml`` (``table``,
+``alternate_key``, ``business_key.format``, ``fields``, ``measures``
+with a 5-type vocabulary) — reference ``modules/pipeline_config.py:10-79``
+and ``modules/pipeline_runner.py:81-229``. "Add a new pipeline = YAML
+only, no code" is the workflow contract (``docs/ADD_NEW_PIPELINE.md``).
+
+This module keeps that surface nearly verbatim but compiles it into a
+single lazy DataFrame plan instead of row loops:
+
+- type coercion  -> ``Column.cast`` family (functions/coercion.py)
+- business key   -> ``concat_ws`` + ``date_format`` from the SAME
+  ``{Field}`` / ``{Field:%Y%m%d}`` template syntax the reference uses
+- 'All'-row + required-key + NON-EMPTY filters -> ``.filter``
+- aggregation (the part the cube used to do) -> ``groupBy().agg()``
+
+So one pipeline = scan → slice → aggregate → coerce/rename → key →
+filters → sink, all visible to Catalyst as one plan: filters reach the
+parquet scan, the aggregate is partial+final hash agg, the key concat
+is codegen'd.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import yaml
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bw_new_data_integration_spark.functions import coercion, keys
+
+#: the reference's type vocabulary (modules/pipeline_runner.py:81-130)
+#: plus ``double`` — an engine extension for computed measures, which
+#: the reference kept as cube-typed decimals.
+TYPES = ("string", "int", "decimal", "date", "datetime", "double")
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    source: str  # column in the source frame
+    target: str  # output column name ("dataverse" name in the reference)
+    type: str = "string"
+    default: object | None = None
+
+    def expr(self) -> Column:
+        c = F.col(self.source)
+        if self.type == "string":
+            out = coercion.to_clean_string(c)
+        elif self.type == "int":
+            out = coercion.to_int_truncating(c)
+        elif self.type == "decimal":
+            out = coercion.to_decimal(c)
+        elif self.type == "date":
+            out = coercion.to_date_multiformat(c)
+        elif self.type == "datetime":
+            out = coercion.to_utc_instant(c)
+        elif self.type == "double":
+            out = c.try_cast("double")
+        else:  # pragma: no cover - validated at load
+            raise ValueError(f"unknown type {self.type!r}")
+        if self.default is not None:
+            out = F.coalesce(out, F.lit(self.default))
+        return out.alias(self.target)
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """The aggregation the reference pushed into the cube (MDX
+    CrossJoin grain): dims = output_name -> source col, measures =
+    output_name -> {expr, agg}."""
+
+    dims: dict[str, str] = field(default_factory=dict)
+    measures: dict[str, dict] = field(default_factory=dict)
+
+    _AGGS = {
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": F.count,
+        "avg": F.avg,
+    }
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        # dims may be bare columns or SQL expressions (e.g.
+        # ``CAST(ts AS DATE)`` for a calendar grain over a timestamp)
+        dim_cols = [F.expr(src).alias(name) for name, src in self.dims.items()]
+        aggs = []
+        for name, spec in self.measures.items():
+            agg_name = spec.get("agg", "sum")
+            raw = spec.get("expr", name)
+            if agg_name == "count" and raw == "*":
+                aggs.append(F.count(F.lit(1)).alias(name))
+                continue
+            expr = F.expr(raw)
+            if agg_name == "sum":
+                # decimal accumulation: deterministic under any
+                # partial-aggregation order (see operators/aggregate.py)
+                aggs.append(F.sum(expr.cast("decimal(27,6)")).cast("double").alias(name))
+            else:
+                aggs.append(self._AGGS[agg_name](expr).alias(name))
+        return df.groupBy(*dim_cols).agg(*aggs)
+
+
+@dataclass(frozen=True)
+class MappingSpec:
+    table: str
+    alternate_key: str
+    business_key_format: str | None
+    fields: tuple[FieldSpec, ...]
+    measures: tuple[FieldSpec, ...]
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    name: str
+    source_table: str
+    mapping: MappingSpec
+    aggregate: AggSpec | None = None
+    slicer_column: str | None = None
+    drop_all_rows: bool = True  # F2: discard cube rollup rows
+    non_empty: bool = True  # F3: drop all-null-measure rows
+
+
+# --- loading ---------------------------------------------------------------
+
+
+def _field_specs(items: list[dict]) -> tuple[FieldSpec, ...]:
+    out = []
+    for item in items:
+        typ = item.get("type", "string")
+        if typ not in TYPES:
+            raise ValueError(f"unknown type {typ!r} (allowed: {TYPES})")
+        out.append(
+            FieldSpec(
+                source=item["source"],
+                target=item.get("target", item["source"]),
+                type=typ,
+                default=item.get("default"),
+            )
+        )
+    return tuple(out)
+
+
+def load_mapping(path: str) -> MappingSpec:
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    bk = doc.get("business_key") or {}
+    return MappingSpec(
+        table=doc["table"],
+        alternate_key=doc.get("alternate_key", "business_key"),
+        business_key_format=bk.get("format"),
+        fields=_field_specs(doc.get("fields", [])),
+        measures=_field_specs(doc.get("measures", [])),
+    )
+
+
+def load_pipelines(path: str) -> dict[str, PipelineSpec]:
+    import os
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    base = os.path.dirname(os.path.abspath(path))
+    specs: dict[str, PipelineSpec] = {}
+    for name, p in doc["pipelines"].items():
+        agg = None
+        if "aggregate" in p:
+            agg = AggSpec(dims=p["aggregate"].get("dims", {}), measures=p["aggregate"].get("measures", {}))
+        specs[name] = PipelineSpec(
+            name=name,
+            source_table=p["source"]["table"],
+            mapping=load_mapping(os.path.join(base, p["mapping"])),
+            aggregate=agg,
+            slicer_column=p.get("slicer_column"),
+            drop_all_rows=p.get("drop_all_rows", True),
+            non_empty=p.get("non_empty", True),
+        )
+    return specs
+
+
+# --- business-key template compiler ---------------------------------------
+
+_TOKEN = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)(?::(%[^}]+))?\}|([^{}]+)")
+
+_STRFTIME_TO_SPARK = {
+    "%Y%m%d": "yyyyMMdd",
+    "%Y-%m-%d": "yyyy-MM-dd",
+}
+
+
+def compile_key_template(template: str) -> Column:
+    """``"{Store}_{Date:%Y%m%d}_{Channel}"`` -> concat of cleaned
+    components — the reference's format-string key builder
+    (``modules/transformers.py:50-56``) as one codegen'd expression.
+
+    Literal separators between tokens are preserved; date tokens use
+    ``date_format``; non-date tokens get key-component cleaning
+    (space/hyphen -> underscore, null -> 'Unknown').
+    """
+    parts: list[Column] = []
+    for m in _TOKEN.finditer(template):
+        name, fmt, literal = m.group(1), m.group(2), m.group(3)
+        if literal is not None:
+            parts.append(F.lit(literal))
+        elif fmt:
+            spark_fmt = _STRFTIME_TO_SPARK.get(fmt)
+            if spark_fmt is None:
+                raise ValueError(f"unsupported date format {fmt!r} in key template")
+            parts.append(F.date_format(F.col(name).cast("date"), spark_fmt))
+        else:
+            parts.append(keys.clean_key_component(F.col(name)))
+    return F.concat(*parts)
+
+
+# --- plan builder ----------------------------------------------------------
+
+
+def build_plan(
+    df: DataFrame,
+    spec: PipelineSpec,
+    slicer: Column | None = None,
+    audit_ts: bool = False,
+) -> DataFrame:
+    """Compile one pipeline run into a lazy DataFrame.
+
+    Order mirrors the reference lifecycle (SURVEY.md §3.1): slice at
+    the source (pushdown) → aggregate (the cube's job) → 'All' filter →
+    coerce/rename → business key → required-key filter → NON EMPTY.
+    """
+    out = df
+    if slicer is not None:
+        out = out.filter(slicer)
+    if spec.aggregate is not None:
+        out = spec.aggregate.apply(out)
+
+    mapping = spec.mapping
+    if spec.drop_all_rows:
+        for fs in mapping.fields:
+            out = out.filter(F.col(fs.source).cast("string") != "All")
+
+    cols = [fs.expr() for fs in mapping.fields] + [ms.expr() for ms in mapping.measures]
+    projected = out.select(*cols)
+
+    if mapping.business_key_format:
+        projected = projected.withColumn(
+            mapping.alternate_key, compile_key_template(mapping.business_key_format)
+        )
+        # F1/F7: rows must have a complete, non-empty key
+        projected = projected.filter(
+            F.col(mapping.alternate_key).isNotNull() & (F.length(mapping.alternate_key) > 0)
+        )
+
+    if spec.non_empty and mapping.measures:
+        cond = None
+        for ms in mapping.measures:
+            c = F.col(ms.target).isNotNull()
+            cond = c if cond is None else (cond | c)
+        projected = projected.filter(cond)
+
+    if audit_ts:
+        # P6: crf63_lastrefreshed audit column
+        projected = projected.withColumn("last_refreshed", F.current_timestamp())
+    return projected
+
+
+def run_pipeline(
+    spark: SparkSession,
+    specs: dict[str, PipelineSpec],
+    name: str,
+    sf_dir: str,
+    slicer: Column | None = None,
+) -> DataFrame:
+    from bw_new_data_integration_spark import catalog
+
+    spec = specs[name]
+    df = catalog.load(spark, sf_dir, spec.source_table)
+    return build_plan(df, spec, slicer=slicer)

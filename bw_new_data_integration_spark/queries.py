@@ -1051,3 +1051,72 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.col("lang").alias("lang_actual"), text.lang_id(F.col("text")).alias("lang_pred")
     )
+
+
+# ===========================================================================
+# Config-compiled pipelines (the reference's core workflow): YAML spec →
+# Catalyst plan → typed, keyed output. These two entries prove the
+# whole compiler chain — aggregate grain, type coercion, business-key
+# template, filters — against SQL oracles.
+# ===========================================================================
+
+import os as _os
+
+_PIPELINES_YAML = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "pipelines", "pipelines.yaml"
+)
+
+
+def _pipeline(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from bw_new_data_integration_spark.plans import pipeline as plans
+
+    tune_for_oracle_parity(spark)
+    specs = plans.load_pipelines(_PIPELINES_YAML)
+    return plans.run_pipeline(spark, specs, name, sf_dir)
+
+
+@register(
+    "pipeline_daily_sales",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS store_number,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS calendar_date,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS base_price_usd,
+         CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS discounts_usd,
+         CAST(SUM(CAST(l_extendedprice * l_tax AS DECIMAL(27,6))) AS DOUBLE) AS tax_usd,
+         CAST(COUNT(*) AS INT) AS line_count
+  FROM lineitem
+  GROUP BY 1, 2
+)
+SELECT store_number, calendar_date, qty, base_price_usd, discounts_usd, tax_usd, line_count,
+       store_number || '_' || strftime(CAST(calendar_date AS DATE), '%Y%m%d') AS business_key
+FROM agg
+""",
+)
+def pipeline_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark, sf_dir, "daily_sales")
+
+
+@register(
+    "pipeline_sales_channel",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS store_number,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS calendar_date,
+         o_orderstatus AS source_channel,
+         o_orderpriority AS source_actor,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS net_sales_usd,
+         CAST(COUNT(*) AS INT) AS order_count
+  FROM orders
+  GROUP BY 1, 2, 3, 4
+)
+SELECT store_number, calendar_date, source_channel, source_actor, net_sales_usd, order_count,
+       store_number || '_' || strftime(CAST(calendar_date AS DATE), '%Y%m%d') || '_'
+         || replace(replace(source_actor, ' ', '_'), '-', '_') || '_'
+         || replace(replace(source_channel, ' ', '_'), '-', '_') AS business_key
+FROM agg
+""",
+)
+def pipeline_sales_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark, sf_dir, "sales_channel")

@@ -1,0 +1,98 @@
+"""CLI runner — the engine's ``olap_to_dataverse.py`` equivalent.
+
+Mirrors the reference's entry-point surface (``modules/olap_sync.py``):
+pipeline choices discovered dynamically from config, slicer flags
+(``--fy``, ``--fp``, ``--length 1wk|2wk``), ``--query all``,
+``--dry-run``, and a ``--print-plan`` debug flag (the reference's
+``--print-mdx``, except here the "plan" is Catalyst's, via
+``explain``). Sink is a keyed parquet target per mapping table name.
+
+Usage:
+    python -m bw_new_data_integration_spark.runner \
+        --query daily_sales --fy 1997 --sf-dir /root/testdata/sf0.01 \
+        --target-root /tmp/targets
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from bw_new_data_integration_spark import catalog
+from bw_new_data_integration_spark.plans import pipeline as plans
+from bw_new_data_integration_spark.plans import slicers
+from bw_new_data_integration_spark.session import get_spark
+from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+DEFAULT_PIPELINES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "pipelines", "pipelines.yaml")
+
+
+def build_slicer(spec: plans.PipelineSpec, args) -> object | None:
+    col = spec.slicer_column
+    if col is None:
+        return None
+    if args.fy and args.fp:
+        return slicers.fiscal_period(col, args.fy, args.fp)
+    if args.fy:
+        return slicers.fiscal_year(col, args.fy)
+    if args.length:
+        days = 7 if args.length == "1wk" else 14
+        return slicers.trailing_days(col, days)
+    return None
+
+
+def run_one(spark, specs, name, args) -> dict:
+    spec = specs[name]
+    src = catalog.load(spark, args.sf_dir, spec.source_table)
+    df = plans.build_plan(src, spec, slicer=build_slicer(spec, args), audit_ts=True)
+    if args.print_plan:
+        df.explain("formatted")
+    if args.dry_run:
+        n = df.count()
+        return {"pipeline": name, "dry_run": True, "rows": n}
+    target = ParquetKeyedTable(
+        os.path.join(args.target_root, spec.mapping.table), [spec.mapping.alternate_key]
+    )
+    t0 = time.time()
+    version = target.upsert(spark, df)
+    n = target.read(spark).count()
+    return {
+        "pipeline": name,
+        "rows": n,
+        "version": version,
+        "seconds": round(time.time() - t0, 2),
+    }
+
+
+def main(argv=None) -> int:
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--pipelines", default=DEFAULT_PIPELINES)
+    known, _ = pre.parse_known_args(argv)
+    specs = plans.load_pipelines(known.pipelines)
+
+    ap = argparse.ArgumentParser(description=__doc__, parents=[pre])
+    # choices discovered from config, like modules/olap_sync.py:199-209
+    ap.add_argument("--query", required=True, choices=[*specs.keys(), "all"])
+    ap.add_argument("--fy", type=int, help="fiscal-year slicer (F4)")
+    ap.add_argument("--fp", type=int, help="fiscal-period slicer, 1-13 (F5)")
+    ap.add_argument("--length", choices=["1wk", "2wk"], help="trailing-window slicer (F6)")
+    ap.add_argument("--sf-dir", default=catalog.DEFAULT_SF_DIR)
+    ap.add_argument("--target-root", default="/tmp/bw_targets")
+    ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--print-plan", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="pipeline_runner")
+    names = list(specs) if args.query == "all" else [args.query]
+    for name in names:
+        result = run_one(spark, specs, name, args)
+        print(result)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

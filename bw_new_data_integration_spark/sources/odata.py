@@ -1,0 +1,159 @@
+"""Batched keyed REST sink with the reference's retry discipline.
+
+The reference uploads via OData ``$batch`` multipart: 400 records per
+request, 6 threads, retry ×5 honoring ``Retry-After`` on 429,
+exponential backoff capped at 60s, per-subresponse success counting,
+``odata.continue-on-error`` (``modules/dataverse.py:40-220``,
+``load_csv.py:83-126``).
+
+Spark-first shape: the DataFrame is repartitioned to the desired
+concurrency and each partition streams its rows into batches inside
+``foreachPartition`` — executors ARE the thread pool, so the 6-thread
+ThreadPoolExecutor disappears. The HTTP transport is injected
+(``transport(batch_rows) -> per-row status codes``): tests use a fake;
+production wires a requests session. Counters come back through Spark
+accumulators, matching the reference's created/updated/errors summary.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator, Sequence
+
+from pyspark.sql import DataFrame
+
+Transport = Callable[[list[dict]], list[int]]
+
+#: statuses the reference counts as success (modules/dataverse.py:110-146)
+SUCCESS_CREATED = 201
+SUCCESS_OK = (200, 201, 204)
+RETRYABLE = (429, 500, 502, 503, 504)
+
+
+class RetryPolicy:
+    """5 attempts, honor Retry-After on 429, exp backoff base 2 cap 60s
+    (reference ``modules/dataverse.py:183-195``)."""
+
+    def __init__(self, max_attempts: int = 5, backoff_base: float = 2.0, backoff_cap: float = 60.0):
+        self.max_attempts = max_attempts
+        self.backoff_base = backoff_base
+        self.backoff_cap = backoff_cap
+
+    def delay(self, attempt: int, retry_after: float | None = None) -> float:
+        if retry_after is not None:
+            return min(retry_after, self.backoff_cap)
+        return min(self.backoff_base**attempt, self.backoff_cap)
+
+
+class BatchStats:
+    __slots__ = ("created", "updated", "errors", "batches")
+
+    def __init__(self) -> None:
+        self.created = 0
+        self.updated = 0
+        self.errors = 0
+        self.batches = 0
+
+
+def _send_batch(
+    batch: list[dict],
+    transport: Transport,
+    policy: RetryPolicy,
+    stats: BatchStats,
+    sleep: Callable[[float], None] = time.sleep,
+) -> None:
+    for attempt in range(policy.max_attempts):
+        try:
+            statuses = transport(batch)
+        except (ConnectionError, TimeoutError):
+            statuses = None
+        if statuses is not None and not any(s in RETRYABLE for s in statuses):
+            for s in statuses:
+                if s == SUCCESS_CREATED:
+                    stats.created += 1
+                elif s in SUCCESS_OK:
+                    stats.updated += 1
+                else:
+                    stats.errors += 1
+            stats.batches += 1
+            return
+        if attempt < policy.max_attempts - 1:
+            sleep(policy.delay(attempt))
+    # exhausted retries: whole batch counts as errors
+    stats.errors += len(batch)
+    stats.batches += 1
+
+
+def write_batched(
+    df: DataFrame,
+    transport_factory: Callable[[], Transport],
+    key_col: str,
+    batch_size: int = 400,
+    concurrency: int = 6,
+    policy: RetryPolicy | None = None,
+) -> dict[str, int]:
+    """Upload a DataFrame through a batched keyed REST API.
+
+    - null-field pruning per record (P7, ``modules/dataverse.py:76``),
+    - rows without a key are skipped (F7, ``modules/dataverse.py:55``),
+    - ``repartition(concurrency)`` bounds in-flight requests exactly
+      like the reference's thread pool bounded it.
+
+    ``transport_factory`` is called once per partition ON THE EXECUTOR
+    (a transport usually holds a socket/session and must not be
+    pickled from the driver).
+    """
+    policy = policy or RetryPolicy()
+    spark = df.sparkSession
+    acc_created = spark.sparkContext.accumulator(0)
+    acc_updated = spark.sparkContext.accumulator(0)
+    acc_errors = spark.sparkContext.accumulator(0)
+    acc_batches = spark.sparkContext.accumulator(0)
+
+    def handle_partition(rows: Iterator) -> None:
+        transport = transport_factory()
+        stats = BatchStats()
+        batch: list[dict] = []
+        for row in rows:
+            rec = {k: v for k, v in row.asDict().items() if v is not None}
+            if not rec.get(key_col):
+                continue
+            batch.append(rec)
+            if len(batch) >= batch_size:
+                _send_batch(batch, transport, policy, stats)
+                batch = []
+        if batch:
+            _send_batch(batch, transport, policy, stats)
+        acc_created.add(stats.created)
+        acc_updated.add(stats.updated)
+        acc_errors.add(stats.errors)
+        acc_batches.add(stats.batches)
+
+    df.repartition(concurrency).foreachPartition(handle_partition)
+    return {
+        "created": acc_created.value,
+        "updated": acc_updated.value,
+        "errors": acc_errors.value,
+        "batches": acc_batches.value,
+    }
+
+
+def delete_batched(
+    keys_df: DataFrame,
+    transport_factory: Callable[[], Transport],
+    key_col: str,
+    batch_size: int = 100,
+    concurrency: int = 8,
+    policy: RetryPolicy | None = None,
+) -> dict[str, int]:
+    """Mass delete by key (K2): the reference pages IDs then deletes in
+    parallel batches (``full_refresh_fy2023_2025.py:59-167``); here the
+    key set is already a DataFrame and partitions bound concurrency."""
+    return write_batched(
+        keys_df.select(key_col),
+        transport_factory,
+        key_col,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        policy=policy,
+    )

@@ -1,0 +1,215 @@
+"""XMLA/MDX cube source: fetch + flatten a multidimensional response.
+
+Re-implements, Spark-first, what the reference's parsers do
+(``modules/olap.py:48-160``, generalized in
+``modules/generic_xmla_parser.py:20-170``): an XMLA ``Execute``
+response is a 2-axis dataset — Axis0 (COLUMNS) carries the measure
+members, Axis1 (ROWS) carries dimension tuples from a CrossJoin, and
+sparse ``CellData`` is addressed by
+``CellOrdinal = row_idx * num_measures + col_idx``
+(the universal invariant, ``modules/generic_xmla_parser.py:6-12``).
+
+Split of labor at scale:
+
+- the SOAP fetch is inherently driver-side (one HTTP response per
+  slicer); partition the *query set* (one task per fiscal-year /
+  period slice) the way a JDBC ``partitionColumn`` read partitions a
+  table — see ``fetch_partitioned``;
+- the flatten is expressed ON the cluster: raw (ordinal, value) cells
+  become rows via the COO pivot ``r = ordinal div n_measures``,
+  ``c = ordinal % n_measures`` + ``groupBy(r).pivot(measure)`` —
+  no per-row Python.
+
+Hierarchy→column naming is config-driven regex mapping, matching the
+reference's ``hierarchy_mappings`` (``pipelines/pipelines.yaml:13-17``).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NS = {
+    "m": "urn:schemas-microsoft-com:xml-analysis:mddataset",
+}
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_axes_and_cells(
+    xml_text: str,
+) -> tuple[list[str], list[dict[str, str]], dict[int, str]]:
+    """Parse an XMLA mddataset response into
+    (measure_names, row_tuples, cells_by_ordinal).
+
+    Namespace-tolerant: walks by local tag name, so SSAS namespace
+    variants all parse.
+    """
+    root = ET.fromstring(xml_text)
+    axes: dict[str, list[list[tuple[str, str]]]] = {}
+    cells: dict[int, str] = {}
+
+    for elem in root.iter():
+        tag = _local(elem.tag)
+        if tag == "Axis":
+            name = elem.get("name", "")
+            tuples: list[list[tuple[str, str]]] = []
+            for tup in elem.iter():
+                if _local(tup.tag) == "Tuple":
+                    members = []
+                    for mem in tup:
+                        if _local(mem.tag) != "Member":
+                            continue
+                        hierarchy = mem.get("Hierarchy", "")
+                        caption = ""
+                        for child in mem:
+                            if _local(child.tag) == "Caption":
+                                caption = child.text or ""
+                    # SSAS uses <Caption>; some servers emit <MEMBER_CAPTION>
+                            elif _local(child.tag) == "MEMBER_CAPTION":
+                                caption = child.text or ""
+                        members.append((hierarchy, caption))
+                    tuples.append(members)
+            axes[name] = tuples
+        elif tag == "Cell":
+            ordinal = int(elem.get("CellOrdinal", "-1"))
+            value = None
+            for child in elem:
+                if _local(child.tag) == "Value":
+                    value = child.text
+            if ordinal >= 0:
+                cells[ordinal] = value
+
+    measures = [
+        caption for tup in axes.get("Axis0", []) for (_h, caption) in tup
+    ]
+    rows = [dict(tup) for tup in axes.get("Axis1", [])]
+    return measures, rows, cells
+
+
+class HierarchyMapper:
+    """regex pattern -> output field name, first match wins
+    (reference ``modules/generic_xmla_parser.py:49-62``)."""
+
+    def __init__(self, mappings: Iterable[dict[str, str]]):
+        self._compiled = [(re.compile(m["pattern"]), m["field"]) for m in mappings]
+
+    def field_for(self, hierarchy: str) -> str | None:
+        for rx, field in self._compiled:
+            if rx.search(hierarchy):
+                return field
+        return None
+
+
+def response_to_df(
+    spark: SparkSession,
+    xml_text: str,
+    hierarchy_mappings: Iterable[dict[str, str]],
+) -> DataFrame:
+    """Flatten one XMLA response to a DataFrame on the cluster.
+
+    Driver parses XML structure only (axis labels are KBs); the sparse
+    cell pivot — the O(rows × measures) part — runs as a Spark plan:
+    parallelize (ordinal, value) → derive (row_idx, measure) via the
+    ordinal invariant → groupBy(row_idx).pivot(measure) → join row
+    dimension tuples.
+    """
+    measures, rows, cells = parse_axes_and_cells(xml_text)
+    mapper = HierarchyMapper(hierarchy_mappings)
+    n_measures = max(len(measures), 1)
+
+    dim_fields: list[str] = []
+    for hierarchy in rows[0] if rows else {}:
+        field = mapper.field_for(hierarchy)
+        if field:
+            dim_fields.append(field)
+
+    row_records = []
+    for idx, tup in enumerate(rows):
+        rec = {"__row_idx": idx}
+        for hierarchy, caption in tup.items():
+            field = mapper.field_for(hierarchy)
+            if field:
+                rec[field] = caption
+        row_records.append(rec)
+    row_schema = T.StructType(
+        [T.StructField("__row_idx", T.LongType(), False)]
+        + [T.StructField(f, T.StringType(), True) for f in dim_fields]
+    )
+    dims_df = spark.createDataFrame(row_records, schema=row_schema)
+
+    cell_schema = T.StructType(
+        [T.StructField("ordinal", T.LongType(), False), T.StructField("value", T.StringType(), True)]
+    )
+    cells_df = spark.createDataFrame(list(cells.items()), schema=cell_schema)
+
+    # the ordinal invariant, as plan expressions
+    coo = cells_df.select(
+        (F.col("ordinal") / n_measures).cast("long").alias("__row_idx"),
+        (F.col("ordinal") % n_measures).cast("int").alias("__col_idx"),
+        F.col("value"),
+    )
+    measure_names = [m or f"measure_{i}" for i, m in enumerate(measures)]
+    pivoted = (
+        coo.groupBy("__row_idx")
+        .pivot("__col_idx", list(range(n_measures)))
+        .agg(F.first("value"))
+    )
+    for i, name in enumerate(measure_names):
+        pivoted = pivoted.withColumnRenamed(str(i), name)
+    # numeric coercion with string fallback (generic_xmla_parser.py:128-148)
+    for name in measure_names:
+        pivoted = pivoted.withColumn(name, F.col(name).try_cast("double"))
+
+    return dims_df.join(pivoted, "__row_idx", "left").drop("__row_idx")
+
+
+def fetch_partitioned(
+    spark: SparkSession,
+    execute: Callable[[str], str],
+    mdx_by_slice: dict[str, str],
+    hierarchy_mappings: Iterable[dict[str, str]],
+) -> DataFrame:
+    """Partitioned cube read: one XMLA query per slice (fiscal year /
+    period), unioned — the Spark analogue of the reference's per-FY
+    query splitting (``modules/olap_sync.py:111-151``), except the
+    slices land as DataFrame partitions instead of pandas concat.
+
+    ``execute`` is the transport (mdx -> xml); injected so tests replay
+    canned responses and production supplies an HTTP SOAP client.
+    """
+    from functools import reduce
+
+    frames = [
+        response_to_df(spark, execute(mdx), hierarchy_mappings).withColumn(
+            "__slice", F.lit(slice_name)
+        )
+        for slice_name, mdx in mdx_by_slice.items()
+    ]
+    return reduce(DataFrame.unionByName, frames)
+
+
+def build_soap_request(mdx: str, catalog: str) -> str:
+    """XMLA Execute SOAP envelope (shape per the public XMLA spec;
+    the reference builds the same envelope in ``modules/olap.py:7-46``)."""
+    from xml.sax.saxutils import escape
+
+    return f"""<?xml version="1.0" encoding="UTF-8"?>
+<soap:Envelope xmlns:soap="http://schemas.xmlsoap.org/soap/envelope/">
+  <soap:Body>
+    <Execute xmlns="urn:schemas-microsoft-com:xml-analysis">
+      <Command><Statement><![CDATA[{mdx}]]></Statement></Command>
+      <Properties><PropertyList>
+        <Catalog>{escape(catalog)}</Catalog>
+        <Format>Multidimensional</Format>
+      </PropertyList></Properties>
+    </Execute>
+  </soap:Body>
+</soap:Envelope>"""

@@ -1,0 +1,103 @@
+"""Structured Streaming operators — the continuous-mode upgrade path.
+
+The reference needs only scheduled batch (SURVEY.md §2.9), but the
+engine exposes the streaming equivalents so the same pipelines can run
+continuously: watermarked windowed aggregation (the 14-day repair
+horizon becomes the watermark), streaming day-part rollups, and a
+foreachBatch keyed-upsert sink that reuses the batch merge operator —
+one code path for both modes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+# the fixture files store nanosecond timestamps (INT64); read raw and
+# convert to micros exactly like catalog.load does for batch reads
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, schema: T.StructType = EVENTS_SCHEMA) -> DataFrame:
+    """File-source stream over a directory of event files. In
+    production this is Kafka/CDC; the file source exercises the same
+    plan."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.readStream.schema(schema).parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "14 days",
+    group_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate. The watermark equals the
+    batch mode's trailing repair horizon: late events inside it update
+    their window, older ones are dropped — the exact semantics the
+    reference got from re-syncing a 14-day window nightly.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), *group_cols)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def upsert_sink(
+    agg: DataFrame,
+    target: ParquetKeyedTable,
+    checkpoint_dir: str,
+    query_name: str = "upsert_stream",
+):
+    """foreachBatch keyed-upsert sink: every micro-batch merges into
+    the keyed table — the streaming twin of the batch sink, idempotent
+    per key so replays converge (exactly-once effect on the table).
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        target.upsert(batch_df.sparkSession, batch_df)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+
+
+def run_stream_once(spark: SparkSession, source_path: str, target: ParquetKeyedTable, checkpoint_dir: str):
+    """Drive one availableNow pass (batch-equivalent execution of the
+    streaming plan) — used by tests and by backfill-then-stream
+    cutovers."""
+    events = read_event_stream(spark, source_path)
+    agg = windowed_counts(events)
+    q = (
+        upsert_sink(agg, target, checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,319 @@
+"""Sinks, sources, streaming, and pipeline-runner behavior tests:
+idempotency, retry discipline, snapshot isolation, XMLA flattening —
+the reference's invariants as assertions (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bw_new_data_integration_spark.sources import odata, xmla
+from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+from bw_new_data_integration_spark.streaming import incremental
+
+
+def as_sorted_tuples(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# --- ParquetKeyedTable: the keyed-upsert sink -----------------------------
+
+
+def test_upsert_idempotent(spark, tmp_path):
+    t = ParquetKeyedTable(str(tmp_path / "t"), ["k"])
+    base = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+    t.upsert(spark, base)
+    patch = spark.createDataFrame([Row(k="b", v=20), Row(k="c", v=3)])
+    t.upsert(spark, patch)
+    first = as_sorted_tuples(t.read(spark))
+    assert first == [("a", 1), ("b", 20), ("c", 3)]
+    # re-running the same upsert changes nothing (idempotency — the
+    # property the reference gets from PATCH-by-alternate-key)
+    t.upsert(spark, patch)
+    assert as_sorted_tuples(t.read(spark)) == first
+
+
+def test_upsert_within_batch_last_write_wins(spark, tmp_path):
+    t = ParquetKeyedTable(str(tmp_path / "t"), ["k"])
+    dup = spark.createDataFrame(
+        [Row(k="a", v=1, seq=1), Row(k="a", v=99, seq=2), Row(k="b", v=5, seq=1)]
+    )
+    t.upsert(spark, dup, order_by=["seq"])
+    assert as_sorted_tuples(t.read(spark).select("k", "v")) == [("a", 99), ("b", 5)]
+
+
+def test_delete_keys_and_snapshot_isolation(spark, tmp_path):
+    t = ParquetKeyedTable(str(tmp_path / "t"), ["k"])
+    t.upsert(spark, spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)]))
+    old = t.read(spark)  # bound to snapshot v=0
+    t.delete_keys(spark, spark.createDataFrame([Row(k="a")]))
+    assert as_sorted_tuples(t.read(spark)) == [("b", 2)]
+    # the pre-delete reader still sees its snapshot
+    assert as_sorted_tuples(old) == [("a", 1), ("b", 2)]
+
+
+# --- trailing-window incremental sync -------------------------------------
+
+
+def test_sync_trailing_window_repairs_late_data(spark, tmp_path):
+    t = ParquetKeyedTable(str(tmp_path / "t"), ["k"])
+    v1 = spark.createDataFrame(
+        [Row(k="d1", d="2024-01-20", v=10.0), Row(k="d2", d="2024-01-25", v=20.0)]
+    )
+    incremental.sync_trailing_window(
+        spark, v1, t, "d", days=14, anchor=F.lit("2024-01-30")
+    )
+    # late-arriving correction inside the window
+    v2 = spark.createDataFrame(
+        [Row(k="d1", d="2024-01-20", v=11.0), Row(k="d2", d="2024-01-25", v=20.0)]
+    )
+    incremental.sync_trailing_window(
+        spark, v2, t, "d", days=14, anchor=F.lit("2024-01-30")
+    )
+    assert as_sorted_tuples(t.read(spark).select("k", "v")) == [("d1", 11.0), ("d2", 20.0)]
+    # outside the window -> not synced
+    v3 = spark.createDataFrame([Row(k="old", d="2023-12-01", v=1.0)])
+    incremental.sync_trailing_window(
+        spark, v3, t, "d", days=14, anchor=F.lit("2024-01-30")
+    )
+    assert t.read(spark).filter("k = 'old'").count() == 0
+
+
+def test_full_refresh_interlocks(spark, tmp_path):
+    t = ParquetKeyedTable(str(tmp_path / "t"), ["k"])
+    slices = {"fy1": spark.createDataFrame([Row(k="a", v=1)])}
+    with pytest.raises(PermissionError):
+        incremental.full_refresh(spark, slices, t, confirm_delete=False)
+    out = incremental.full_refresh(spark, slices, t, dry_run=True)
+    assert out["dry_run"] == 1 and t.read(spark) is None
+    incremental.full_refresh(spark, slices, t, confirm_delete=True)
+    assert as_sorted_tuples(t.read(spark)) == [("a", 1)]
+
+
+# --- batched REST sink: retry discipline ----------------------------------
+
+
+def test_write_batched_counts_and_batching(spark):
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("bk"), F.col("id").alias("v")
+    )
+    calls = []
+
+    def transport_factory():
+        def transport(batch):
+            calls.append(len(batch))
+            return [201 if i % 2 == 0 else 204 for i in range(len(batch))]
+
+        return transport
+
+    stats = odata.write_batched(df, transport_factory, "bk", batch_size=400, concurrency=2)
+    assert stats["created"] + stats["updated"] == 1000
+    assert stats["errors"] == 0
+    assert stats["batches"] >= 3  # 1000 rows / 400 per batch across 2 partitions
+
+
+def test_write_batched_skips_keyless_and_prunes_nulls(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(bk="a", v=1), Row(bk=None, v=2), Row(bk="", v=3), Row(bk="b", v=None)]
+    )
+    # foreachPartition runs in executor worker processes, so the fake
+    # transport records what it saw via a spool file, not a driver list.
+    spool = str(tmp_path / "seen.jsonl")
+
+    def transport_factory():
+        def transport(batch):
+            with open(spool, "a") as fh:
+                for rec in batch:
+                    fh.write(json.dumps(rec, sort_keys=True) + "\n")
+            return [204] * len(batch)
+
+        return transport
+
+    stats = odata.write_batched(df, transport_factory, "bk", batch_size=10, concurrency=1)
+    assert stats["updated"] == 2  # only 'a' and 'b'
+    with open(spool) as fh:
+        seen = [json.loads(line) for line in fh]
+    assert {"bk": "b"} in seen  # null v pruned from the record (P7)
+
+
+def test_retry_policy_429_then_success():
+    stats = odata.BatchStats()
+    attempts = []
+
+    def transport(batch):
+        attempts.append(1)
+        if len(attempts) < 3:
+            return [429] * len(batch)
+        return [204] * len(batch)
+
+    odata._send_batch(
+        [{"bk": "a"}], transport, odata.RetryPolicy(), stats, sleep=lambda s: None
+    )
+    assert len(attempts) == 3 and stats.updated == 1 and stats.errors == 0
+
+
+def test_retry_policy_exhaustion():
+    stats = odata.BatchStats()
+
+    def transport(batch):
+        return [503] * len(batch)
+
+    odata._send_batch(
+        [{"bk": "a"}, {"bk": "b"}], transport, odata.RetryPolicy(max_attempts=2), stats,
+        sleep=lambda s: None,
+    )
+    assert stats.errors == 2
+
+
+def test_retry_backoff_shape():
+    p = odata.RetryPolicy()
+    assert p.delay(0) == 1.0 and p.delay(1) == 2.0 and p.delay(6) == 60.0
+    assert p.delay(0, retry_after=17.0) == 17.0  # honor Retry-After
+
+
+# --- XMLA source: ordinal flattening --------------------------------------
+
+XMLA_SAMPLE = """<?xml version="1.0"?>
+<root xmlns="urn:schemas-microsoft-com:xml-analysis:mddataset">
+  <Axes>
+    <Axis name="Axis0">
+      <Tuples>
+        <Tuple><Member Hierarchy="[Measures]"><Caption>Net Sales</Caption></Member></Tuple>
+        <Tuple><Member Hierarchy="[Measures]"><Caption>Orders</Caption></Member></Tuple>
+      </Tuples>
+    </Axis>
+    <Axis name="Axis1">
+      <Tuples>
+        <Tuple>
+          <Member Hierarchy="[Store].[Store Number]"><Caption>101</Caption></Member>
+          <Member Hierarchy="[Calendar].[Date]"><Caption>2024-01-01</Caption></Member>
+        </Tuple>
+        <Tuple>
+          <Member Hierarchy="[Store].[Store Number]"><Caption>102</Caption></Member>
+          <Member Hierarchy="[Calendar].[Date]"><Caption>2024-01-01</Caption></Member>
+        </Tuple>
+      </Tuples>
+    </Axis>
+  </Axes>
+  <CellData>
+    <Cell CellOrdinal="0"><Value>123.45</Value></Cell>
+    <Cell CellOrdinal="1"><Value>7</Value></Cell>
+    <Cell CellOrdinal="3"><Value>9</Value></Cell>
+  </CellData>
+</root>
+"""
+
+HIERARCHY_MAPPINGS = [
+    {"pattern": r"Store", "field": "store_number"},
+    {"pattern": r"Calendar|Date", "field": "calendar_date"},
+]
+
+
+def test_xmla_parse_axes_and_cells():
+    measures, rows, cells = xmla.parse_axes_and_cells(XMLA_SAMPLE)
+    assert measures == ["Net Sales", "Orders"]
+    assert len(rows) == 2
+    # sparse: ordinal 2 (row1 × measure0) is absent
+    assert cells == {0: "123.45", 1: "7", 3: "9"}
+
+
+def test_xmla_response_to_df(spark):
+    df = xmla.response_to_df(spark, XMLA_SAMPLE, HIERARCHY_MAPPINGS)
+    got = {tuple(r) for r in df.collect()}
+    # ordinal invariant: CellOrdinal = row_idx * n_measures + col_idx
+    assert got == {
+        ("101", "2024-01-01", 123.45, 7.0),
+        ("102", "2024-01-01", None, 9.0),
+    }
+
+
+def test_xmla_fetch_partitioned_unions_slices(spark):
+    df = xmla.fetch_partitioned(
+        spark,
+        execute=lambda mdx: XMLA_SAMPLE,
+        mdx_by_slice={"fy2024": "SELECT ...", "fy2025": "SELECT ..."},
+        hierarchy_mappings=HIERARCHY_MAPPINGS,
+    )
+    assert df.count() == 4
+    assert set(df.select("__slice").distinct().toPandas()["__slice"]) == {"fy2024", "fy2025"}
+
+
+def test_soap_envelope_contains_mdx():
+    env = xmla.build_soap_request("SELECT {x} ON 0", "OARS Franchise")
+    assert "<![CDATA[SELECT {x} ON 0]]>" in env and "OARS Franchise" in env
+
+
+# --- pipeline compiler end-to-end (CLI path) -------------------------------
+
+
+def test_pipeline_runner_upsert_roundtrip(spark, tmp_path):
+    from bw_new_data_integration_spark.plans import pipeline as plans
+    from bw_new_data_integration_spark import catalog
+
+    specs = plans.load_pipelines(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "pipelines", "pipelines.yaml")
+    )
+    spec = specs["daily_sales"]
+    src = catalog.load(spark, "/root/testdata/sf0.001", spec.source_table)
+    df = plans.build_plan(src, spec)
+    target = ParquetKeyedTable(str(tmp_path / "daily_sales"), [spec.mapping.alternate_key])
+    target.upsert(spark, df)
+    n1 = target.read(spark).count()
+    # idempotent re-run
+    target.upsert(spark, plans.build_plan(src, spec))
+    assert target.read(spark).count() == n1
+    # keys unique
+    assert (
+        target.read(spark).groupBy("business_key").count().filter("count > 1").count() == 0
+    )
+
+
+def test_pipeline_slicer_prunes(spark):
+    from bw_new_data_integration_spark.plans import pipeline as plans, slicers
+    from bw_new_data_integration_spark import catalog
+
+    specs = plans.load_pipelines(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "pipelines", "pipelines.yaml")
+    )
+    spec = specs["daily_sales"]
+    src = catalog.load(spark, "/root/testdata/sf0.001", spec.source_table)
+    full = plans.build_plan(src, spec).count()
+    sliced = plans.build_plan(src, spec, slicer=slicers.fiscal_year("l_shipdate", 1997)).count()
+    assert 0 < sliced < full
+
+
+# --- streaming -------------------------------------------------------------
+
+
+def test_streaming_windowed_upsert(spark, tmp_path):
+    from bw_new_data_integration_spark.streaming import stream
+
+    # file-stream sources watch a directory; stage the fixture file into one
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    os.symlink("/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet")
+
+    target = ParquetKeyedTable(str(tmp_path / "agg"), ["window_start", "event_type"])
+    stream.run_stream_once(
+        spark,
+        str(src_dir),
+        target,
+        str(tmp_path / "ckpt"),
+    )
+    out = target.read(spark)
+    assert out.count() > 0
+    # grain is unique per (window, type)
+    assert (
+        out.groupBy("window_start", "event_type").count().filter("count > 1").count() == 0
+    )
+    # streaming totals equal the batch equivalent
+    from bw_new_data_integration_spark import catalog
+
+    ev = catalog.load(spark, "/root/testdata/sf0.001", "events")
+    batch_total = ev.count()
+    assert out.agg(F.sum("n")).collect()[0][0] == batch_total
