@@ -92,7 +92,7 @@ def to_utc_instant(c: Column) -> Column:
     naive timestamp IS the UTC instant, matching the reference's
     ``assume UTC if naive`` rule.
     """
-    return F.try_cast(c, "timestamp")
+    return c.try_cast("timestamp")
 
 
 def format_iso_z(c: Column) -> Column:

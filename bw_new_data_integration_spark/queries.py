@@ -1099,6 +1099,71 @@ def pipeline_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_offers",
+    oracle="""
+WITH agg AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS calendar_date,
+         CAST(l_suppkey AS VARCHAR) AS store_number,
+         CAST(l_partkey AS VARCHAR) AS offer_code,
+         CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS discount_amount_usd,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS net_sales_usd,
+         CAST(COUNT(*) AS INT) AS order_count
+  FROM lineitem
+  GROUP BY 1, 2, 3
+)
+SELECT calendar_date, store_number, offer_code, discount_amount_usd, net_sales_usd, order_count,
+       store_number || '_' || strftime(CAST(calendar_date AS DATE), '%Y%m%d') || '_' || offer_code AS business_key
+FROM agg
+""",
+)
+def pipeline_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark, sf_dir, "offers")
+
+
+@register(
+    "pipeline_inventory",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS item_number,
+         p_name AS item_description,
+         p_brand AS store_number,
+         CAST(SUM(CAST(p_size AS DECIMAL(27,6))) AS DOUBLE) AS qty_on_hand
+  FROM part
+  GROUP BY 1, 2, 3
+)
+SELECT item_number, item_description, store_number, qty_on_hand,
+       replace(replace(trim(store_number), ' ', '_'), '-', '_') || '_'
+         || replace(replace(trim(item_number), ' ', '_'), '-', '_') AS business_key
+FROM agg
+""",
+)
+def pipeline_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark, sf_dir, "inventory")
+
+
+@register(
+    "pipeline_clock_in_out",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(user_id AS VARCHAR) AS system_user_id,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS calendar_date,
+         CAST(SUM(CAST(value / 60.0 AS DECIMAL(27,6))) AS DOUBLE) AS total_hours_worked,
+         CAST(COUNT(*) AS INT) AS punch_count
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT system_user_id, calendar_date, system_user_id AS store_number,
+       total_hours_worked, punch_count,
+       system_user_id || '_' || strftime(CAST(calendar_date AS DATE), '%Y%m%d') || '_'
+         || system_user_id AS business_key
+FROM agg
+""",
+)
+def pipeline_clock_in_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark, sf_dir, "clock_in_out")
+
+
+@register(
     "pipeline_sales_channel",
     oracle="""
 WITH agg AS (
@@ -1120,3 +1185,290 @@ FROM agg
 )
 def pipeline_sales_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pipeline(spark, sf_dir, "sales_channel")
+
+
+# ---------------------------------------------------------------------------
+# C5 — datetime coercion: naive wall-clock strings parsed as UTC
+# instants and rendered in the reference's ISO ...Z wire format
+# (modules/pipeline_runner.py:114-128).
+# ---------------------------------------------------------------------------
+@register(
+    "c5_datetime_iso",
+    oracle="""
+SELECT event_id, strftime(ts::TIMESTAMP, '%Y-%m-%dT%H:%M:%SZ') AS iso_z
+FROM events
+""",
+)
+def c5_datetime_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("raw"))
+    return raw.select(
+        "event_id", coercion.format_iso_z(coercion.to_utc_instant(F.col("raw"))).alias("iso_z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7 — loose time encodings normalized to HH:MM
+# (load_store_hours.py:33-61). Four dirty encodings are synthesized
+# from event timestamps; normalization must recover lpad(h):lpad(m).
+# ---------------------------------------------------------------------------
+@register(
+    "c7_time_hhmm",
+    oracle="""
+SELECT event_id,
+       lpad(CAST(hour(ts::TIMESTAMP) AS VARCHAR), 2, '0') || ':'
+         || lpad(CAST(minute(ts::TIMESTAMP) AS VARCHAR), 2, '0') AS hhmm
+FROM events
+""",
+)
+def c7_time_hhmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    h, m = F.hour("ts"), F.minute("ts")
+    hh = F.lpad(h.cast("string"), 2, "0")
+    mm = F.lpad(m.cast("string"), 2, "0")
+    raw = ev.select(
+        "event_id",
+        F.when(k % 4 == 0, (h * 100 + m).cast("string"))  # 930, 2305
+        .when(k % 4 == 1, F.concat(h.cast("string"), F.lit(":"), mm))  # 9:30
+        .when(k % 4 == 2, F.concat(hh, F.lit(":"), mm, F.lit(":00")))  # 09:30:00
+        .otherwise(F.concat(hh, F.lit(":"), mm))  # 09:30
+        .alias("raw"),
+    )
+    return raw.select("event_id", coercion.time_to_hhmm(F.col("raw")).alias("hhmm"))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: whole-content hash + minimum 8-char-shingle
+# hash (rolling-hash-style locality fingerprint over the same shingle
+# stream minhash consumes).
+# ---------------------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_fp,
+         lower(text) AS s
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, content_fp,
+         unnest(CASE WHEN length(s) >= 8
+                     THEN list_transform(range(1, length(s) - 8 + 2), i -> substr(s, CAST(i AS INT), 8))
+                     ELSE [s] END) AS shingle
+  FROM base
+)
+SELECT doc_id, content_fp, min(md5(shingle)) AS shingle_fp
+FROM sh GROUP BY doc_id, content_fp
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    shingle_min = F.array_min(F.transform(text.char_shingles(c, 8), lambda s: F.md5(s)))
+    return docs.select(
+        "doc_id",
+        text.fingerprint(c).alias("content_fp"),
+        shingle_min.alias("shingle_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN, scale path: sign-LSH bucketed top-k. The oracle SQL is GENERATED
+# from the same seeded hyperplanes the Spark operator uses, so both
+# engines execute the identical algorithm (bucket assignment included).
+# ---------------------------------------------------------------------------
+def _lsh_topk_oracle(k: int = 10, n_planes: int = 8, dim: int = 64, seed: int = 7) -> str:
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    sig_terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        sig_terms.append(
+            f"(CASE WHEN {_dot_sql('embedding', arr)} >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    sig = "\n           + ".join(sig_terms)
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+         {sig} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qemb, nrm AS qnrm, bucket
+  FROM c WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         CASE WHEN c.nrm > 0 AND q.qnrm > 0
+              THEN {_dot_sql('c.embedding', 'q.qemb')} / (c.nrm * q.qnrm) END AS cos_sim
+  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("ann_lsh_topk", oracle=_lsh_topk_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.lsh_topk(emb, qs, k=10, n_planes=8, dim=64, seed=7)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload -> Arrow-batched mapInPandas
+# feature extraction. The decode kernel is a deterministic stub
+# (md5-seeded bytes — real PIL decode is not in this container), so the
+# oracle can replay it: feature i = byte i of md5(payload) / 255.
+# Payloads are the documents' utf-8 bytes.
+# ---------------------------------------------------------------------------
+@register(
+    "mm_image_features",
+    oracle="""
+SELECT doc_id, CAST(t.r AS BIGINT) AS feat_idx,
+       (('0x' || substr(md5(text), CAST(t.r * 2 + 1 AS INT), 2))::INT) / 255.0 AS feat_val
+FROM documents, range(0, 16) t(r)
+""",
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    feats = multimodal.extract_image_features(media, payload_col="payload", id_col="doc_id")
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("feat_idx", "feat_val")
+    ).select("doc_id", F.col("feat_idx").cast("bigint").alias("feat_idx"), "feat_val")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling: one row per sampled frame, frame count
+# driven by payload size (mapInPandas explode contract).
+# ---------------------------------------------------------------------------
+@register(
+    "mm_video_frames",
+    oracle="""
+SELECT doc_id,
+       CAST(least(8, greatest(1, octet_length(encode(text)) // 64)) AS BIGINT) AS n_frames,
+       CAST((least(8, greatest(1, octet_length(encode(text)) // 64)) - 1) * 1000 AS BIGINT) AS max_ts_ms
+FROM documents
+""",
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    frames = multimodal.sample_video_frames(media, payload_col="payload", id_col="doc_id")
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"), F.max("frame_ts_ms").alias("max_ts_ms")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming: watermarked tumbling-window counts driven to
+# completion with an availableNow trigger — the batch-equivalent
+# execution of the streaming plan, so the result is deterministic and
+# oracle-checkable (sum_value is excluded: double accumulation order
+# differs between engines).
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_windowed_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    tune_for_oracle_parity(spark)
+    staging = tempfile.mkdtemp(prefix="bw_stream_src_")
+    shutil.copy(_os.path.join(sf_dir, "events.parquet"), staging)
+    events = st.read_event_stream(spark, staging)
+    agg = st.windowed_counts(events, window_duration="1 hour", watermark="14 days")
+    out = agg.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        "n",
+    )
+    name = "stream_wc_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# S2/S6 — XMLA mddataset round-trip: a cube response (Axis0 measures ×
+# Axis1 dimension tuples + sparse ordinal cells) flattened to a
+# DataFrame via the COO pivot. The response XML is synthesized from the
+# nation/region tables, so the oracle is the equivalent SQL aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "s2_xmla_roundtrip",
+    oracle="""
+SELECT r.r_name AS region_name,
+       CAST(COUNT(*) AS DOUBLE) AS n_nations,
+       CAST(SUM(n.n_nationkey) AS DOUBLE) AS sum_nationkey
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""",
+)
+def s2_xmla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.sources import xmla
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    agg = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"), F.sum("n_nationkey").alias("sum_nationkey"))
+        .orderBy("r_name")
+        .collect()
+    )
+    # synthesize the SSAS wire shape: measures on Axis0, one dimension
+    # tuple per row on Axis1, cells addressed by the ordinal invariant
+    measures = ["n_nations", "sum_nationkey"]
+    axis0 = "".join(
+        f'<Tuple><Member Hierarchy="[Measures]"><Caption>{m}</Caption></Member></Tuple>'
+        for m in measures
+    )
+    axis1 = "".join(
+        f'<Tuple><Member Hierarchy="[Region].[Region Name]"><Caption>{row["r_name"]}</Caption></Member></Tuple>'
+        for row in agg
+    )
+    cells = "".join(
+        f'<Cell CellOrdinal="{i * len(measures) + j}"><Value>{row[m]}</Value></Cell>'
+        for i, row in enumerate(agg)
+        for j, m in enumerate(measures)
+    )
+    xml_text = (
+        '<root xmlns="urn:schemas-microsoft-com:xml-analysis:mddataset">'
+        f'<Axes><Axis name="Axis0"><Tuples>{axis0}</Tuples></Axis>'
+        f'<Axis name="Axis1"><Tuples>{axis1}</Tuples></Axis></Axes>'
+        f"<CellData>{cells}</CellData></root>"
+    )
+    df = xmla.response_to_df(
+        spark, xml_text, [{"pattern": "Region", "field": "region_name"}]
+    )
+    return df.select("region_name", "n_nations", "sum_nationkey")
