@@ -41,7 +41,10 @@ OPTIONAL = [
     "dedup_exact_docs",
     "dedup_lsh_candidates",
     "ann_brute_topk",
+    "ann_lsh_topk",
     "text_quality",
+    "pipeline_daily_sales",
+    "pipeline_sales_channel",
 ]
 
 

@@ -46,20 +46,31 @@ def minhash_signatures(
     shingle_words: int = 3,
 ) -> DataFrame:
     """Per-document minhash signature as ``num_hashes`` columns
-    ``mh_0..mh_{n-1}`` (md5-hex strings).
+    ``mh_0..mh_{n-1}`` (8-hex-char strings; lexicographic min over
+    fixed-width hex == numeric min).
 
-    Hash family: ``md5(i || '|' || shingle)`` for seed i — independent
-    permutation approximations. Computed by exploding shingles and
-    taking per-seed MIN in one aggregation (map-side combine keeps the
-    shuffle at one row per doc).
+    Hash family: 32-bit chunks of ``md5(shingle)`` (hashes 0-3) and
+    ``sha256(shingle)`` (hashes 4-11) — 12 independent uniform hash
+    functions from TWO digest computations per shingle instead of
+    twelve (the hashing is the dominant cost of dedup at scale).
+    Computed by exploding shingles and taking per-chunk MIN in one
+    aggregation: map-side combine keeps the shuffle at one row per doc.
     """
+    if num_hashes > 12:
+        raise ValueError("minhash family provides up to 12 hash functions (md5+sha256 chunks)")
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_words)).alias("sh")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    md5_h = F.md5(F.col("sh"))
+    sha_h = F.sha2(F.col("sh"), 256)
+    aggs = []
+    for i in range(num_hashes):
+        chunk = (
+            F.substring(md5_h, i * 8 + 1, 8)
+            if i < 4
+            else F.substring(sha_h, (i - 4) * 8 + 1, 8)
+        )
+        aggs.append(F.min(chunk).alias(f"mh_{i}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -92,6 +103,10 @@ def minhash_lsh_candidates(
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
+    # the self-join would recompute the whole shingle->signature plan
+    # for each side; the bucket table is tiny (docs × bands rows), so
+    # persist it and join the cached copy against itself
+    buckets = buckets.persist()
     left = buckets.alias("l")
     right = buckets.alias("r")
     pairs = (

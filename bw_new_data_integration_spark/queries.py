@@ -781,8 +781,15 @@ sh AS (
 
 
 def _minhash_select_sql(num_hashes: int) -> str:
+    # mirrors dedup.minhash_signatures: hash i = 32-bit hex chunk i of
+    # md5(shingle) for i<4, of sha256(shingle) for i>=4
     mins = ",\n       ".join(
-        f"min(md5('{i}|' || s)) AS mh_{i}" for i in range(num_hashes)
+        (
+            f"min(substr(md5(s), {i * 8 + 1}, 8)) AS mh_{i}"
+            if i < 4
+            else f"min(substr(sha256(s), {(i - 4) * 8 + 1}, 8)) AS mh_{i}"
+        )
+        for i in range(num_hashes)
     )
     return _SHINGLE_SQL + f"SELECT doc_id, {mins}\nFROM sh GROUP BY doc_id"
 
