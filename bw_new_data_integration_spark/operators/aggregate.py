@@ -106,3 +106,34 @@ def year_over_year(
             ),
         )
     return out
+
+
+def salted_aggregate(
+    df: DataFrame,
+    dims: Sequence[str],
+    measures: dict[str, tuple[Column, str]],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation for skewed grouping keys.
+
+    When one dimension value dominates (the reference's data skews
+    hard toward a handful of high-volume stores; at 100 TB a hot key
+    turns the final agg into one straggler task), salt the key with a
+    uniform bucket, pre-aggregate at (dims, salt) grain — spreading the
+    hot key over ``salt_buckets`` tasks — then combine per dims.
+
+    ``measures`` maps output name -> (phase-1 aggregate expression,
+    phase-2 combiner name: 'sum'|'min'|'max'). Only decomposable
+    aggregates belong here (sum/count/min/max — count combines by sum).
+    AQE's skew handling covers joins; this covers aggregation, which
+    AQE does not re-split.
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    phase1 = salted.groupBy(*dims, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _comb) in measures.items()]
+    )
+    combiners = {"sum": F.sum, "min": F.min, "max": F.max}
+    phase2 = phase1.groupBy(*dims).agg(
+        *[combiners[comb](name).alias(name) for name, (_expr, comb) in measures.items()]
+    )
+    return phase2

@@ -40,7 +40,9 @@ def dedupe_latest(
     )
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
+def merge_upsert(
+    target: DataFrame, source: DataFrame, keys: Sequence[str], evolve_schema: bool = False
+) -> DataFrame:
     """Upsert: rows of ``target`` whose key is absent from ``source``,
     plus all of ``source`` (J4 / K1).
 
@@ -49,8 +51,18 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> D
     ``MERGE INTO t USING s ON keys WHEN MATCHED UPDATE * WHEN NOT
     MATCHED INSERT *``. Idempotent: merging the same source twice
     yields the same result.
+
+    ``evolve_schema=True`` is the K5 schema-evolution path (the
+    reference adds columns / widens decimals via metadata scripts,
+    ``dataverse_table_creation/add_*_columns.py``,
+    ``update_offers_decimal_ranges.py``): columns new in ``source`` are
+    added to the table (null for untouched rows), columns missing from
+    ``source`` are kept (null for upserted rows) — the ``mergeSchema``
+    behavior of Delta/parquet.
     """
     kept = target.join(source.select(*keys).distinct(), on=list(keys), how="left_anti")
+    if evolve_schema:
+        return kept.unionByName(source, allowMissingColumns=True)
     return kept.unionByName(source.select(*target.columns))
 
 

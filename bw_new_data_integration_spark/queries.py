@@ -1414,14 +1414,22 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     name = "stream_wc_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store partition count is frozen from shuffle.partitions at
+    # query start — bound it so an untuned session (default 200) doesn't
+    # run 200 tiny stateful tasks (AQE can't coalesce stateful stages)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -1479,3 +1487,80 @@ def s2_xmla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, xml_text, [{"pattern": "Region", "field": "region_name"}]
     )
     return df.select("region_name", "n_nations", "sum_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# S7 — CSV scan with the reference's dirty-input discipline
+# (load_csv.py:41-81): header CSV read as all-string (never
+# inferSchema), then null tokens, comma-grouped decimals and
+# multi-format dates coerced by the expression vocabulary. The CSV is
+# staged from orders with deterministic dirt, so the oracle recomputes
+# the whole round-trip from the clean table.
+# ---------------------------------------------------------------------------
+@register(
+    "s7_csv_roundtrip",
+    oracle="""
+WITH dirty AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+              ELSE strftime(CAST(o_orderdate AS DATE), '%-m/%-d/%Y') END AS date_raw,
+         CASE WHEN o_orderkey % 7 = 0 THEN '-'
+              WHEN o_orderkey % 11 = 0 THEN 'NULL'
+              ELSE CAST(o_orderkey % 900 + 100 AS VARCHAR) || ',' ||
+                   lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') || '.' ||
+                   lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') END AS amount_raw
+  FROM orders
+),
+parsed AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN try_strptime(date_raw, '%Y-%m-%d')::DATE
+              ELSE try_strptime(date_raw, '%m/%d/%Y')::DATE END AS d,
+         CASE WHEN trim(amount_raw) IN ('', '-', 'NULL', 'null', 'N/A', 'n/a') THEN NULL
+              ELSE CAST(replace(trim(amount_raw), ',', '') AS DECIMAL(13,2)) END AS amount
+  FROM dirty
+)
+SELECT CAST(year(d) AS BIGINT) AS y, COUNT(*) AS n, COUNT(amount) AS n_amount,
+       CAST(SUM(amount) AS DOUBLE) AS sum_amount
+FROM parsed GROUP BY 1
+""",
+)
+def s7_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bw_new_data_integration_spark.sources import files
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    dirty = o.select(
+        k.cast("string").alias("o_orderkey"),
+        F.when(k % 4 == 0, F.date_format(d, "yyyy-MM-dd"))
+        .otherwise(F.date_format(d, "M/d/yyyy"))
+        .alias("date_raw"),
+        F.when(k % 7 == 0, "-")
+        .when(k % 11 == 0, "NULL")
+        .otherwise(
+            F.concat(
+                (k % 900 + 100).cast("string"),
+                F.lit(","),
+                F.lpad((k % 1000).cast("string"), 3, "0"),
+                F.lit("."),
+                F.lpad((k % 100).cast("string"), 2, "0"),
+            )
+        )
+        .alias("amount_raw"),
+    )
+    path = tempfile.mkdtemp(prefix="bw_csv_src_") + "/orders_csv"
+    dirty.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+    raw = files.read_csv_raw(spark, path, columns=["o_orderkey", "date_raw", "amount_raw"])
+    parsed = raw.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        coercion.to_date_multiformat(F.col("date_raw")).alias("d"),
+        coercion.to_decimal(F.col("amount_raw")).alias("amount"),
+    )
+    return parsed.groupBy(F.year("d").cast("bigint").alias("y")).agg(
+        F.count("*").alias("n"),
+        F.count("amount").alias("n_amount"),
+        F.sum("amount").cast("double").alias("sum_amount"),
+    )

@@ -87,16 +87,27 @@ class ParquetKeyedTable:
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(df)
 
-    def upsert(self, spark: SparkSession, source: DataFrame, order_by: Sequence[str] | None = None) -> int:
+    def upsert(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        order_by: Sequence[str] | None = None,
+        evolve_schema: bool = False,
+    ) -> int:
         """Idempotent keyed upsert. ``order_by`` defines within-batch
         last-write-wins (the reference's thread-pool races made this
-        nondeterministic; here it is explicit)."""
+        nondeterministic; here it is explicit). ``evolve_schema=True``
+        lets the source add new columns to the table (K5)."""
         if order_by:
             source = dedupe_latest(source, self.key_cols, order_by, desc=True)
         else:
             source = source.dropDuplicates(self.key_cols)
         target = self.read(spark)
-        merged = source if target is None else merge_upsert(target, source, self.key_cols)
+        merged = (
+            source
+            if target is None
+            else merge_upsert(target, source, self.key_cols, evolve_schema=evolve_schema)
+        )
         return self._commit(merged)
 
     def delete_keys(self, spark: SparkSession, keys_df: DataFrame) -> int:

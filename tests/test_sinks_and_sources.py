@@ -317,3 +317,49 @@ def test_streaming_windowed_upsert(spark, tmp_path):
     ev = catalog.load(spark, "/root/testdata/sf0.001", "events")
     batch_total = ev.count()
     assert out.agg(F.sum("n")).collect()[0][0] == batch_total
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """K5: a source with a new column evolves the table schema —
+    untouched rows get null, and columns missing from the source
+    survive (the reference's add-columns metadata scripts)."""
+    t = ParquetKeyedTable(str(tmp_path / "evolve"), ["k"])
+    t.overwrite(spark.createDataFrame([Row(k="a", x=1), Row(k="b", x=2)]))
+    src = spark.createDataFrame([Row(k="b", x=20, y="new"), Row(k="c", x=3, y="brand")])
+    t.upsert(spark, src, evolve_schema=True)
+    got = {r["k"]: (r["x"], r["y"]) for r in t.read(spark).collect()}
+    assert got == {"a": (1, None), "b": (20, "new"), "c": (3, "brand")}
+
+
+def test_upsert_without_evolution_rejects_missing_columns(spark, tmp_path):
+    t = ParquetKeyedTable(str(tmp_path / "strict"), ["k"])
+    t.overwrite(spark.createDataFrame([Row(k="a", x=1)]))
+    src = spark.createDataFrame([Row(k="b", y="other")])  # no x
+    with pytest.raises(Exception):
+        t.upsert(spark, src)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    """Skew-spreading two-phase aggregation must be value-identical to
+    the direct groupBy (decimal sums are associative)."""
+    from bw_new_data_integration_spark.operators import aggregate
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    salted = aggregate.salted_aggregate(
+        df,
+        ["g"],
+        {
+            "n": (F.count(F.lit(1)), "sum"),
+            "s": (F.sum(F.col("v").cast("decimal(27,6)")), "sum"),
+            "mx": (F.max("v"), "max"),
+        },
+        salt_buckets=8,
+    )
+    plain = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(27,6)")).alias("s"),
+        F.max("v").alias("mx"),
+    )
+    assert as_sorted_tuples(salted) == as_sorted_tuples(plain)
