@@ -32,6 +32,7 @@ from dataclasses import dataclass, field
 import yaml
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bw_new_data_integration_spark.functions import coercion, keys
 
@@ -48,18 +49,29 @@ class FieldSpec:
     type: str = "string"
     default: object | None = None
 
-    def expr(self) -> Column:
+    def expr(self, input_type: T.DataType | None = None) -> Column:
+        """Coercion expression, specialized on the input's Spark type.
+
+        The dirty-string vocabulary (null tokens, comma grouping,
+        multi-format dates) only applies to STRING inputs; a column
+        that is already typed takes a plain cast — same values, none
+        of the regex/try-parse machinery in the hot path. (The
+        truncation parity holds: Spark's numeric->int cast truncates
+        toward zero exactly like the reference's ``int(float(x))``.)
+        """
         c = F.col(self.source)
+        typed = input_type is not None and not isinstance(input_type, T.StringType)
+        temporal = isinstance(input_type, (T.DateType, T.TimestampType, T.TimestampNTZType))
         if self.type == "string":
-            out = coercion.to_clean_string(c)
+            out = c.cast("string") if typed else coercion.to_clean_string(c)
         elif self.type == "int":
-            out = coercion.to_int_truncating(c)
+            out = c.cast("int") if typed else coercion.to_int_truncating(c)
         elif self.type == "decimal":
-            out = coercion.to_decimal(c)
+            out = c.cast("decimal(13,2)") if typed else coercion.to_decimal(c)
         elif self.type == "date":
-            out = coercion.to_date_multiformat(c)
+            out = c.cast("date") if temporal else coercion.to_date_multiformat(c)
         elif self.type == "datetime":
-            out = coercion.to_utc_instant(c)
+            out = c.cast("timestamp") if temporal else coercion.to_utc_instant(c)
         elif self.type == "double":
             out = c.try_cast("double")
         else:  # pragma: no cover - validated at load
@@ -239,11 +251,17 @@ def build_plan(
         out = spec.aggregate.apply(out)
 
     mapping = spec.mapping
+    dtypes = {f.name: f.dataType for f in out.schema.fields}
     if spec.drop_all_rows:
+        # only a string dimension can carry the cube's literal 'All'
+        # rollup marker — typed columns skip the filter entirely
         for fs in mapping.fields:
-            out = out.filter(F.col(fs.source).cast("string") != "All")
+            if isinstance(dtypes.get(fs.source), T.StringType):
+                out = out.filter(F.col(fs.source) != "All")
 
-    cols = [fs.expr() for fs in mapping.fields] + [ms.expr() for ms in mapping.measures]
+    cols = [fs.expr(dtypes.get(fs.source)) for fs in mapping.fields] + [
+        ms.expr(dtypes.get(ms.source)) for ms in mapping.measures
+    ]
     projected = out.select(*cols)
 
     if mapping.business_key_format:
