@@ -1564,3 +1564,58 @@ def s7_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("amount").alias("n_amount"),
         F.sum("amount").cast("double").alias("sum_amount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming: per-user gap sessionization via
+# applyInPandasWithState, driven to completion with availableNow. The
+# oracle is the batch definition of the same operator — streaming and
+# batch must agree at the cutover.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                   OR date_diff('second', lag(ts::TIMESTAMP) OVER w, ts::TIMESTAMP) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+)
+SELECT user_id, SUM(is_new)::BIGINT AS n_sessions FROM g GROUP BY user_id
+""",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from bw_new_data_integration_spark.streaming import stream as st
+    from bw_new_data_integration_spark.streaming.sessionize import stream_sessionize
+
+    tune_for_oracle_parity(spark)
+    staging = tempfile.mkdtemp(prefix="bw_stream_sess_")
+    shutil.copy(_os.path.join(sf_dir, "events.parquet"), staging)
+    events = st.read_event_stream(spark, staging)
+    sessions = stream_sessionize(events, gap_minutes=30)
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # update mode emits one row per user per micro-batch; the count is
+    # monotone, so the latest value per user is the max
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_sessions").alias("n_sessions"))
+    )

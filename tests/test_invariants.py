@@ -1,0 +1,77 @@
+"""The reference's operational invariants as assertions (SURVEY.md §5):
+business-key uniqueness, date-only semantics under hostile session
+timezones, run-to-run determinism under different parallelism, and
+partition pruning on partitioned targets.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bw_new_data_integration_spark import queries as q
+from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+from .conftest import SF_SMALL
+
+PIPELINES = [
+    "pipeline_daily_sales",
+    "pipeline_sales_channel",
+    "pipeline_offers",
+    "pipeline_inventory",
+    "pipeline_clock_in_out",
+]
+
+
+@pytest.mark.parametrize("name", PIPELINES)
+def test_business_key_unique(name, spark):
+    """Every pipeline output must be unique on its alternate key — the
+    upsert sink's correctness precondition (modules/dataverse.py:88)."""
+    df = q.registry()[name](spark, SF_SMALL)
+    total = df.count()
+    distinct = df.select("business_key").distinct().count()
+    assert total == distinct, f"{name}: {total - distinct} duplicate business keys"
+
+
+def test_date_only_semantics_survive_hostile_timezone(spark):
+    """Calendar dates must not shift when the session timezone is not
+    UTC (the reference strips time for exactly this reason,
+    modules/pipeline_runner.py:89-100). Queries self-tune to UTC."""
+    fn = q.registry()["pipeline_daily_sales"]
+    baseline = {r["business_key"] for r in fn(spark, SF_SMALL).select("business_key").collect()}
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        hostile = {r["business_key"] for r in fn(spark, SF_SMALL).select("business_key").collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert baseline == hostile
+
+
+def test_determinism_across_parallelism(spark):
+    """k1_dedupe_latest (the canary: duplicate keys + window ordering)
+    must return identical rows under different shuffle widths —
+    the decimal-accumulation/total-ordering policy at work."""
+    fn = q.registry()["k1_dedupe_latest"]
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        narrow = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    wide = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+    assert narrow == wide
+
+
+def test_partitioned_target_prunes(spark, tmp_path):
+    """A date-partitioned target's read plan must show partition
+    filters, not a full scan — the 100 TB trailing-window MERGE
+    depends on this."""
+    t = ParquetKeyedTable(str(tmp_path / "pt"), ["k"], partition_by=["month"])
+    df = spark.createDataFrame(
+        [Row(k=f"k{i}", month=f"2024-{1 + i % 3:02d}", v=float(i)) for i in range(30)]
+    )
+    t.overwrite(df)
+    read = t.read(spark).filter(F.col("month") == "2024-01")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(month" in plan, plan[:800]
+    assert read.count() == 10

@@ -363,3 +363,60 @@ def test_salted_aggregate_matches_plain(spark):
         F.max("v").alias("mx"),
     )
     assert as_sorted_tuples(salted) == as_sorted_tuples(plain)
+
+
+def test_stream_sessionize_state_spans_microbatches(spark, tmp_path):
+    """applyInPandasWithState sessionization must carry (last_ts,
+    count) state across micro-batches: two files processed one per
+    trigger must give the same per-user counts as the batch operator."""
+    from pyspark.sql import functions as F
+
+    from bw_new_data_integration_spark import catalog
+    from bw_new_data_integration_spark.operators.window_ops import sessionize
+    from bw_new_data_integration_spark.streaming.sessionize import stream_sessionize
+
+    ev = catalog.load(spark, "/root/testdata/sf0.001", "events")
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # one parquet file per half, written oldest-first so the file
+    # source's mtime ordering replays event time monotonically
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(tmp_path / "p1"))
+    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(tmp_path / "p2"))
+    import glob as g
+    import shutil as sh
+    import time as t
+
+    for i, d in enumerate(("p1", "p2")):
+        for f in g.glob(str(tmp_path / d / "*.parquet")):
+            sh.copy(f, os.path.join(src, f"batch_{i}.parquet"))
+        t.sleep(1.1)
+
+    # staged files carry real timestamps (unlike the raw ns fixture
+    # files), so stream with the batch schema directly
+    events = spark.readStream.schema(ev.schema).parquet(src)
+    sessions = stream_sessionize(events, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_mb")
+        .outputMode("update")
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: r["n"]
+        for r in spark.table("sess_mb")
+        .groupBy("user_id")
+        .agg(F.max("n_sessions").alias("n"))
+        .collect()
+    }
+    expected = {
+        r["user_id"]: r["n"]
+        for r in sessionize(ev, "user_id", "ts", 30)
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("n"))
+        .collect()
+    }
+    assert got == expected
