@@ -121,3 +121,80 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_stride: int = 20,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: inverted lists per centroid, probe the nearest
+    ``nprobe`` lists per query.
+
+    Centroids are a deterministic corpus subset (every
+    ``centroid_stride``-th id) rather than k-means — the *distribution
+    pattern* is the point: the corpus is hash-partitioned by centroid
+    id (the inverted index), a query scores only the lists it probes,
+    and the centroid table is broadcast (thousands of rows at 100 TB).
+    Swapping in trained centroids changes recall, not the plan shape.
+
+    Build cost: |corpus| × |centroids| broadcast-local dot products,
+    no shuffle of the corpus beyond the final per-query top-k.
+    """
+    from bw_new_data_integration_spark.functions.vectors import norm
+
+    c = corpus.select(id_col, vec_col, norm(F.col(vec_col)).alias("__nrm"))
+    cent = c.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cemb"),
+        F.col("__nrm").alias("__cnrm"),
+    )
+
+    def cos(vec, nrm, cvec=F.col("__cemb"), cnrm=F.col("__cnrm")):
+        return F.when((nrm > 0) & (cnrm > 0), dot(vec, cvec) / (nrm * cnrm))
+
+    # inverted index: each corpus vector files under its nearest centroid
+    w_assign = Window.partitionBy(id_col).orderBy(
+        cos(F.col(vec_col), F.col("__nrm")).desc_nulls_last(), F.col("__cid").asc()
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__cid")
+    )
+    inv = c.join(assign, id_col)
+
+    # each query probes its nprobe nearest centroids
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"), norm(F.col(vec_col)).alias("__qnrm")
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        cos(F.col("__qvec"), F.col("__qnrm")).desc_nulls_last(), F.col("__cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, "__cid", "__qvec", "__qnrm")
+    )
+
+    scored = (
+        inv.join(F.broadcast(probes), "__cid")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.when(
+                (F.col("__nrm") > 0) & (F.col("__qnrm") > 0),
+                dot(F.col(vec_col), F.col("__qvec")) / (F.col("__nrm") * F.col("__qnrm")),
+            ).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w_rank)).filter(F.col("rank") <= k)

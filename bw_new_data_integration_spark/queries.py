@@ -1619,3 +1619,66 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("n_sessions").alias("n_sessions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN, IVF variant: inverted lists under deterministic centroids,
+# nprobe nearest lists scored per query. The oracle is the same
+# algorithm in SQL — centroids come from the table itself, so no
+# generated constants are needed.
+# ---------------------------------------------------------------------------
+_IVF_COS_CENT = (
+    f"CASE WHEN x.nrm > 0 AND cent.cnrm > 0 THEN "
+    f"{_dot_sql('x.embedding', 'cent.cemb')} / (x.nrm * cent.cnrm) END"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM c WHERE vec_id % 20 = 0
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY ({_IVF_COS_CENT}) DESC NULLS LAST, cent.cid ASC) AS rn
+    FROM c x CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qemb, nrm AS qnrm FROM c WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, cid, qemb, qnrm FROM (
+    SELECT x.query_id, cent.cid, x.qemb, x.qnrm,
+           row_number() OVER (PARTITION BY x.query_id
+                              ORDER BY (CASE WHEN x.qnrm > 0 AND cent.cnrm > 0 THEN {_dot_sql('x.qemb', 'cent.cemb')} / (x.qnrm * cent.cnrm) END) DESC NULLS LAST,
+                                       cent.cid ASC) AS rn
+    FROM q x CROSS JOIN cent
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+         CASE WHEN c.nrm > 0 AND p.qnrm > 0
+              THEN {_dot_sql('c.embedding', 'p.qemb')} / (c.nrm * p.qnrm) END AS cos_sim
+  FROM c JOIN assign a ON c.vec_id = a.vec_id
+  JOIN probes p ON a.cid = p.cid
+  WHERE c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(emb, qs, k=10, centroid_stride=20, nprobe=2)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))

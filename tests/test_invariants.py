@@ -75,3 +75,26 @@ def test_partitioned_target_prunes(spark, tmp_path):
     plan = read._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(month" in plan, plan[:800]
     assert read.count() == 10
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_quality_pushdown_and_broadcast(spark):
+    """Regression guard on physical-plan shape: slicer filters reach
+    the parquet scan (pushed, not post-scan), column pruning holds, and
+    dimension joins broadcast instead of shuffling the fact side."""
+    a1 = q.registry()["a1_pricing_summary"](spark, SF_SMALL)
+    plan = _plan(a1)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan, plan[:600]
+    # projection needs 7 of lineitem's 16 columns; the scan must not read more
+    import re
+
+    scan_cols = re.search(r"FileScan parquet \[([^\]]*)\]", plan).group(1)
+    assert len(scan_cols.split(",")) <= 7, scan_cols
+
+    j2 = q.registry()["j2_broadcast_lookup"](spark, SF_SMALL)
+    plan = _plan(j2)
+    assert "BroadcastHashJoin" in plan, plan[:600]
+    assert "SortMergeJoin" not in plan
