@@ -240,3 +240,57 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine, restricted to sign-LSH buckets —
+    the 100 TB path for ``embedding_near_dups``.
+
+    Vectors meet only inside their hyperplane-signature bucket: the
+    all-pairs cross join becomes an equi-join on a small int key
+    (hash-partitionable, AQE-splittable). Recall is < 1 by design —
+    near-identical vectors land in the same bucket with probability
+    ~(1 - theta/pi)^n_planes; raise recall with fewer planes or
+    multi-probe. Candidates are verified by exact cosine before the
+    threshold cut, so precision is exact.
+    """
+    from bw_new_data_integration_spark.functions.vectors import dot, norm
+    from bw_new_data_integration_spark.operators.similarity import (
+        hyperplanes,
+        signature_col,
+    )
+
+    planes = hyperplanes(dim, n_planes, seed)
+    withsig = emb.select(
+        id_col,
+        vec_col,
+        norm(F.col(vec_col)).alias("__norm"),
+        signature_col(vec_col, planes).alias("__bucket"),
+    ).persist()
+    a = withsig.alias("a")
+    b = withsig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.when(
+                (F.col("a.__norm") > 0) & (F.col("b.__norm") > 0),
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__norm") * F.col("b.__norm")),
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

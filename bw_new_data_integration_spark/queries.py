@@ -1682,3 +1682,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.ivf_topk(emb, qs, k=10, centroid_stride=20, nprobe=2)
     return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dups, scale path: candidates restricted to sign-LSH
+# buckets, exact cosine verification inside. Oracle generated from the
+# same seeded hyperplanes.
+# ---------------------------------------------------------------------------
+def _near_dup_lsh_oracle(threshold: float = 0.3, n_planes: int = 4, dim: int = 64, seed: int = 7) -> str:
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    sig_terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        sig_terms.append(
+            f"(CASE WHEN {_dot_sql('embedding', arr)} >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    sig = "\n           + ".join(sig_terms)
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+         {sig} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos_sim
+FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE a.nrm > 0 AND b.nrm > 0
+  AND {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {threshold}
+"""
+
+
+@register("dedup_embedding_near_dups_lsh", oracle=_near_dup_lsh_oracle())
+def dedup_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups_lsh(emb, threshold=0.3, n_planes=4, dim=64, seed=7)

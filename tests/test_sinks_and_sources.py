@@ -420,3 +420,26 @@ def test_stream_sessionize_state_spans_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_run_with_notification_success_and_failure():
+    """§2.11 run notifications: summary sent on success AND failure,
+    failure re-raises (the reference's try/except-email wrapper)."""
+    from bw_new_data_integration_spark import notifications as nf
+
+    sent = []
+    sender = lambda subject, body: sent.append((subject, body))  # noqa: E731
+
+    result = nf.run_with_notification(
+        "daily_sales", lambda: {"rows": 10, "created": 4, "updated": 6}, sender
+    )
+    assert result["rows"] == 10
+    assert sent[0][0] == "[pipeline:daily_sales] SUCCESS"
+    assert "created: 4" in sent[0][1]
+
+    with pytest.raises(ValueError):
+        nf.run_with_notification(
+            "offers", lambda: (_ for _ in ()).throw(ValueError("cube timeout")), sender
+        )
+    assert sent[1][0] == "[pipeline:offers] FAILURE"
+    assert "cube timeout" in sent[1][1]
