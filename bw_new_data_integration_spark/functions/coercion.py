@@ -77,12 +77,19 @@ def to_date_multiformat(c: Column) -> Column:
     iso = s.rlike(r"^\d{4}-\d{2}-\d{2}$")
     mdy4 = s.rlike(r"^\d{1,2}/\d{1,2}/\d{4}$")
     mdy2 = s.rlike(r"^\d{1,2}/\d{1,2}/\d{2}$")
+    # two-digit years use the C/python-strptime pivot (69-99 -> 19xx,
+    # 00-68 -> 20xx) — Spark's own 'yy' pattern would say 95 -> 2095,
+    # which diverges from the reference's dateutil/strptime behavior
+    parts = F.split(s, "/")
+    yy = parts[2].try_cast("int")
+    pivot_year = F.when(yy >= 69, yy + 1900).otherwise(yy + 2000)
+    mdy2_date = F.make_date(pivot_year, parts[0].try_cast("int"), parts[1].try_cast("int"))
     parsed = (
-        F.when(iso, F.try_to_timestamp(s, F.lit("yyyy-MM-dd")))
-        .when(mdy4, F.try_to_timestamp(s, F.lit("M/d/yyyy")))
-        .when(mdy2, F.try_to_timestamp(s, F.lit("M/d/yy")))
+        F.when(iso, F.try_to_timestamp(s, F.lit("yyyy-MM-dd")).cast("date"))
+        .when(mdy4, F.try_to_timestamp(s, F.lit("M/d/yyyy")).cast("date"))
+        .when(mdy2, mdy2_date)
     )
-    return parsed.cast("date")
+    return parsed
 
 
 def to_utc_instant(c: Column) -> Column:

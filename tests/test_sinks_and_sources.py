@@ -443,3 +443,24 @@ def test_run_with_notification_success_and_failure():
         )
     assert sent[1][0] == "[pipeline:offers] FAILURE"
     assert "cube timeout" in sent[1][1]
+
+
+def test_runner_query_all_dry_run(tmp_path, capsys):
+    """CLI surface: --query all iterates every configured pipeline
+    (choices discovered from config, like the reference's argparse),
+    --dry-run counts without writing."""
+    from bw_new_data_integration_spark import runner
+
+    rc = runner.main(
+        [
+            "--query", "all",
+            "--dry-run",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--target-root", str(tmp_path / "targets"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    for name in ("daily_sales", "sales_channel", "offers", "inventory", "clock_in_out"):
+        assert name in out
+    assert not (tmp_path / "targets").exists()  # dry run wrote nothing
