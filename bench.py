@@ -57,9 +57,15 @@ def main() -> None:
     registry = q.registry()
     names = HEADLINE + [n for n in OPTIONAL if n in registry]
 
-    # warm the JVM/codegen once with the cheapest query so the timed
-    # runs measure the engine, not session startup
-    registry["a1_pricing_summary"](spark, sf_dir).count()
+    # warm each query's whole-stage-codegen at the smallest SF (same
+    # plan shape -> compiled-code cache hit) so the timed sf0.1 runs
+    # measure data processing, not first-run JIT compilation
+    warm_dir = "/root/testdata/sf0.001"
+    for name in names:
+        try:
+            registry[name](spark, warm_dir).count()
+        except Exception as exc:  # pragma: no cover - warm-up is best-effort
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     total = 0.0

@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 from bw_new_data_integration_spark.functions.text import fingerprint, word_shingles
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition a small/single-file input before heavy per-row work
+    (shingling, digesting) so it doesn't run in one task. Partitioning
+    BY the id also pre-aligns the downstream per-doc groupBy."""
+    target_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target_parts:
+        return df.repartition(target_parts, F.col(id_col))
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per exact (normalized) content hash.
 
@@ -58,7 +68,7 @@ def minhash_signatures(
     """
     if num_hashes > 12:
         raise ValueError("minhash family provides up to 12 hash functions (md5+sha256 chunks)")
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_words)).alias("sh")
     )
     md5_h = F.md5(F.col("sh"))
@@ -141,7 +151,8 @@ def ngram_jaccard(
     shingles via a co-group count — no arrays collected to the driver.
     """
     sh = (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_words)).alias("sh"))
+        _spread(df, id_col)
+        .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_words)).alias("sh"))
         .distinct()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -189,7 +200,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     Near-dups are rows whose fingerprints agree (or within small
     Hamming distance — compare via ``bit_count(a ^ b)``).
     """
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("tok"),
     ).filter(F.col("tok") != "")
@@ -213,6 +224,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -224,7 +236,7 @@ def embedding_near_dups(
 
     # Precompute each vector's norm once (n folds) instead of per pair
     # (n² folds) — same expression, bit-identical result, ~dim× faster.
-    withnorm = emb.select(id_col, vec_col, norm(F.col(vec_col)).alias("__norm"))
+    withnorm = emb.select(id_col, vec_col, norm(F.col(vec_col), dim).alias("__norm"))
     a = withnorm.alias("a")
     b = withnorm.alias("b")
     return (
@@ -234,7 +246,7 @@ def embedding_near_dups(
             F.col(f"b.{id_col}").alias("b_id"),
             F.when(
                 (F.col("a.__norm") > 0) & (F.col("b.__norm") > 0),
-                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
                 / (F.col("a.__norm") * F.col("b.__norm")),
             ).alias("cos_sim"),
         )
@@ -272,7 +284,7 @@ def embedding_near_dups_lsh(
     withsig = emb.select(
         id_col,
         vec_col,
-        norm(F.col(vec_col)).alias("__norm"),
+        norm(F.col(vec_col), dim).alias("__norm"),
         signature_col(vec_col, planes).alias("__bucket"),
     ).persist()
     a = withsig.alias("a")
@@ -288,7 +300,7 @@ def embedding_near_dups_lsh(
             F.col(f"b.{id_col}").alias("b_id"),
             F.when(
                 (F.col("a.__norm") > 0) & (F.col("b.__norm") > 0),
-                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
                 / (F.col("a.__norm") * F.col("b.__norm")),
             ).alias("cos_sim"),
         )

@@ -31,6 +31,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
@@ -43,17 +44,17 @@ def brute_force_topk(
     # norms precomputed per row (not per pair) — identical fold, ~dim× faster
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec"), norm(F.col(vec_col)).alias("__qnorm")
+            F.col(query_id_col), F.col(vec_col).alias("__qvec"), norm(F.col(vec_col), dim).alias("__qnorm")
         )
     )
-    c = corpus.select(id_col, vec_col, norm(F.col(vec_col)).alias("__cnorm"))
+    c = corpus.select(id_col, vec_col, norm(F.col(vec_col), dim).alias("__cnorm"))
     scored = c.crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
     scored = scored.select(
         F.col(query_id_col),
         F.col(id_col),
         F.when(
             (F.col("__cnorm") > 0) & (F.col("__qnorm") > 0),
-            dot(F.col(vec_col), F.col("__qvec")) / (F.col("__cnorm") * F.col("__qnorm")),
+            dot(F.col(vec_col), F.col("__qvec"), dim) / (F.col("__cnorm") * F.col("__qnorm")),
         ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -71,7 +72,9 @@ def signature_col(vec_col, planes: list[list[float]]):
     sig = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, plane) >= 0, 1).otherwise(0)
+        bit = F.when(
+            dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, plane, len(p)) >= 0, 1
+        ).otherwise(0)
         sig = sig + (bit.cast("bigint") * F.lit(1 << i))
     return sig
 
@@ -98,13 +101,13 @@ def lsh_topk(
     c = corpus.select(
         id_col,
         vec_col,
-        norm(F.col(vec_col)).alias("__cnorm"),
+        norm(F.col(vec_col), dim).alias("__cnorm"),
         signature_col(vec_col, planes).alias("__bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        norm(F.col(vec_col)).alias("__qnorm"),
+        norm(F.col(vec_col), dim).alias("__qnorm"),
         signature_col(vec_col, planes).alias("__bucket"),
     )
     scored = (
@@ -115,7 +118,7 @@ def lsh_topk(
             F.col(id_col),
             F.when(
                 (F.col("__cnorm") > 0) & (F.col("__qnorm") > 0),
-                dot(F.col(vec_col), F.col("__qvec")) / (F.col("__cnorm") * F.col("__qnorm")),
+                dot(F.col(vec_col), F.col("__qvec"), dim) / (F.col("__cnorm") * F.col("__qnorm")),
             ).alias("cos_sim"),
         )
     )
@@ -132,6 +135,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: inverted lists per centroid, probe the nearest
     ``nprobe`` lists per query.
@@ -148,7 +152,7 @@ def ivf_topk(
     """
     from bw_new_data_integration_spark.functions.vectors import norm
 
-    c = corpus.select(id_col, vec_col, norm(F.col(vec_col)).alias("__nrm"))
+    c = corpus.select(id_col, vec_col, norm(F.col(vec_col), dim).alias("__nrm"))
     cent = c.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("__cid"),
         F.col(vec_col).alias("__cemb"),
@@ -156,7 +160,7 @@ def ivf_topk(
     )
 
     def cos(vec, nrm, cvec=F.col("__cemb"), cnrm=F.col("__cnrm")):
-        return F.when((nrm > 0) & (cnrm > 0), dot(vec, cvec) / (nrm * cnrm))
+        return F.when((nrm > 0) & (cnrm > 0), dot(vec, cvec, dim) / (nrm * cnrm))
 
     # inverted index: each corpus vector files under its nearest centroid
     w_assign = Window.partitionBy(id_col).orderBy(
@@ -172,7 +176,7 @@ def ivf_topk(
 
     # each query probes its nprobe nearest centroids
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec"), norm(F.col(vec_col)).alias("__qnrm")
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"), norm(F.col(vec_col), dim).alias("__qnrm")
     )
     w_probe = Window.partitionBy(query_id_col).orderBy(
         cos(F.col("__qvec"), F.col("__qnrm")).desc_nulls_last(), F.col("__cid").asc()
@@ -192,7 +196,7 @@ def ivf_topk(
             F.col(id_col),
             F.when(
                 (F.col("__nrm") > 0) & (F.col("__qnrm") > 0),
-                dot(F.col(vec_col), F.col("__qvec")) / (F.col("__nrm") * F.col("__qnrm")),
+                dot(F.col(vec_col), F.col("__qvec"), dim) / (F.col("__nrm") * F.col("__qnrm")),
             ).alias("cos_sim"),
         )
     )

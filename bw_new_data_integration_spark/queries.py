@@ -941,7 +941,7 @@ WHERE CAST({_COS_SQL} AS DOUBLE) >= 0.3
 )
 def dedup_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dups(emb, threshold=0.3)
+    return dedup.embedding_near_dups(emb, threshold=0.3, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -967,7 +967,7 @@ SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = similarity.brute_force_topk(emb, qs, k=10)
+    out = similarity.brute_force_topk(emb, qs, k=10, dim=64)
     return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
 
 
@@ -1680,7 +1680,7 @@ SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = similarity.ivf_topk(emb, qs, k=10, centroid_stride=20, nprobe=2)
+    out = similarity.ivf_topk(emb, qs, k=10, centroid_stride=20, nprobe=2, dim=64)
     return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
 
 
