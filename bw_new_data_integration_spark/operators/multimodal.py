@@ -124,3 +124,39 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_ts_ms", "frame_payload"])
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+AUDIO_SAMPLE_RATE = 16_000  # Hz, assumed mono 16-bit PCM for the stub
+
+
+def extract_audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Per-clip audio features via Arrow-batched mapInPandas.
+
+    Output: (id, duration_ms, amp_mean, amp_peak). Decode is STUBBED
+    (librosa/soundfile not in this container): duration derives from
+    the payload size under the assumed PCM format, amplitude stats are
+    md5-seeded — deterministic, so the SQL oracle replays them. The
+    schema/batching contract is the real deliverable; swapping in a
+    real decoder is a one-function change.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("amp_mean", T.DoubleType(), True),
+            T.StructField("amp_peak", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                digest = hashlib.md5(payload).digest()
+                duration_ms = len(payload) * 1000 // (AUDIO_SAMPLE_RATE * 2)
+                rows.append((mid, duration_ms, digest[0] / 255.0, digest[1] / 255.0))
+            yield pd.DataFrame(rows, columns=[id_col, "duration_ms", "amp_mean", "amp_peak"])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

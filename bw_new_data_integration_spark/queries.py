@@ -1717,3 +1717,50 @@ WHERE a.nrm > 0 AND b.nrm > 0
 def dedup_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dups_lsh(emb, threshold=0.3, n_planes=4, dim=64, seed=7)
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured columns: JSON property extraction (events.props) —
+# the engine's path for typed access into JSON payload columns.
+# ---------------------------------------------------------------------------
+@register(
+    "json_props_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal audio: duration from payload size + md5-seeded amplitude
+# stats (stub decode, deterministic — oracle replays it).
+# ---------------------------------------------------------------------------
+@register(
+    "mm_audio_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) * 1000 // 32000 AS BIGINT) AS duration_ms,
+       (('0x' || substr(md5(text), 1, 2))::INT) / 255.0 AS amp_mean,
+       (('0x' || substr(md5(text), 3, 2))::INT) / 255.0 AS amp_peak
+FROM documents
+""",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return multimodal.extract_audio_features(media, payload_col="payload", id_col="doc_id")
