@@ -1764,3 +1764,53 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return multimodal.extract_audio_features(media, payload_col="payload", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (engine extension; the reference has only equi-joins):
+# every probe event matched to the most recent quote event at or
+# before it, per user. Oracle = DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "j5_asof_join",
+    oracle="""
+WITH quotes AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts::TIMESTAMP AS ts, CAST(value AS DOUBLE) AS value,
+           row_number() OVER (PARTITION BY user_id, ts::TIMESTAMP ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 5 = 0
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events WHERE event_id % 5 <> 0
+)
+SELECT p.user_id, p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS probe_ts,
+       strftime(q.ts, '%Y-%m-%d %H:%M:%S.%f') AS quote_ts,
+       q.value AS quote_value
+FROM probes p ASOF LEFT JOIN quotes q
+  ON p.user_id = q.user_id AND p.ts >= q.ts
+""",
+)
+def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators.asof import asof_join
+    from bw_new_data_integration_spark.operators.merge import dedupe_latest
+
+    ev = _t(spark, sf_dir, "events")
+    quotes = dedupe_latest(
+        ev.filter(F.col("event_id") % 5 == 0).select(
+            "user_id", "ts", F.col("value").cast("double").alias("value"), "event_id"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],  # same tie-break as the oracle: keep max event_id
+    ).drop("event_id")
+    probes = ev.filter(F.col("event_id") % 5 != 0).select("user_id", "ts", "event_id")
+    joined = asof_join(probes, quotes, on=["user_id"], value_cols=["value"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", fmt).alias("probe_ts"),
+        F.date_format("asof_ts", fmt).alias("quote_ts"),
+        F.col("asof_value").alias("quote_value"),
+    )

@@ -63,9 +63,12 @@ class ParquetKeyedTable:
     def exists(self) -> bool:
         return self.current_version() >= 0
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        v = self.current_version()
-        if v < 0:
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Read the latest snapshot, or a specific ``version`` (time
+        travel — every commit keeps its ``v=N`` directory, so any past
+        state of the table is addressable, like Delta's VERSION AS OF)."""
+        v = self.current_version() if version is None else version
+        if v < 0 or (version is not None and version > self.current_version()):
             return None
         return spark.read.parquet(self._snapshot_dir(v))
 

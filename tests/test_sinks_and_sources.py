@@ -464,3 +464,46 @@ def test_runner_query_all_dry_run(tmp_path, capsys):
     for name in ("daily_sales", "sales_channel", "offers", "inventory", "clock_in_out"):
         assert name in out
     assert not (tmp_path / "targets").exists()  # dry run wrote nothing
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """Every commit keeps its snapshot: read(version=N) addresses any
+    past table state (the safety story behind destructive refreshes)."""
+    t = ParquetKeyedTable(str(tmp_path / "tt"), ["k"])
+    t.upsert(spark, spark.createDataFrame([Row(k="a", v=1)]))  # v0
+    t.upsert(spark, spark.createDataFrame([Row(k="a", v=2)]))  # v1
+    t.delete_keys(spark, spark.createDataFrame([Row(k="a")]))  # v2
+    assert as_sorted_tuples(t.read(spark, version=0)) == [("a", 1)]
+    assert as_sorted_tuples(t.read(spark, version=1)) == [("a", 2)]
+    assert t.read(spark).count() == 0
+    assert t.read(spark, version=99) is None
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: greatest right ts <= left ts, equal ts matches,
+    no earlier quote -> null."""
+    from datetime import datetime
+
+    from bw_new_data_integration_spark.operators.asof import asof_join
+
+    T = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    quotes = spark.createDataFrame(
+        [
+            Row(k="u", ts=T("2024-01-01T10:00:00"), q=1.0),
+            Row(k="u", ts=T("2024-01-01T11:00:00"), q=2.0),
+        ]
+    )
+    probes = spark.createDataFrame(
+        [
+            Row(k="u", ts=T("2024-01-01T09:59:59"), pid=1),  # before any quote
+            Row(k="u", ts=T("2024-01-01T10:00:00"), pid=2),  # equal ts -> q=1
+            Row(k="u", ts=T("2024-01-01T10:30:00"), pid=3),  # between -> q=1
+            Row(k="u", ts=T("2024-01-01T12:00:00"), pid=4),  # after last -> q=2
+            Row(k="w", ts=T("2024-01-01T12:00:00"), pid=5),  # key with no quotes
+        ]
+    )
+    out = {
+        r["pid"]: r["asof_q"]
+        for r in asof_join(probes, quotes, on=["k"], value_cols=["q"]).collect()
+    }
+    assert out == {1: None, 2: 1.0, 3: 1.0, 4: 2.0, 5: None}
