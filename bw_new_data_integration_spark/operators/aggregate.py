@@ -137,3 +137,46 @@ def salted_aggregate(
         *[combiners[comb](name).alias(name) for name, (_expr, comb) in measures.items()]
     )
     return phase2
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grain_seconds: int,
+    group_cols: Sequence[str] = (),
+    value_col: str = "value",
+) -> DataFrame:
+    """Finest-grain time rollup (hypertable continuous-aggregate
+    style): bucket timestamps to ``grain_seconds``, keep decomposable
+    partials (count + exact decimal sum) so coarser grains derive from
+    THIS table instead of rescanning raw events.
+    """
+    bucket = F.timestamp_seconds(
+        (F.col(ts_col).cast("long") / grain_seconds).cast("long") * grain_seconds
+    )
+    return (
+        df.groupBy(bucket.alias("bucket"), *group_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(27,6)")).alias("sum_value"),
+        )
+    )
+
+
+def rollup_up(
+    finer: DataFrame,
+    coarser_grain_seconds: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Derive a coarser rollup purely from a finer one — partials
+    re-aggregate (sum of counts, sum of decimal sums), raw data is
+    never rescanned. At 100 TB this is the difference between reading
+    the 1-minute table (~1/60th the rows) and the raw events."""
+    bucket = F.timestamp_seconds(
+        (F.col("bucket").cast("long") / coarser_grain_seconds).cast("long")
+        * coarser_grain_seconds
+    )
+    return (
+        finer.groupBy(bucket.alias("bucket"), *group_cols)
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+    )

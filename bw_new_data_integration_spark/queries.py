@@ -1814,3 +1814,90 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("asof_ts", fmt).alias("quote_ts"),
         F.col("asof_value").alias("quote_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range/interval self-join, bucketed (engine extension): per-event
+# count of same-user events in the trailing 5 minutes. The bucketed
+# equi-join replaces the theta-join cross product; the oracle runs the
+# naive predicate directly.
+# ---------------------------------------------------------------------------
+@register(
+    "j6_range_join_counts",
+    oracle="""
+SELECT e.user_id, e.event_id, COUNT(r.event_id) AS n_preceding
+FROM events e LEFT JOIN events r
+  ON e.user_id = r.user_id
+  AND CAST(floor(epoch(r.ts::TIMESTAMP)) AS BIGINT)
+      BETWEEN CAST(floor(epoch(e.ts::TIMESTAMP)) AS BIGINT) - 300
+          AND CAST(floor(epoch(e.ts::TIMESTAMP)) AS BIGINT)
+  AND r.event_id <> e.event_id
+GROUP BY e.user_id, e.event_id
+""",
+)
+def j6_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators.range_join import count_preceding_events
+
+    ev = _t(spark, sf_dir, "events")
+    return count_preceding_events(ev, window_seconds=300)
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style rollup hierarchy: 1-minute partials rolled up to
+# 1 hour WITHOUT rescanning raw data; the oracle aggregates raw events
+# at the hour directly — equality proves partial-reuse correctness.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_hierarchy",
+    oracle="""
+SELECT strftime(to_timestamp(CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600 * 3600), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    minute = aggregate.time_rollup(ev, "ts", 60, ["event_type"])
+    hour = aggregate.rollup_up(minute, 3600, ["event_type"])
+    return hour.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — grouping sets (engine capability past the reference's discarded
+# rollup rows): per-(status,priority), per-status, and grand total in
+# one pass, disambiguated by grouping level.
+# ---------------------------------------------------------------------------
+@register(
+    "a6_grouping_sets",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '<all>') AS o_orderstatus,
+       COALESCE(o_orderpriority, '<all>') AS o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS lvl,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def a6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+SELECT COALESCE(o_orderstatus, '<all>') AS o_orderstatus,
+       COALESCE(o_orderpriority, '<all>') AS o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS lvl,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_total
+FROM __orders_gs
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+    )
