@@ -78,6 +78,29 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
+    # write path: full keyed upsert of the widest pipeline output — the
+    # apples-to-apples overlay for the reference's 1,800-2,600 rows/sec
+    # sink throughput (BASELINE.md)
+    import shutil
+    import tempfile
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    tdir = tempfile.mkdtemp(prefix="bw_bench_target_")
+    try:
+        target = ParquetKeyedTable(tdir, ["business_key"])
+        df = registry["pipeline_daily_sales"](spark, sf_dir)
+        t0 = time.time()
+        target.upsert(spark, df)
+        rows = target.read(spark).count()
+        dt = time.time() - t0
+        per_query["upsert_daily_sales"] = round(dt, 3)
+        total += dt
+        print(f"# upsert_daily_sales: {rows} rows in {dt:.2f}s "
+              f"({rows / dt:,.0f} rows/sec)", file=sys.stderr)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
     print(
         json.dumps(
             {

@@ -157,3 +157,11 @@ def delete_batched(
         concurrency=concurrency,
         policy=policy,
     )
+
+
+def format_key_for_url(key: str) -> str:
+    """OData alternate-key addressing: ``table(bk='<key>')`` with
+    single quotes doubled (C9, reference ``modules/dataverse.py:79``,
+    ``load_csv.py:91``). Runs executor-side at URL-build time in a
+    transport implementation."""
+    return key.replace("'", "''")

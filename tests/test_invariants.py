@@ -98,3 +98,25 @@ def test_plan_quality_pushdown_and_broadcast(spark):
     plan = _plan(j2)
     assert "BroadcastHashJoin" in plan, plan[:600]
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides of a recurring big-big join on the join key
+    lets the join run with NO exchange on either side — the 100 TB
+    answer to repeated fact-to-fact joins (SURVEY.md §4)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        left = spark.range(0, 10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+        right = spark.range(0, 10_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+        left.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_left")
+        right.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_right")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:500]
+        assert "Exchange" not in plan, plan[:1500]
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

@@ -507,3 +507,8 @@ def test_asof_join_semantics(spark):
         for r in asof_join(probes, quotes, on=["k"], value_cols=["q"]).collect()
     }
     assert out == {1: None, 2: 1.0, 3: 1.0, 4: 2.0, 5: None}
+
+
+def test_format_key_for_url_escapes_quotes():
+    assert odata.format_key_for_url("O'Brien_20240101") == "O''Brien_20240101"
+    assert odata.format_key_for_url("plain") == "plain"
