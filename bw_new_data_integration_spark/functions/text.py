@@ -145,3 +145,15 @@ def fingerprint(c: Column) -> Column:
     """
     normalized = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     return F.md5(normalized)
+
+
+def repetition_ratio(c: Column, n: int = 2) -> Column:
+    """Duplicate word-n-gram fraction (Gopher-style repetition
+    signal): 1 - distinct_ngrams/total_ngrams. High values flag
+    boilerplate/spam; 0 when every n-gram is unique."""
+    grams = word_shingles(c, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0, F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))

@@ -1901,3 +1901,33 @@ FROM __orders_gs
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Text repetition: duplicate word-bigram fraction (Gopher-style
+# boilerplate/spam signal).
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+              ELSE [array_to_string(w, ' ')] END AS g
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN len(g) > 0
+            THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+            ELSE 0.0 END AS rep_ratio
+FROM grams
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.repetition_ratio(F.col("text"), 2).alias("rep_ratio"))

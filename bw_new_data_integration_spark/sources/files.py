@@ -55,20 +55,76 @@ def read_excel(
     sheet: str | int = 0,
     header_row: int = 0,
 ) -> DataFrame:
-    """Excel scan (reference ``load_store_hours.py:64-108``): openpyxl
-    via pandas on the driver (workbooks are master-data-sized), then
-    ``createDataFrame`` over Arrow. Raises a clear error when openpyxl
-    is absent from the image.
+    """Excel scan (reference ``load_store_hours.py:64-108``).
+
+    Prefers openpyxl/pandas when present; otherwise falls back to a
+    minimal stdlib xlsx reader (xlsx is a zip of SpreadsheetML — the
+    OOXML spec is public), good for the master-data-sized workbooks
+    the reference loads: inline + shared strings, numbers, header row,
+    blank-row skipping. Driver-side read, then ``createDataFrame`` —
+    workbooks are dimension-sized by construction.
     """
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env dependent
-        raise NotImplementedError(
-            "Excel source requires openpyxl, which is not in this image; "
-            "convert the workbook to CSV or install openpyxl"
-        ) from exc
-    import pandas as pd
+        import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet, header=header_row, dtype=str)
-    pdf = pdf.dropna(how="all")
-    return spark.createDataFrame(pdf)
+        pdf = pd.read_excel(path, sheet_name=sheet, header=header_row, dtype=str)
+        pdf = pdf.dropna(how="all")
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        rows = _read_xlsx_stdlib(path, sheet_index=sheet if isinstance(sheet, int) else 0)
+    rows = [r for r in rows[header_row:] if any(v not in (None, "") for v in r)]
+    if not rows:
+        raise ValueError(f"no data rows in {path}")
+    header, data = rows[0], rows[1:]
+    width = len(header)
+    schema = T.StructType([T.StructField(str(h), T.StringType(), True) for h in header])
+    padded = [tuple((r + [None] * width)[:width]) for r in data]
+    return spark.createDataFrame(padded, schema=schema)
+
+
+def _read_xlsx_stdlib(path: str, sheet_index: int = 0) -> list[list[str | None]]:
+    """Minimal SpreadsheetML reader: zipfile + ElementTree, shared and
+    inline strings, 1900-epoch untouched (cell values come back as the
+    raw stored strings — type coercion is the caller's job, exactly
+    like the CSV path)."""
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter(f"{{{ns['m']}}}t")))
+        sheet_names = sorted(
+            n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        root = ET.fromstring(z.read(sheet_names[sheet_index]))
+
+    def col_index(ref: str) -> int:
+        letters = "".join(ch for ch in ref if ch.isalpha())
+        idx = 0
+        for ch in letters:
+            idx = idx * 26 + (ord(ch.upper()) - 64)
+        return idx - 1
+
+    out: list[list[str | None]] = []
+    for row in root.iter(f"{{{ns['m']}}}row"):
+        cells: dict[int, str | None] = {}
+        for c in row.findall("m:c", ns):
+            ref, typ = c.get("r", ""), c.get("t", "n")
+            v = c.find("m:v", ns)
+            ist = c.find("m:is", ns)
+            if typ == "s" and v is not None:
+                val = shared[int(v.text)]
+            elif typ == "inlineStr" and ist is not None:
+                val = "".join(t.text or "" for t in ist.iter(f"{{{ns['m']}}}t"))
+            else:
+                val = v.text if v is not None else None
+            cells[col_index(ref)] = val
+        width = max(cells) + 1 if cells else 0
+        out.append([cells.get(i) for i in range(width)])
+    return out

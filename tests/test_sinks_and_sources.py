@@ -512,3 +512,66 @@ def test_asof_join_semantics(spark):
 def test_format_key_for_url_escapes_quotes():
     assert odata.format_key_for_url("O'Brien_20240101") == "O''Brien_20240101"
     assert odata.format_key_for_url("plain") == "plain"
+
+
+def _write_minimal_xlsx(path, header, rows):
+    """Hand-built SpreadsheetML workbook (inline strings only) — lets
+    the test run without any Excel library installed."""
+    import zipfile
+
+    def row_xml(r_idx, values):
+        cells = []
+        for c_idx, v in enumerate(values):
+            col = chr(ord("A") + c_idx)
+            if v is None:
+                continue
+            cells.append(
+                f'<c r="{col}{r_idx}" t="inlineStr"><is><t>{v}</t></is></c>'
+            )
+        return f'<row r="{r_idx}">{"".join(cells)}</row>'
+
+    all_rows = [header] + rows
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        + "".join(row_xml(i + 1, r) for i, r in enumerate(all_rows))
+        + "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?>'
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            "</Types>",
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            '<sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>',
+        )
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_excel_stdlib_fallback(spark, tmp_path):
+    """S8: the Excel source reads a real xlsx via the stdlib fallback —
+    header row, inline strings, blank-row skipping, ragged rows."""
+    from bw_new_data_integration_spark.sources import files
+
+    p = str(tmp_path / "store_hours.xlsx")
+    _write_minimal_xlsx(
+        p,
+        ["Store", "DayOfWeek", "Open", "Close"],
+        [
+            ["101", "Mon", "1100", "2300"],
+            [None, None, None, None],  # blank row skipped
+            ["102", "Tue", "9:30", None],  # ragged row padded
+        ],
+    )
+    df = files.read_excel(spark, p)
+    assert df.columns == ["Store", "DayOfWeek", "Open", "Close"]
+    got = as_sorted_tuples(df)
+    assert got == [("101", "Mon", "1100", "2300"), ("102", "Tue", "9:30", None)]
