@@ -1931,3 +1931,26 @@ FROM grams
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", text.repetition_ratio(F.col("text"), 2).alias("rep_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# A7 — exact percentiles + distinct counts (engine capability; linear
+# interpolation matches quantile_cont bit-for-bit).
+# ---------------------------------------------------------------------------
+@register(
+    "a7_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS med_total,
+       quantile_cont(o_totalprice, 0.9) AS p90_total,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("med_total"),
+        F.percentile("o_totalprice", 0.9).alias("p90_total"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
