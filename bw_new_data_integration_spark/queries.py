@@ -1954,3 +1954,110 @@ def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", 0.9).alias("p90_total"),
         F.count_distinct("o_custkey").alias("n_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q3 shape — big-big join (orders x lineitem, sort-merge) + broadcast
+# dim filter + ranked top-k: the canonical "shipping priority" report.
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+WITH rev AS (
+  SELECT l.l_orderkey,
+         CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,6)) * CAST(1 - l.l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+         strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+         o.o_orderpriority
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_19'
+    AND CAST(o.o_orderdate AS DATE) < DATE '1997-06-01'
+    AND CAST(l.l_shipdate AS DATE) > DATE '1997-06-01'
+  GROUP BY 1, 3, 4
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk FROM rev
+)
+SELECT l_orderkey, revenue, o_orderdate, o_orderpriority, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(14,6)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    )
+    rev = (
+        li.filter(F.col("l_shipdate").cast("date") > "1997-06-01")
+        .join(  # big-big: sort-merge on orderkey
+            o.filter(F.col("o_orderdate").cast("date") < "1997-06-01"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.filter(F.col("n_name") == "NATION_19")), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("revenue"))
+    )
+    # global top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition partial top-k, no single-partition window shuffle);
+    # the rank column is derived on the 10 survivors only
+    order = [F.col("revenue").desc(), F.col("l_orderkey").asc()]
+    top = rev.orderBy(*order).limit(10)
+    ranked = top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+    return ranked.select(
+        "l_orderkey", "revenue", "o_orderdate", "o_orderpriority", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape — five-way join (two big-big hops + broadcast dims) with a
+# region slice: "local supplier volume" per nation.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,6)) * CAST(1 - l.l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1997
+GROUP BY 1
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(14,6)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    )
+    return (
+        c.join(o.filter(F.year("o_orderdate") == 1997), c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("revenue"))
+    )
