@@ -2061,3 +2061,55 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join: watermarked interval self-join of the event
+# stream (probe x trailing quotes), driven with availableNow. The
+# oracle is the equivalent batch theta-join — streaming state
+# semantics must reproduce the batch answer at completion. Both
+# engines compare at microsecond precision.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_interval_join",
+    oracle="""
+SELECT p.user_id, p.event_id AS p_event, r.event_id AS q_event
+FROM events p JOIN events r
+  ON p.user_id = r.user_id
+  AND r.event_id <> p.event_id
+  AND r.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL 300 SECONDS
+  AND r.ts::TIMESTAMP <= p.ts::TIMESTAMP
+""",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    tune_for_oracle_parity(spark)
+    staging = tempfile.mkdtemp(prefix="bw_stream_ssj_")
+    shutil.copy(_os.path.join(sf_dir, "events.parquet"), staging)
+    probes = st.read_event_stream(spark, staging)
+    quotes = st.read_event_stream(spark, staging)
+    pairs = st.interval_pair_join(probes, quotes, window_seconds=300).select(
+        F.col("p_user").alias("user_id"),
+        F.col("p_event").alias("p_event"),
+        F.col("q_event").alias("q_event"),
+    )
+    name = "stream_ssj_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        qy = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

@@ -101,3 +101,47 @@ def run_stream_once(spark: SparkSession, source_path: str, target: ParquetKeyedT
     )
     q.awaitTermination()
     return q
+
+
+def interval_pair_join(
+    probes: DataFrame,
+    quotes: DataFrame,
+    window_seconds: int = 300,
+    watermark: str = "14 days",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each probe event pairs
+    with same-user quote events in its trailing window.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides — the requirements for Structured Streaming to
+    know when join state can be evicted. State per side is bounded by
+    (watermark + window), not the stream length. The batch twin is
+    operators/range_join.py's bucketed equi-join; at cutover both
+    produce the same pairs.
+    """
+    p = (
+        probes.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_event"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    q = (
+        quotes.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("q_user"),
+            F.col("event_id").alias("q_event"),
+            F.col("ts").alias("q_ts"),
+        )
+    )
+    return p.join(
+        q,
+        F.expr(
+            f"""
+            p_user = q_user AND p_event != q_event
+            AND q_ts >= p_ts - INTERVAL {window_seconds} SECONDS
+            AND q_ts <= p_ts
+            """
+        ),
+    )
