@@ -2113,3 +2113,116 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Semi-join: customers having 1997 orders (left_semi — probe existence,
+# never duplicates the left side).
+# ---------------------------------------------------------------------------
+@register(
+    "j7_semi_join",
+    oracle="""
+SELECT c.c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1997)
+GROUP BY 1
+""",
+)
+def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    active = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return (
+        c.join(active, c.c_custkey == active.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4 — moving average over a rows frame (last 3 orders per customer),
+# exact decimal arithmetic for cross-engine determinism.
+# ---------------------------------------------------------------------------
+@register(
+    "o4_moving_avg",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / CAST(COUNT(*)
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS moving_avg
+FROM orders
+""",
+)
+def o4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+        ).alias("moving_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5 — set operations: EXCEPT ALL / INTERSECT ALL over key sets.
+# ---------------------------------------------------------------------------
+@register(
+    "o5_set_ops",
+    oracle="""
+WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+     only_a AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b),
+     both_ab AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+SELECT 'except_all' AS op, COUNT(*) AS n FROM only_a
+UNION ALL
+SELECT 'intersect_all' AS op, COUNT(*) AS n FROM both_ab
+""",
+)
+def o5_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    ex = a.exceptAll(b).agg(F.count("*").alias("n")).select(F.lit("except_all").alias("op"), "n")
+    ins = (
+        a.intersectAll(b).agg(F.count("*").alias("n")).select(F.lit("intersect_all").alias("op"), "n")
+    )
+    return ex.unionByName(ins)
+
+
+# ---------------------------------------------------------------------------
+# P8 — pivot: order counts reshaped to one column per status (the
+# XMLA COO pivot's user-facing cousin). Oracle uses portable
+# conditional aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "p8_pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+FROM orders GROUP BY 1
+""",
+)
+def p8_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("status_p"),
+    )
