@@ -306,3 +306,45 @@ def embedding_near_dups_lsh(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def cluster_duplicates(
+    doc_ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 5,
+) -> DataFrame:
+    """Group duplicate pairs into clusters: fixed-iteration min-label
+    propagation (each doc takes the smallest id reachable within
+    ``max_iter`` hops — full connected components when the diameter
+    fits, which near-dup clusters overwhelmingly do).
+
+    Iterative joins, label frame persisted per round; at 100 TB this
+    is the standard large-graph CC loop (hash join on doc id per
+    iteration, convergence bounded by cluster diameter, not corpus
+    size). Output: (doc_id, cluster_id, is_canonical) — canonical =
+    the cluster's minimum id, the row a keep-list retains.
+    """
+    edges = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).unionByName(
+        pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    ).persist()
+    labels = doc_ids.select(F.col(id_col), F.col(id_col).alias("lbl"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed(id_col, "v2"), edges.v == F.col("v2"))
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(neigh, labels[id_col] == neigh.u, "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+    return labels.select(
+        id_col,
+        F.col("lbl").alias("cluster_id"),
+        (F.col("lbl") == F.col(id_col)).alias("is_canonical"),
+    )

@@ -2226,3 +2226,60 @@ def p8_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("status_o"),
         F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("status_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering + keep-list: verified near-dup pairs (n-gram
+# Jaccard >= 0.5) grouped into connected components by min-label
+# propagation; canonical doc = cluster minimum. The oracle unrolls the
+# same fixed number of propagation rounds in SQL.
+# ---------------------------------------------------------------------------
+def _cluster_oracle(max_iter: int = 5) -> str:
+    jaccard_pairs = (
+        _SHINGLE_SQL
+        + """,
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON inter.a_id = sa.doc_id
+  JOIN sizes sb ON inter.b_id = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id AS u, a_id AS v FROM pairs
+),
+l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)"""
+    )
+    steps = []
+    for i in range(max_iter):
+        steps.append(
+            f""",
+l{i + 1} AS (
+  SELECT d.doc_id,
+         least(d.lbl, coalesce(min(x.lbl), d.lbl)) AS lbl
+  FROM l{i} d
+  LEFT JOIN edges e ON e.u = d.doc_id
+  LEFT JOIN l{i} x ON x.doc_id = e.v
+  GROUP BY d.doc_id, d.lbl
+)"""
+        )
+    return (
+        jaccard_pairs
+        + "".join(steps)
+        + f"""
+SELECT doc_id, lbl AS cluster_id, lbl = doc_id AS is_canonical FROM l{max_iter}
+"""
+    )
+
+
+@register("dedup_cluster_keep_list", oracle=_cluster_oracle(5))
+def dedup_cluster_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard(docs, threshold=0.5).select("a_id", "b_id")
+    return dedup.cluster_duplicates(docs.select("doc_id"), pairs, max_iter=5)
