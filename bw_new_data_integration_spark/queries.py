@@ -2283,3 +2283,49 @@ def dedup_cluster_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard(docs, threshold=0.5).select("a_id", "b_id")
     return dedup.cluster_duplicates(docs.select("doc_id"), pairs, max_iter=5)
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup: a doubled event stream (two copies of the source)
+# deduplicated on event_id with watermark-bounded state — exactly-once
+# ingest semantics for at-least-once sources. Oracle: the unique
+# events per type.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_dedup",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    tune_for_oracle_parity(spark)
+    staging = tempfile.mkdtemp(prefix="bw_stream_dup_")
+    # two copies of the file = an at-least-once source delivering
+    # every event twice
+    shutil.copy(_os.path.join(sf_dir, "events.parquet"), _os.path.join(staging, "copy1.parquet"))
+    shutil.copy(_os.path.join(sf_dir, "events.parquet"), _os.path.join(staging, "copy2.parquet"))
+    events = st.read_event_stream(spark, staging)
+    deduped = events.withWatermark("ts", "14 days").dropDuplicates(["event_id"])
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        qy = (
+            deduped.select("event_id", "event_type")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n"))
