@@ -40,11 +40,17 @@ HEADLINE = [
 OPTIONAL = [
     "dedup_exact_docs",
     "dedup_lsh_candidates",
+    "dedup_cluster_keep_list",
     "ann_brute_topk",
     "ann_lsh_topk",
     "text_quality",
     "pipeline_daily_sales",
     "pipeline_sales_channel",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "j5_asof_join",
+    "j6_range_join_counts",
+    "rollup_hierarchy",
 ]
 
 
