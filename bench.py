@@ -40,7 +40,7 @@ HEADLINE = [
 OPTIONAL = [
     "dedup_exact_docs",
     "dedup_lsh_candidates",
-    "dedup_cluster_keep_list",
+    "dedup_pipeline_e2e",
     "ann_brute_topk",
     "ann_lsh_topk",
     "text_quality",

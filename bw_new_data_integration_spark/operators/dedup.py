@@ -159,10 +159,16 @@ def ngram_jaccard(
     a = sh.alias("a")
     b = sh.alias("b")
     if pairs is not None:
-        cand = pairs.alias("p")
+        # size estimates don't survive explode — Catalyst would pick
+        # the 100×-bigger shingle table as the broadcast side. The
+        # candidate set (and its shingle expansion) is the small side;
+        # say so explicitly.
+        cand = F.broadcast(pairs.alias("p"))
+        a_shingles = F.broadcast(cand.join(a, F.col(f"a.{id_col}") == F.col("p.a_id")))
         inter = (
-            cand.join(a, F.col(f"a.{id_col}") == F.col("p.a_id"))
-            .join(b, (F.col(f"b.{id_col}") == F.col("p.b_id")) & (F.col("a.sh") == F.col("b.sh")))
+            a_shingles.join(
+                b, (F.col(f"b.{id_col}") == F.col("p.b_id")) & (F.col("a.sh") == F.col("b.sh"))
+            )
             .groupBy("p.a_id", "p.b_id")
             .agg(F.count("*").alias("n_inter"))
         )
@@ -325,10 +331,16 @@ def cluster_duplicates(
     size). Output: (doc_id, cluster_id, is_canonical) — canonical =
     the cluster's minimum id, the row a keep-list retains.
     """
-    edges = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).unionByName(
-        pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
-    ).persist()
-    labels = doc_ids.select(F.col(id_col), F.col(id_col).alias("lbl"))
+    # localCheckpoint (not just persist): iterative algorithms grow the
+    # logical plan every round — without truncating lineage, Catalyst
+    # re-analyzes the whole upstream chain (LSH, Jaccard, ...) once per
+    # iteration and driver-side planning dominates the runtime.
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .unionByName(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = doc_ids.select(F.col(id_col), F.col(id_col).alias("lbl")).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed(id_col, "v2"), edges.v == F.col("v2"))
@@ -341,7 +353,7 @@ def cluster_duplicates(
                 F.col(id_col),
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
     return labels.select(
         id_col,

@@ -2329,3 +2329,84 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup pipeline — the 100 TB composition: LSH candidate
+# generation (never all-pairs) -> exact Jaccard verification on
+# candidates only -> connected-component clustering -> keep-list.
+# One generated oracle replays every stage.
+# ---------------------------------------------------------------------------
+def _dedup_e2e_oracle(
+    num_hashes: int = 12, bands: int = 4, threshold: float = 0.5, max_iter: int = 5
+) -> str:
+    rpb = num_hashes // bands
+    mins = ",\n       ".join(
+        (
+            f"min(substr(md5(s), {i * 8 + 1}, 8)) AS mh_{i}"
+            if i < 4
+            else f"min(substr(sha256(s), {(i - 4) * 8 + 1}, 8)) AS mh_{i}"
+        )
+        for i in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "{{'band': {b}, 'bh': md5(concat_ws('|', {parts}))}}".format(
+            b=b, parts=", ".join(f"mh_{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(bands)
+    )
+    prop = []
+    for i in range(max_iter):
+        prop.append(
+            f""",
+l{i + 1} AS (
+  SELECT d.doc_id, least(d.lbl, coalesce(min(x.lbl), d.lbl)) AS lbl
+  FROM l{i} d
+  LEFT JOIN edges e ON e.u = d.doc_id
+  LEFT JOIN l{i} x ON x.doc_id = e.v
+  GROUP BY d.doc_id, d.lbl
+)"""
+        )
+    return (
+        _SHINGLE_SQL
+        + f""",
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, unnest([{band_structs}], recursive := true) FROM sig
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS n_inter
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.a_id
+  JOIN dsh b ON b.doc_id = c.b_id AND b.s = a.s
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON inter.a_id = sa.doc_id
+  JOIN sizes sb ON inter.b_id = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {threshold}
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id AS u, a_id AS v FROM pairs
+),
+l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)"""
+        + "".join(prop)
+        + f"""
+SELECT doc_id, lbl AS cluster_id, lbl = doc_id AS is_canonical FROM l{max_iter}
+"""
+    )
+
+
+@register("dedup_pipeline_e2e", oracle=_dedup_e2e_oracle())
+def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=12, bands=4)
+    verified = dedup.ngram_jaccard(docs, pairs=cands, threshold=0.5).select("a_id", "b_id")
+    return dedup.cluster_duplicates(docs.select("doc_id"), verified, max_iter=5)
