@@ -173,8 +173,12 @@ def ngram_jaccard(
             .agg(F.count("*").alias("n_inter"))
         )
     else:
+        # both sides are the exploded shingle table; force a shuffle
+        # join so Catalyst's explode-blind size estimate can't pick a
+        # 100x-too-big broadcast build side
         inter = (
-            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            a.hint("shuffle_merge")
+            .join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .groupBy(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
             .agg(F.count("*").alias("n_inter"))
         )
