@@ -2410,3 +2410,136 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dedup.minhash_lsh_candidates(docs, num_hashes=12, bands=4)
     verified = dedup.ngram_jaccard(docs, pairs=cands, threshold=0.5).select("a_id", "b_id")
     return dedup.cluster_duplicates(docs.select("doc_id"), verified, max_iter=5)
+
+
+# ---------------------------------------------------------------------------
+# J8 — anti-join: customers with NO 1997 orders, counted per nation.
+# The reference has no anti-join (SURVEY.md §2.5 notes J2-J4 are its only
+# join shapes); this completes the semi/anti pair next to j7. left_anti
+# never duplicates or widens the probe side, and the nation dimension is
+# broadcast — at 100 TB the only shuffle is customer-vs-orders on custkey.
+# ---------------------------------------------------------------------------
+@register(
+    "j8_anti_join",
+    oracle="""
+SELECT n.n_name, COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1997
+)
+GROUP BY 1
+""",
+)
+def j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    active = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return (
+        c.join(active, c.c_custkey == active.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — correlated scalar subquery: revenue from small-quantity
+# orders of one brand's parts (quantity below 20% of that part's mean).
+# Scale plan: the brand filter is BROADCAST into lineitem FIRST, so the
+# per-part threshold aggregate runs over the ~1/brand-count slice, not
+# the full fact table; the threshold table (one row per qualifying part)
+# is then broadcast back. No full-fact shuffle anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH thr AS (
+  SELECT l.l_partkey,
+         CAST(0.2 AS DOUBLE) * (CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                                / CAST(COUNT(l.l_quantity) AS DOUBLE)) AS qty_thr
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#23'
+  GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / CAST(7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN thr t ON t.l_partkey = l.l_partkey
+WHERE l.l_quantity < t.qty_thr
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    brand_li = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    thr = (
+        brand_li.groupBy("l_partkey")
+        .agg((F.lit(0.2) * aggregate.exact_avg("l_quantity")).alias("qty_thr"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    small = brand_li.join(
+        F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey")
+    ).filter(F.col("l_quantity") < F.col("qty_thr"))
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape — HAVING over a grouped fact (large-quantity orders), then
+# joined back to orders + customer. The HAVING filter collapses the fact
+# to a tiny key set, so AQE converts both downstream joins to broadcasts
+# at runtime — the only big shuffle is the l_orderkey aggregation, which
+# partial-aggregates map-side.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS total_qty
+  FROM lineitem
+  GROUP BY 1
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) > 250.0
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 250.0)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )

@@ -120,3 +120,25 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_q17_plan_broadcasts_brand_filter(spark):
+    """Q17's scale plan hinges on the brand part-list broadcasting into
+    lineitem BEFORE the per-part threshold aggregate — a sort-merge
+    join here would shuffle the full fact table twice."""
+    q17 = q.registry()["q17_small_quantity_revenue"](spark, SF_SMALL)
+    plan = _plan(q17)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_q18_having_collapses_to_runtime_broadcast(spark):
+    """After the HAVING filter, the big-order key set is tiny; AQE must
+    convert the joins back to orders/customer into broadcasts at
+    runtime rather than shuffling both fact sides."""
+    df = q.registry()["q18_large_orders"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    # the only fact-side exchange is the l_orderkey aggregation
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
