@@ -51,6 +51,10 @@ OPTIONAL = [
     "j5_asof_join",
     "j6_range_join_counts",
     "rollup_hierarchy",
+    "j8_anti_join",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "a8_approx_distinct_sketch",
 ]
 
 

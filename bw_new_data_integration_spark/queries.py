@@ -2543,3 +2543,31 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A8 — sketch aggregate: approx_count_distinct (HLL++) side-by-side
+# with the exact distinct count, relative error surfaced. At 100 TB an
+# exact distinct shuffles the whole key set; the sketch is fixed-size
+# per partition and merges by register-max — associative and
+# commutative, so it is deterministic under ANY partitioning (the
+# determinism sweep runs it at local[4]/5 and local[16]/64). No DuckDB
+# oracle: HLL implementations differ per engine, so this entry takes
+# the rows-only check and tests/test_invariants.py pins the error
+# bound instead.
+# ---------------------------------------------------------------------------
+@register("a8_approx_distinct_sketch")
+def a8_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_exact"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("n_approx"),
+        )
+        .withColumn(
+            "rel_err",
+            F.abs(F.col("n_approx") - F.col("n_exact")).cast("double")
+            / F.col("n_exact").cast("double"),
+        )
+    )

@@ -142,3 +142,13 @@ def test_q18_having_collapses_to_runtime_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan[:1500]
     # the only fact-side exchange is the l_orderkey aggregation
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+
+
+def test_approx_distinct_error_bound(spark):
+    """The HLL++ sketch (rsd=0.02) must stay within 5% of the exact
+    distinct count — the accuracy contract that makes it a legitimate
+    100 TB substitute for countDistinct."""
+    rows = q.registry()["a8_approx_distinct_sketch"](spark, SF_SMALL).collect()
+    assert rows, "sketch query returned no rows"
+    for r in rows:
+        assert r["rel_err"] <= 0.05, (r["order_year"], r["n_exact"], r["n_approx"])
