@@ -344,8 +344,20 @@ def cluster_duplicates(
         .unionByName(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
         .localCheckpoint(eager=True)
     )
-    labels = doc_ids.select(F.col(id_col), F.col(id_col).alias("lbl")).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    # Iterate ONLY over nodes that appear in an edge: a node with no
+    # neighbors can never change label, and duplicate subgraphs are a
+    # tiny fraction of the corpus (here: hundreds of 5k docs; at 100 TB
+    # millions of billions). Singletons rejoin once at the end.
+    # The init IS round 1: grouping edges by u yields the node set and
+    # min(u, min neighbor) in the same single shuffle a bare distinct
+    # would cost.
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(F.col("u").alias(id_col), F.least(F.col("u"), F.col("mv")).alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter - 1):
         neigh = (
             edges.join(labels.withColumnRenamed(id_col, "v2"), edges.v == F.col("v2"))
             .groupBy("u")
@@ -359,8 +371,13 @@ def cluster_duplicates(
             )
             .localCheckpoint(eager=True)
         )
-    return labels.select(
-        id_col,
-        F.col("lbl").alias("cluster_id"),
-        (F.col("lbl") == F.col(id_col)).alias("is_canonical"),
+    # Singletons: cluster of themselves. The converged label table is
+    # duplicate-subgraph-sized, so this join broadcasts under AQE.
+    return (
+        doc_ids.join(labels.withColumnRenamed(id_col, "lid"), doc_ids[id_col] == F.col("lid"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lbl"), F.col(id_col)).alias("cluster_id"),
+            (F.coalesce(F.col("lbl"), F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
+        )
     )
