@@ -55,6 +55,8 @@ OPTIONAL = [
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "a8_approx_distinct_sketch",
+    "sample_deterministic_split",
+    "funnel_conversion",
 ]
 
 

@@ -2571,3 +2571,99 @@ def a8_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_exact").cast("double"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/valid/test split — the training-data curation
+# primitive. Bucket = md5(doc_id) first 8 hex chars as int mod 100, so
+# membership is a pure function of the row key: stable across runs,
+# partitioning, and cluster size (rand()-based sampling is none of
+# those), and any engine can reproduce the exact same split. 80/10/10.
+# ---------------------------------------------------------------------------
+@register(
+    "sample_deterministic_split",
+    oracle="""
+WITH b AS (
+  SELECT n_chars,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1
+""",
+)
+def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion — staged sequence analysis over the event stream:
+# users who viewed, then clicked AFTER their first view, then purchased
+# AFTER that click. Each stage is a (filter -> groupBy user -> min ts)
+# on the same shuffle key, so the exchanges line up; the stage tables
+# shrink monotonically and join back user-grained, never event-grained.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+v AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT 'click_after_view' AS stage, COUNT(*) AS n_users FROM c
+UNION ALL SELECT 'purchase_after_click' AS stage, COUNT(*) AS n_users FROM p
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "view")
+        .unionByName(stage(c, "click_after_view"))
+        .unionByName(stage(p, "purchase_after_click"))
+    )
