@@ -57,6 +57,9 @@ OPTIONAL = [
     "a8_approx_distinct_sketch",
     "sample_deterministic_split",
     "funnel_conversion",
+    "quantile_binning",
+    "embedding_centroids",
+    "er_fuzzy_match",
 ]
 
 

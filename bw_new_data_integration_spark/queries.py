@@ -2667,3 +2667,164 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, "click_after_view"))
         .unionByName(stage(p, "purchase_after_click"))
     )
+
+
+# ---------------------------------------------------------------------------
+# S10 — JSONL source round-trip: documents staged to line-delimited
+# JSON (the training-corpus interchange format), read back with an
+# EXPLICIT schema (never inferSchema — one pass, stable types), then
+# aggregated. The oracle recomputes from the clean table, so the gate
+# proves serialization + escaping + typed read are lossless.
+# ---------------------------------------------------------------------------
+@register(
+    "s10_jsonl_roundtrip",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(text)) AS BIGINT) AS total_text_chars
+FROM documents GROUP BY 1
+""",
+)
+def s10_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="bw_jsonl_src_") + "/docs_jsonl"
+    docs.coalesce(1).write.mode("overwrite").json(path)
+    raw = spark.read.schema("doc_id bigint, text string, lang string, n_chars bigint").json(path)
+    return raw.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile binning — curriculum-style bucketing by exact decile
+# boundaries. Deliberately NOT ntile(): an unpartitioned ranking window
+# forces every row into one task, which is exactly what dies at 100 TB.
+# Exact percentile is computed distributed, the 9 boundaries broadcast,
+# and each row binned by comparison — fully parallel. (Spark
+# percentile() is bit-identical to DuckDB quantile_cont.)
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_binning",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM documents
+)
+SELECT CAST(1 + (CASE WHEN n_chars > qs[1] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > qs[2] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > qs[3] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > qs[4] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > qs[5] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > qs[6] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > qs[7] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > qs[8] THEN 1 ELSE 0 END)
+              + (CASE WHEN n_chars > qs[9] THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents, q
+GROUP BY 1
+""",
+)
+def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    probs = [i / 10 for i in range(1, 10)]
+    qs = docs.agg(
+        F.expr(
+            "percentile(n_chars, array({}))".format(",".join(str(p) for p in probs))
+        ).alias("qs")
+    )
+    binned = docs.crossJoin(F.broadcast(qs)).withColumn(
+        "bin",
+        sum(
+            (F.col("n_chars") > F.element_at("qs", i + 1)).cast("bigint")
+            for i in range(9)
+        )
+        + F.lit(1),
+    )
+    return binned.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids per label — the vector aggregate behind k-means
+# steps and class prototypes. posexplode -> groupBy (label, dim) is one
+# shuffle of (rows × dims) scalar values with map-side partial agg.
+# Components are floor-scaled to 1e-6 ints before summing so the
+# accumulation is integer-exact (order-independent) and engine-exact
+# (float->decimal rounding modes differ; floor of a double doesn't).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_centroids",
+    oracle="""
+SELECT label, i.pos AS pos,
+       CAST(SUM(CAST(FLOOR(CAST(list_extract(embedding, i.pos + 1) AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS scaled_sum,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(FLOOR(CAST(list_extract(embedding, i.pos + 1) AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS centroid
+FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos) i
+GROUP BY 1, 2
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "e")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("e").cast("double") * 1000000).cast("bigint").alias("se"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.sum("se").cast("bigint").alias("scaled_sum"),
+        F.count("*").alias("n_vectors"),
+        (
+            F.sum("se").cast("double") / F.lit(1000000.0) / F.count("*").cast("double")
+        ).alias("centroid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution — fuzzy match via blocking + edit-distance verify:
+# the standard two-phase shape (cheap equi-join block, expensive
+# levenshtein only within blocks). Blocks are (nation, name prefix), so
+# the join is an equi-join Catalyst hash-partitions — never all-pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "er_fuzzy_match",
+    oracle="""
+SELECT a.c_nationkey AS nationkey, COUNT(*) AS n_pairs
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND substring(a.c_name, 1, 14) = substring(b.c_name, 1, 14)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+GROUP BY 1
+""",
+)
+def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.substring("c_name", 1, 14).alias("a_blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("b_nat"),
+        F.substring("c_name", 1, 14).alias("b_blk"),
+    )
+    pairs = a.join(
+        b,
+        (a.nationkey == b.b_nat) & (a.a_blk == b.b_blk) & (a.a_key < b.b_key),
+    ).filter(F.levenshtein("a_name", "b_name") <= 2)
+    return pairs.groupBy("nationkey").agg(F.count("*").alias("n_pairs"))
