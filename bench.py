@@ -60,6 +60,8 @@ OPTIONAL = [
     "quantile_binning",
     "embedding_centroids",
     "er_fuzzy_match",
+    "profile_table",
+    "validate_expectations",
 ]
 
 

@@ -2828,3 +2828,163 @@ def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         (a.nationkey == b.b_nat) & (a.a_blk == b.b_blk) & (a.a_key < b.b_key),
     ).filter(F.levenshtein("a_name", "b_name") <= 2)
     return pairs.groupBy("nationkey").agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join — the canonical streaming dimension
+# lookup: each micro-batch joins the (small, broadcast) static customer
+# dimension; no stream-stream state needed. Oracle is the batch
+# equivalent of the same join + aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_static_enrich",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    tune_for_oracle_parity(spark)
+    staging = tempfile.mkdtemp(prefix="bw_stream_enrich_")
+    shutil.copy(_os.path.join(sf_dir, "events.parquet"), staging)
+    events = st.read_event_stream(spark, staging)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey
+    ).groupBy("c_mktsegment", "event_type").agg(F.count("*").alias("n"))
+    name = "stream_enrich_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        qy = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Table profiling — per-column null count / exact distinct / min / max
+# in ONE pass over the table (Catalyst plans the multi-distinct via
+# Expand: rows × columns-profiled, partial-aggregated map-side — still
+# one scan, the standard distributed profile plan). Numeric extremes go
+# through DECIMAL(18,2) before stringifying: Java 17's Double.toString
+# is not shortest-roundtrip, so raw double->string differs per engine.
+# ---------------------------------------------------------------------------
+@register(
+    "profile_table",
+    oracle="""
+SELECT 'o_orderkey' AS col_name, COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_str, CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+       CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+       CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+       CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+""",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def col_stats(c: str, minmax) -> list:
+        return [
+            (F.count("*") - F.count(c)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            minmax(F.min(F.col(c))).alias(f"mn_{c}"),
+            minmax(F.max(F.col(c))).alias(f"mx_{c}"),
+        ]
+
+    s = lambda x: x.cast("string")  # noqa: E731
+    d2s = lambda x: x.cast("decimal(18,2)").cast("string")  # noqa: E731
+    cols = {
+        "o_orderkey": s,
+        "o_custkey": s,
+        "o_orderstatus": s,
+        "o_totalprice": d2s,
+        "o_orderdate": s,
+        "o_orderpriority": s,
+    }
+    exprs = [e for c, mm in cols.items() for e in col_stats(c, mm)]
+    prof = o.agg(*exprs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return prof.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expectation validation — declarative data-quality rules evaluated in
+# one aggregate pass (null-safe: a NULL predicate counts as a
+# violation). The reference's F1/F7 validity filters generalized into a
+# rule report, the shape a dbt-style test or Delta constraint check
+# produces.
+# ---------------------------------------------------------------------------
+@register(
+    "validate_expectations",
+    oracle="""
+SELECT 'positive_totalprice' AS rule,
+       CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       COUNT(*) AS n_checked
+FROM orders
+UNION ALL
+SELECT 'known_status',
+       CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*) FROM orders
+UNION ALL
+SELECT 'orderdate_in_range',
+       CAST(SUM(CASE WHEN NOT COALESCE(o_orderdate >= TIMESTAMP '1992-01-01'
+                                   AND o_orderdate < TIMESTAMP '2002-01-01', FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*) FROM orders
+UNION ALL
+SELECT 'custkey_not_null',
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*) FROM orders
+""",
+)
+def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rules = {
+        "positive_totalprice": F.col("o_totalprice") > 0,
+        "known_status": F.col("o_orderstatus").isin("F", "O", "P"),
+        "orderdate_in_range": (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2002-01-01").cast("timestamp")),
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+    }
+    exprs = []
+    for name, cond in rules.items():
+        viol = (~F.coalesce(cond, F.lit(False))).cast("bigint")
+        exprs.append(F.sum(viol).cast("bigint").alias(f"v_{name}"))
+    exprs.append(F.count("*").alias("n_checked"))
+    agg = o.agg(*exprs)
+    stack_args = ", ".join(f"'{r}', v_{r}, n_checked" for r in rules)
+    return agg.selectExpr(
+        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations, n_checked)"
+    )
