@@ -99,3 +99,74 @@ def split_create_update(
 def delete_matching(target: DataFrame, keys_to_delete: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Mass delete by key set (K2) as an anti-join."""
     return target.join(keys_to_delete.select(*keys).distinct(), on=list(keys), how="left_anti")
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    effective_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge.
+
+    The reference's upsert (K1/J4) overwrites attribute history; SCD2
+    preserves it: when a tracked attribute changes, the current row is
+    closed (``valid_to`` = the update's effective timestamp,
+    ``is_current`` = false) and a new current version is appended.
+    Unchanged keys and history rows pass through untouched; keys new to
+    the dimension insert as current.
+
+    ``updates`` must be unique per key (``dedupe_latest`` first).
+    Change detection is null-safe (``<=>``) over ``compare_cols``.
+    All joins are equi-joins on ``keys``: one shuffle of the dimension,
+    and the updates side is typically incremental-batch-sized, so AQE
+    broadcasts it.
+    """
+    cur = dim.filter(F.col(current_col))
+    hist = dim.filter(~F.col(current_col))
+    src = updates.select(
+        *keys,
+        *[F.col(c).alias(f"__s_{c}") for c in compare_cols],
+        F.col(effective_col).alias("__eff"),
+    )
+    joined = cur.join(src, on=list(keys), how="left")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+    matched_changed = F.col("__eff").isNotNull() & changed
+    out_cols = dim.columns
+
+    unchanged = joined.filter(~matched_changed).select(*out_cols)
+    closed = (
+        joined.filter(matched_changed)
+        .withColumn(valid_to, F.col("__eff"))
+        .withColumn(current_col, F.lit(False))
+        .select(*out_cols)
+    )
+    new_versions = (
+        joined.filter(matched_changed)
+        .select(
+            *keys,
+            *[F.col(f"__s_{c}").alias(c) for c in compare_cols],
+            F.col("__eff").alias(valid_from),
+        )
+        .withColumn(valid_to, F.lit(None).cast(dim.schema[valid_to].dataType))
+        .withColumn(current_col, F.lit(True))
+        .select(*out_cols)
+    )
+    brand_new = (
+        updates.join(dim.select(*keys).distinct(), on=list(keys), how="left_anti")
+        .select(
+            *keys,
+            *compare_cols,
+            F.col(effective_col).alias(valid_from),
+        )
+        .withColumn(valid_to, F.lit(None).cast(dim.schema[valid_to].dataType))
+        .withColumn(current_col, F.lit(True))
+        .select(*out_cols)
+    )
+    return hist.unionByName(unchanged).unionByName(closed).unionByName(new_versions).unionByName(brand_new)

@@ -2988,3 +2988,55 @@ def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         f"stack({len(rules)}, {stack_args}) AS (rule, n_violations, n_checked)"
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 merge — attribute-history-preserving dimension maintenance
+# (the pattern the reference's overwrite-upsert cannot express): when a
+# tracked attribute changes, the current row is closed at the effective
+# date and a new current version appends. Scenario: customers who
+# ordered in 1997 move to segment ACTIVE97 effective 1997-01-01.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_dimension",
+    oracle="""
+WITH active97 AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997),
+dim AS (SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer)
+SELECT d.custkey, d.segment, '1992-01-01' AS valid_from,
+       CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+FROM dim d LEFT JOIN active97 a USING (custkey) WHERE a.custkey IS NULL
+UNION ALL
+SELECT d.custkey, d.segment, '1992-01-01', '1997-01-01', FALSE
+FROM dim d JOIN active97 a USING (custkey)
+UNION ALL
+SELECT a.custkey, 'ACTIVE97', '1997-01-01', CAST(NULL AS VARCHAR), TRUE
+FROM active97 a
+""",
+)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dim = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        o.filter(F.year("o_orderdate") == 1997)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+        .withColumn("segment", F.lit("ACTIVE97"))
+        .withColumn("eff", F.lit("1997-01-01").cast("date"))
+    )
+    out = merge.scd2_merge(dim, updates, ["custkey"], ["segment"], "eff")
+    # gate-level parity: dates stringified (pandas represents Spark
+    # DateType and DuckDB DATE differently)
+    return out.select(
+        "custkey",
+        "segment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )

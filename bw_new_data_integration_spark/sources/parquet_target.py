@@ -118,3 +118,19 @@ class ParquetKeyedTable:
         if target is None:
             return self.current_version()
         return self._commit(delete_matching(target, keys_df, self.key_cols))
+
+    def compact(self, spark: SparkSession, target_rows_per_file: int = 1_000_000) -> int:
+        """Rewrite the current snapshot into right-sized files (Delta's
+        OPTIMIZE). Incremental merges leave each snapshot with as many
+        files as shuffle partitions; at 100 TB the small-files problem
+        compounds per commit — scan task count (and NameNode/listing
+        pressure) grows with file count, not data size. Data is
+        unchanged: same rows, new layout, new addressable version.
+        Sorting within files by the table key keeps parquet min/max
+        stats selective for key lookups."""
+        target = self.read(spark)
+        if target is None:
+            return self.current_version()
+        n = max(1, target.count() // max(1, target_rows_per_file))
+        compacted = target.repartition(n, *self.key_cols).sortWithinPartitions(*self.key_cols)
+        return self._commit(compacted)

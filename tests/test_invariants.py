@@ -152,3 +152,44 @@ def test_approx_distinct_error_bound(spark):
     assert rows, "sketch query returned no rows"
     for r in rows:
         assert r["rel_err"] <= 0.05, (r["order_year"], r["n_exact"], r["n_approx"])
+
+
+def test_scd2_idempotent_and_single_current(spark):
+    """SCD2 invariants: (a) re-applying the same updates is a no-op —
+    change detection sees the new current rows already carry the
+    attributes; (b) every key has exactly one current row; (c) closed
+    rows keep their original attributes."""
+    from bw_new_data_integration_spark.operators import merge
+
+    dim = spark.createDataFrame(
+        [(1, "A", "2020-01-01", None, True), (2, "B", "2020-01-01", None, True)],
+        "k bigint, seg string, valid_from string, valid_to string, is_current boolean",
+    )
+    ups = spark.createDataFrame([Row(k=1, seg="Z", eff="2021-06-01"), Row(k=3, seg="C", eff="2021-06-01")])
+    once = merge.scd2_merge(dim, ups, ["k"], ["seg"], "eff").localCheckpoint(eager=True)
+    twice = merge.scd2_merge(once, ups, ["k"], ["seg"], "eff")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    cur = once.filter(F.col("is_current")).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur) and len(cur) == 3
+    closed = {(r["k"], r["seg"], r["valid_to"]) for r in once.filter(~F.col("is_current")).collect()}
+    assert closed == {(1, "A", "2021-06-01")}
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    """compact() must rewrite the snapshot into fewer files without
+    changing the data, and the pre-compaction version must remain
+    addressable (time travel is how a bad compaction is rolled back)."""
+    import glob
+
+    t = ParquetKeyedTable(str(tmp_path / "ct"), ["k"])
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "k bigint, v double")
+    t.overwrite(df.repartition(16))
+    v_before = t.current_version()
+    files_before = len(glob.glob(f"{t._snapshot_dir(v_before)}/*.parquet"))
+    assert files_before > 1
+    t.compact(spark)
+    v_after = t.current_version()
+    files_after = len(glob.glob(f"{t._snapshot_dir(v_after)}/*.parquet"))
+    assert files_after == 1 < files_before
+    assert sorted(map(tuple, t.read(spark).collect())) == sorted(map(tuple, df.collect()))
+    assert t.read(spark, version=v_before).count() == 1000
