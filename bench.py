@@ -62,6 +62,9 @@ OPTIONAL = [
     "er_fuzzy_match",
     "profile_table",
     "validate_expectations",
+    "scd2_dimension",
+    "o7_activity_streaks",
+    "kmeans_embeddings",
 ]
 
 

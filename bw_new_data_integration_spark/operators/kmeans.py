@@ -1,0 +1,93 @@
+"""Distributed Lloyd's k-means over embedding columns.
+
+The iterative-ML shape on top of the engine's vector primitives
+(functions/vectors.py): the DATA never leaves the cluster — per
+iteration one broadcast join (k×dim centroid table), one shuffle
+(cluster,dim) for the update — while the CENTROIDS, k×dim scalars,
+round-trip through the driver exactly like every production Spark
+k-means (including MLlib's own implementation).
+
+Determinism rules (the repo-wide contract the determinism sweep
+enforces):
+
+- init is the k smallest ``id_col`` vectors — no random seeds;
+- assignment distance is a sequential HOF fold (zip_with/aggregate),
+  bit-stable regardless of partitioning; ties break on the lowest
+  centroid id via struct-min;
+- centroid updates accumulate floor-scaled 1e-6 integers, so partial
+  aggregation order cannot flip bits (same trick as the
+  embedding_centroids gate query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def _dist2(a, b):
+    d = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def kmeans_assign(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 10,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``max_iter`` Lloyd iterations; returns (id_col, cluster).
+
+    ``cluster`` is the row index 0..k-1 of the centroid table, which is
+    re-derived per iteration; cluster ids are stable because both init
+    and updates order centroids by construction.
+    """
+    data = emb.select(id_col, vec_col).localCheckpoint(eager=True)
+
+    # deterministic init: the k lowest-id vectors, in id order
+    seeds = data.orderBy(id_col).limit(k).collect()
+    centroids = [
+        [float(x) for x in r[vec_col]] for r in sorted(seeds, key=lambda r: r[id_col])
+    ]
+
+    assigned = None
+    for _ in range(max_iter):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(i, centroids[i]) for i in range(len(centroids))],
+                f"cluster int, cvec array<double>",
+            )
+        )
+        assigned = (
+            data.crossJoin(cdf)
+            .withColumn("d2", _dist2(F.col(vec_col), F.col("cvec")))
+            .groupBy(id_col)
+            .agg(F.min(F.struct("d2", "cluster")).alias("best"))
+            .select(id_col, F.col("best.cluster").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        # update: integer-exact scaled component sums, k*dim rows total
+        sums = (
+            data.join(assigned, id_col)
+            .select("cluster", F.posexplode(vec_col).alias("pos", "e"))
+            .withColumn("se", F.floor(F.col("e").cast("double") * SCALE).cast("bigint"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("se").alias("ssum"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (
+                r["ssum"] / SCALE / r["n"]
+            )
+        centroids = [
+            [comps[p] for p in sorted(comps)]
+            if (comps := by_cluster.get(i)) is not None
+            else centroids[i]  # empty cluster keeps its previous centroid
+            for i in range(len(centroids))
+        ]
+    return assigned

@@ -3040,3 +3040,63 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
         "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings — the iterative-ML shape: per Lloyd round one
+# broadcast of the k×dim centroid table and one (cluster, dim) shuffle;
+# the data never collects. Deterministic by construction (lowest-id
+# init, sequential-fold distances, struct-min tie-break, integer-exact
+# centroid sums) so the sweep can hash it. No SQL oracle — 3 rounds of
+# argmin-and-regroup is an iterative algorithm, the documented
+# rows-only case; tests pin partition/coverage invariants instead.
+# ---------------------------------------------------------------------------
+@register("kmeans_embeddings")
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans.kmeans_assign(spark, emb, k=10, max_iter=3)
+    labeled = emb.select("vec_id", "label").join(assigned, "vec_id")
+    per_label = labeled.groupBy("cluster", "label").agg(F.count("*").alias("n"))
+    return (
+        per_label.groupBy("cluster")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_vectors"),
+            # majority label, ties broken toward the smallest label id
+            F.min(F.struct((-F.col("n")).alias("neg"), F.col("label").alias("l")))
+            .getField("l")
+            .alias("majority_label"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O7 — gaps and islands: per-user streaks of consecutive active days.
+# The classic (value - row_number) grouping trick; all windows partition
+# by user, so the single shuffle is on user_id and every window stays
+# within its partition — no global sort anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "o7_activity_streaks",
+    oracle="""
+WITH days AS (SELECT DISTINCT user_id, CAST(ts::TIMESTAMP AS DATE) AS d FROM events),
+g AS (SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+      FROM days),
+streaks AS (SELECT user_id, COUNT(*) AS len FROM g GROUP BY user_id, grp)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY 1
+""",
+)
+def o7_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = days.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = g.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("max_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )

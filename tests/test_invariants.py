@@ -193,3 +193,20 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     assert files_after == 1 < files_before
     assert sorted(map(tuple, t.read(spark).collect())) == sorted(map(tuple, df.collect()))
     assert t.read(spark, version=v_before).count() == 1000
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    """k-means invariants: every vector is assigned to exactly one of k
+    clusters, and a second run produces the identical assignment (the
+    no-random-state contract)."""
+    from bw_new_data_integration_spark import catalog
+    from bw_new_data_integration_spark.operators import kmeans
+
+    emb = catalog.load(spark, SF_SMALL, "embeddings")
+    total = emb.count()
+    a1 = kmeans.kmeans_assign(spark, emb, k=5, max_iter=2)
+    assert a1.count() == total
+    assert a1.select("vec_id").distinct().count() == total
+    assert a1.select("cluster").distinct().count() <= 5
+    a2 = kmeans.kmeans_assign(spark, emb, k=5, max_iter=2)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
