@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -33,17 +34,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Columnar scan with predicate pushdown + pruning.
 
-    ``events`` is stored with nanosecond timestamps, which Spark's
-    parquet reader rejects; read them as long and convert to
-    microsecond-precision timestamps with *integer* division (a double
-    division would lose precision at 1e18 nanos). A DuckDB oracle must
-    mirror the truncation with ``ts::TIMESTAMP``.
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: nanosecond int64 (which Spark's parquet reader rejects
+    unless read as long) and plain microsecond timestamp. Normalize
+    both to a microsecond-precision timestamp so every downstream plan
+    sees one schema. The nanos path uses *integer* division (a double
+    division would lose precision at 1e18 nanos); a DuckDB oracle
+    mirrors the truncation with ``ts::TIMESTAMP``.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(df.schema["ts"].dataType, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

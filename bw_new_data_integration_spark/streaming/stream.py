@@ -18,12 +18,14 @@ from pyspark.sql import types as T
 
 from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
 
-# the fixture files store nanosecond timestamps (INT64); read raw and
-# convert to micros exactly like catalog.load does for batch reads
+# the fixture files store microsecond timestamps without a zone
+# (TIMESTAMP_NTZ); normalize to a session-zone timestamp exactly like
+# catalog.load does for batch reads (session tz is pinned to UTC, so
+# the cast is value-preserving)
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -36,9 +38,12 @@ def read_event_stream(spark: SparkSession, path: str, schema: T.StructType = EVE
     """File-source stream over a directory of event files. In
     production this is Kafka/CDC; the file source exercises the same
     plan."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.readStream.schema(schema).parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif not isinstance(df.schema["ts"].dataType, T.TimestampType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def windowed_counts(
