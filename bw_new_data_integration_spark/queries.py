@@ -588,7 +588,7 @@ coerced AS (
   FROM dirty
 )
 SELECT COUNT(*) AS n_rows, COUNT(amount_int) AS n_valid,
-       SUM(CAST(amount_int AS BIGINT)) AS sum_int,
+       CAST(SUM(CAST(amount_int AS BIGINT)) AS BIGINT) AS sum_int,
        CAST(SUM(amount_dec) AS DOUBLE) AS sum_dec
 FROM coerced
 """,
@@ -648,7 +648,7 @@ parsed AS (
   FROM raw
 )
 SELECT CAST(year(parsed_date) AS BIGINT) AS y, COUNT(*) AS n,
-       SUM(CASE WHEN parsed_date = expected THEN 1 ELSE 0 END) AS n_roundtrip
+       CAST(SUM(CASE WHEN parsed_date = expected THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
 FROM parsed GROUP BY 1
 """,
 )
@@ -1728,7 +1728,7 @@ def dedup_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events
 GROUP BY event_type
@@ -2207,9 +2207,9 @@ def o5_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p8_pivot_status",
     oracle="""
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
 FROM orders GROUP BY 1
 """,
 )
@@ -2793,8 +2793,15 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Entity resolution — fuzzy match via blocking + edit-distance verify:
 # the standard two-phase shape (cheap equi-join block, expensive
-# levenshtein only within blocks). Blocks are (nation, name prefix), so
-# the join is an equi-join Catalyst hash-partitions — never all-pairs.
+# levenshtein only within blocks). The blocking key is the name with its
+# last 2 characters dropped: two names within edit distance 2 whose
+# edits fall in the suffix share a block, block membership is bounded
+# (<=|alphabet|^2 names per block, independent of corpus size), and
+# block *cardinality* grows with the data — so the equi-join stays
+# balanced at any scale. (A fixed-length prefix is degenerate on
+# sequential-ID-style names: every row lands in one block and the join
+# goes quadratic.) Blocked ER trades recall for scale by design; the
+# oracle defines the same blocked semantics.
 # ---------------------------------------------------------------------------
 @register(
     "er_fuzzy_match",
@@ -2803,7 +2810,7 @@ SELECT a.c_nationkey AS nationkey, COUNT(*) AS n_pairs
 FROM customer a
 JOIN customer b
   ON a.c_nationkey = b.c_nationkey
- AND substring(a.c_name, 1, 14) = substring(b.c_name, 1, 14)
+ AND substring(a.c_name, 1, length(a.c_name) - 2) = substring(b.c_name, 1, length(b.c_name) - 2)
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 GROUP BY 1
@@ -2811,17 +2818,18 @@ GROUP BY 1
 )
 def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    blk = F.expr("substring(c_name, 1, length(c_name) - 2)")
     a = c.select(
         F.col("c_custkey").alias("a_key"),
         F.col("c_name").alias("a_name"),
         F.col("c_nationkey").alias("nationkey"),
-        F.substring("c_name", 1, 14).alias("a_blk"),
+        blk.alias("a_blk"),
     )
     b = c.select(
         F.col("c_custkey").alias("b_key"),
         F.col("c_name").alias("b_name"),
         F.col("c_nationkey").alias("b_nat"),
-        F.substring("c_name", 1, 14).alias("b_blk"),
+        blk.alias("b_blk"),
     )
     pairs = a.join(
         b,
@@ -2877,13 +2885,27 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Table profiling — per-column null count / exact distinct / min / max
-# in ONE pass over the table (Catalyst plans the multi-distinct via
-# Expand: rows × columns-profiled, partial-aggregated map-side — still
-# one scan, the standard distributed profile plan). Numeric extremes go
-# through DECIMAL(18,2) before stringifying: Java 17's Double.toString
-# is not shortest-roundtrip, so raw double->string differs per engine.
+# Table profiling — per-column null count / distinct / min / max. See
+# operators/profiling.py for the two plan shapes (approx HLL++ single
+# pass = scale default; exact = per-column pruned branches, avoiding
+# the Expand row-multiplication of a multi-countDistinct). Numeric
+# extremes go through DECIMAL(18,2) before stringifying: Java 17's
+# Double.toString is not shortest-roundtrip, so raw double->string
+# differs per engine.
 # ---------------------------------------------------------------------------
+def _profile_cols() -> dict:
+    s = lambda x: x.cast("string")  # noqa: E731
+    d2s = lambda x: x.cast("decimal(18,2)").cast("string")  # noqa: E731
+    return {
+        "o_orderkey": s,
+        "o_custkey": s,
+        "o_orderstatus": s,
+        "o_totalprice": d2s,
+        "o_orderdate": s,
+        "o_orderpriority": s,
+    }
+
+
 @register(
     "profile_table",
     oracle="""
@@ -2910,34 +2932,23 @@ SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_or
 """,
 )
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import profiling
+
     o = _t(spark, sf_dir, "orders")
+    return profiling.profile(o, _profile_cols(), approx=False)
 
-    def col_stats(c: str, minmax) -> list:
-        return [
-            (F.count("*") - F.count(c)).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
-            minmax(F.min(F.col(c))).alias(f"mn_{c}"),
-            minmax(F.max(F.col(c))).alias(f"mx_{c}"),
-        ]
 
-    s = lambda x: x.cast("string")  # noqa: E731
-    d2s = lambda x: x.cast("decimal(18,2)").cast("string")  # noqa: E731
-    cols = {
-        "o_orderkey": s,
-        "o_custkey": s,
-        "o_orderstatus": s,
-        "o_totalprice": d2s,
-        "o_orderdate": s,
-        "o_orderpriority": s,
-    }
-    exprs = [e for c, mm in cols.items() for e in col_stats(c, mm)]
-    prof = o.agg(*exprs)
-    stack_args = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
-    )
-    return prof.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_str, max_str)"
-    )
+# Approx-distinct profile — the 100 TB default: one scan, HLL++ sketches
+# through ordinary partial aggregation, no Expand. The distinct counts are
+# estimates, so no cross-engine oracle exists (Spark's HLL++ and DuckDB's
+# approx_count_distinct disagree by design); the driver records a rows-only
+# check and tests/test_invariants.py pins the estimates within rsd of exact.
+@register("profile_table_approx")
+def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import profiling
+
+    o = _t(spark, sf_dir, "orders")
+    return profiling.profile(o, _profile_cols(), approx=True, rsd=0.02)
 
 
 # ---------------------------------------------------------------------------

@@ -22,10 +22,14 @@ through.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Sequence
+from functools import reduce
+from operator import and_, or_
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bw_new_data_integration_spark.operators.merge import (
     dedupe_latest,
@@ -72,18 +76,46 @@ class ParquetKeyedTable:
             return None
         return spark.read.parquet(self._snapshot_dir(v))
 
-    def _commit(self, df: DataFrame) -> int:
+    def _write_snapshot(self, df: DataFrame) -> int:
         new_v = self.current_version() + 1
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self._snapshot_dir(new_v))
+        return new_v
+
+    def _flip(self, new_v: int) -> int:
         os.makedirs(self.path, exist_ok=True)
         tmp = self._latest_file() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(new_v))
         os.replace(tmp, self._latest_file())  # atomic pointer flip
         return new_v
+
+    def _commit(self, df: DataFrame) -> int:
+        return self._flip(self._write_snapshot(df))
+
+    def _link_untouched_partitions(self, old_v: int, new_v: int) -> None:
+        """Carry partitions absent from the new snapshot forward as hard
+        links to the previous snapshot's files — untouched data is never
+        rewritten (byte-identical, same inode), which is the file-level
+        copy-on-write a 100 TB merge needs: commit cost is proportional
+        to the partitions *touched*, not the table size. The set of
+        touched partitions is read back from what Spark actually wrote,
+        so partition-value path encoding never needs re-deriving."""
+        old_dir, new_dir = self._snapshot_dir(old_v), self._snapshot_dir(new_v)
+        for dirpath, _dirnames, filenames in os.walk(old_dir):
+            rel = os.path.relpath(dirpath, old_dir)
+            if rel == ".":
+                continue  # root holds only _SUCCESS, no data files
+            if os.path.isdir(os.path.join(new_dir, rel)):
+                continue  # partition was rewritten by this merge
+            data = [f for f in filenames if not f.startswith(("_", "."))]
+            if not data:
+                continue
+            os.makedirs(os.path.join(new_dir, rel), exist_ok=True)
+            for f in data:
+                os.link(os.path.join(dirpath, f), os.path.join(new_dir, rel, f))
 
     # -- operations ----------------------------------------------------------
 
@@ -96,22 +128,77 @@ class ParquetKeyedTable:
         source: DataFrame,
         order_by: Sequence[str] | None = None,
         evolve_schema: bool = False,
+        strict: bool = False,
     ) -> int:
         """Idempotent keyed upsert. ``order_by`` defines within-batch
         last-write-wins (the reference's thread-pool races made this
         nondeterministic; here it is explicit). ``evolve_schema=True``
-        lets the source add new columns to the table (K5)."""
+        lets the source add new columns to the table (K5).
+
+        ``strict=True`` enforces the alternate-key uniqueness contract
+        (the reference's Dataverse alternate key rejects ambiguous
+        batches server-side, ``dataverse_table_creation/
+        create_alternate_key_*.py``): a source batch with duplicate
+        business keys and no ``order_by`` to arbitrate raises instead
+        of silently keeping an arbitrary row.
+
+        When ``partition_by`` is a subset of the key columns and the
+        source's schema matches, the merge is **partition-scoped**:
+        only partitions present in the source are read, merged, and
+        rewritten; all other partitions are carried forward untouched
+        (hard links — byte-identical). A trailing-window incremental
+        sync therefore costs O(window), not O(history)."""
         if order_by:
             source = dedupe_latest(source, self.key_cols, order_by, desc=True)
+        elif strict:
+            dup = (
+                source.groupBy(*self.key_cols)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                key = {c: dup[0][c] for c in self.key_cols}
+                raise ValueError(
+                    f"strict upsert: source batch has duplicate business keys "
+                    f"(e.g. {key}) and no order_by to arbitrate last-write-wins"
+                )
         else:
             source = source.dropDuplicates(self.key_cols)
         target = self.read(spark)
-        merged = (
-            source
-            if target is None
-            else merge_upsert(target, source, self.key_cols, evolve_schema=evolve_schema)
-        )
+        if target is None:
+            return self._commit(source)
+        if (
+            self.partition_by
+            and set(self.partition_by) <= set(self.key_cols)
+            and set(source.columns) == set(target.columns)
+        ):
+            return self._partition_scoped_upsert(target, source)
+        merged = merge_upsert(target, source, self.key_cols, evolve_schema=evolve_schema)
         return self._commit(merged)
+
+    def _partition_scoped_upsert(self, target: DataFrame, source: DataFrame) -> int:
+        # The partition columns are part of the key, so a key can never
+        # move between partitions — merging each touched partition in
+        # isolation is exactly equivalent to the full-table merge.
+        touched = source.select(*self.partition_by).distinct().collect()
+        if not touched:
+            return self.current_version()  # empty batch: no-op, no new version
+        # Literal predicate (not a join) so Catalyst statically prunes
+        # the target scan to the touched partition directories.
+        pred = reduce(
+            or_,
+            (
+                reduce(and_, (F.col(c).eqNullSafe(F.lit(row[c])) for c in self.partition_by))
+                for row in touched
+            ),
+        )
+        old_v = self.current_version()
+        merged = merge_upsert(target.where(pred), source, self.key_cols)
+        new_v = self._write_snapshot(merged)
+        self._link_untouched_partitions(old_v, new_v)
+        return self._flip(new_v)
 
     def delete_keys(self, spark: SparkSession, keys_df: DataFrame) -> int:
         target = self.read(spark)
@@ -119,7 +206,7 @@ class ParquetKeyedTable:
             return self.current_version()
         return self._commit(delete_matching(target, keys_df, self.key_cols))
 
-    def compact(self, spark: SparkSession, target_rows_per_file: int = 1_000_000) -> int:
+    def compact(self, spark: SparkSession, target_file_bytes: int = 128 << 20) -> int:
         """Rewrite the current snapshot into right-sized files (Delta's
         OPTIMIZE). Incremental merges leave each snapshot with as many
         files as shuffle partitions; at 100 TB the small-files problem
@@ -127,10 +214,19 @@ class ParquetKeyedTable:
         pressure) grows with file count, not data size. Data is
         unchanged: same rows, new layout, new addressable version.
         Sorting within files by the table key keeps parquet min/max
-        stats selective for key lookups."""
+        stats selective for key lookups. The output file count is sized
+        from the snapshot's on-disk bytes (driver-side directory walk)
+        — no extra Spark action over the data."""
         target = self.read(spark)
         if target is None:
             return self.current_version()
-        n = max(1, target.count() // max(1, target_rows_per_file))
+        snap = self._snapshot_dir(self.current_version())
+        size = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(snap)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+        n = max(1, math.ceil(size / max(1, target_file_bytes)))
         compacted = target.repartition(n, *self.key_cols).sortWithinPartitions(*self.key_cols)
         return self._commit(compacted)

@@ -210,3 +210,29 @@ def test_kmeans_partitions_all_vectors(spark):
     assert a1.select("cluster").distinct().count() <= 5
     a2 = kmeans.kmeans_assign(spark, emb, k=5, max_iter=2)
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_profile_approx_within_tolerance(spark):
+    """profile(approx=True) has no cross-engine oracle (HLL++ estimates
+    are engine-specific), so its accuracy contract is pinned here: every
+    estimated distinct count within 5% of the exact profile's, and the
+    deterministic fields (nulls, min, max) identical."""
+    exact = {r.col_name: r for r in q.registry()["profile_table"](spark, SF_SMALL).collect()}
+    approx = {r.col_name: r for r in q.registry()["profile_table_approx"](spark, SF_SMALL).collect()}
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_nulls, a.min_str, a.max_str) == (e.n_nulls, e.min_str, e.max_str), c
+        assert abs(a.n_distinct - e.n_distinct) <= max(1, 0.05 * e.n_distinct), (
+            c, e.n_distinct, a.n_distinct,
+        )
+
+
+def test_profile_exact_plan_has_no_expand(spark):
+    """The exact profile must use per-column pruned branches, never the
+    Expand row-multiplication Catalyst plans for multi-countDistinct —
+    at 100 TB an Expand multiplies the scan output by the number of
+    profiled columns."""
+    df = q.registry()["profile_table"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:2000]

@@ -575,3 +575,71 @@ def test_read_excel_stdlib_fallback(spark, tmp_path):
     assert df.columns == ["Store", "DayOfWeek", "Open", "Close"]
     got = as_sorted_tuples(df)
     assert got == [("101", "Mon", "1100", "2300"), ("102", "Tue", "9:30", None)]
+
+
+def test_partition_scoped_upsert_leaves_untouched_partitions_byte_identical(spark, tmp_path):
+    """When partition_by ⊆ key_cols, a merge must only rewrite the
+    partitions present in the source; every other partition's files are
+    carried forward as hard links to the previous snapshot — the
+    O(window) commit the reference's 14-day trailing sync implies
+    (truenas cron: daily incremental never touches history)."""
+    import os
+
+    t = ParquetKeyedTable(str(tmp_path / "pt"), ["d", "k"], partition_by=["d"])
+    base = spark.createDataFrame(
+        [Row(d="2024-01-01", k="a", v=1), Row(d="2024-01-02", k="b", v=2),
+         Row(d="2024-01-03", k="c", v=3)]
+    )
+    t.upsert(spark, base)
+    v0 = t.current_version()
+
+    def part_files(v, part):
+        pdir = os.path.join(t._snapshot_dir(v), f"d={part}")
+        return sorted(
+            os.path.join(pdir, f) for f in os.listdir(pdir) if not f.startswith(("_", "."))
+        )
+
+    patch = spark.createDataFrame([Row(d="2024-01-02", k="b", v=20),
+                                   Row(d="2024-01-02", k="b2", v=21)])
+    t.upsert(spark, patch)
+    v1 = t.current_version()
+    assert v1 == v0 + 1
+    # untouched partitions: same inode (hard link), byte-identical
+    for part in ("2024-01-01", "2024-01-03"):
+        old, new = part_files(v0, part), part_files(v1, part)
+        assert [os.path.basename(p) for p in old] == [os.path.basename(p) for p in new]
+        for o, n in zip(old, new):
+            assert os.path.samefile(o, n), (o, n)
+    # merged content is the full-table merge result
+    got = {(str(r["d"]), r["k"]): r["v"] for r in t.read(spark).collect()}
+    assert got == {
+        ("2024-01-01", "a"): 1, ("2024-01-02", "b"): 20,
+        ("2024-01-02", "b2"): 21, ("2024-01-03", "c"): 3,
+    }
+    # time travel still sees the pre-merge state
+    assert {(str(r["d"]), r["k"]): r["v"] for r in t.read(spark, version=v0).collect()} == {
+        ("2024-01-01", "a"): 1, ("2024-01-02", "b"): 2, ("2024-01-03", "c"): 3,
+    }
+
+
+def test_partition_scoped_upsert_empty_batch_is_noop(spark, tmp_path):
+    t = ParquetKeyedTable(str(tmp_path / "pt2"), ["d", "k"], partition_by=["d"])
+    t.upsert(spark, spark.createDataFrame([Row(d="2024-01-01", k="a", v=1)]))
+    v = t.current_version()
+    empty = spark.createDataFrame([], "d string, k string, v bigint")
+    t.upsert(spark, empty)
+    assert t.current_version() == v
+
+
+def test_strict_upsert_rejects_duplicate_business_keys(spark, tmp_path):
+    """K5 semantic parity with the Dataverse alternate-key constraint:
+    an ambiguous batch (duplicate keys, no order_by) must be rejected,
+    not silently collapsed."""
+    t = ParquetKeyedTable(str(tmp_path / "strictkeys"), ["k"])
+    dup = spark.createDataFrame([Row(k="a", v=1), Row(k="a", v=2), Row(k="b", v=3)])
+    with pytest.raises(ValueError, match="duplicate business keys"):
+        t.upsert(spark, dup, strict=True)
+    # with order_by the ambiguity is resolved and strict is satisfied
+    seq = spark.createDataFrame([Row(k="a", v=1, seq=1), Row(k="a", v=2, seq=2)])
+    t.upsert(spark, seq, order_by=["seq"], strict=True)
+    assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {"a": 2}
