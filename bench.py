@@ -61,6 +61,8 @@ OPTIONAL = [
     "embedding_centroids",
     "er_fuzzy_match",
     "profile_table",
+    "profile_table_approx",
+    "s9_odata_scan",
     "validate_expectations",
     "scd2_dimension",
     "o7_activity_streaks",
@@ -120,6 +122,35 @@ def main() -> None:
               f"({rows / dt:,.0f} rows/sec)", file=sys.stderr)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
+
+    # incremental write path: the reference's nightly job merges a
+    # trailing window into years of history (truenas/cron-jobs.txt:12).
+    # With partition_by ⊆ key_cols the merge is partition-scoped —
+    # untouched months are hard-linked forward, so commit cost is
+    # O(window), not O(history). This metric times ONLY the window
+    # merge against a pre-loaded table.
+    from pyspark.sql import functions as F
+
+    tdir2 = tempfile.mkdtemp(prefix="bw_bench_ptarget_")
+    try:
+        df = registry["pipeline_daily_sales"](spark, sf_dir).withColumn(
+            "part_month", F.substring("calendar_date", 1, 7)
+        )
+        ptarget = ParquetKeyedTable(
+            tdir2, ["part_month", "business_key"], partition_by=["part_month"]
+        )
+        ptarget.upsert(spark, df)  # initial history load (untimed)
+        window = df.where(F.col("part_month") == "1998-08")
+        t0 = time.time()
+        ptarget.upsert(spark, window)
+        dt = time.time() - t0
+        wrows = window.count()
+        per_query["upsert_incremental_window"] = round(dt, 3)
+        total += dt
+        print(f"# upsert_incremental_window: {wrows} rows in {dt:.2f}s "
+              f"({wrows / dt:,.0f} rows/sec, partition-scoped)", file=sys.stderr)
+    finally:
+        shutil.rmtree(tdir2, ignore_errors=True)
 
     print(
         json.dumps(

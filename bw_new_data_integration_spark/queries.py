@@ -2700,6 +2700,73 @@ def s10_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S9 — OData paged table scan: $select projection, $filter slices,
+# $top paging, server-minted @odata.nextLink continuation (reference
+# load_store_hours.py:111-138, full_refresh_fy2023_2025.py:78-101),
+# feeding the J2 create-vs-update split end-to-end. The protocol runs
+# against the deterministic in-memory server (sources/odata_testing.py)
+# seeded from the customer table — records collect driver-side only to
+# SEED the fake endpoint (bounded, like s2's XMLA synthesis); the scan
+# itself runs the production reader: one $filter slice per nation,
+# each page-walked on an executor via mapInPandas.
+# ---------------------------------------------------------------------------
+@register(
+    "s9_odata_scan",
+    oracle="""
+WITH scanned AS (
+  SELECT c_custkey, c_acctbal, c_nationkey, (c_custkey % 3 = 0) AS existing
+  FROM customer
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(SUM(CASE WHEN existing THEN 0 ELSE 1 END) AS BIGINT) AS n_create,
+       CAST(SUM(CASE WHEN existing THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS sum_acctbal
+FROM scanned GROUP BY 1
+""",
+)
+def s9_odata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from bw_new_data_integration_spark.sources import odata
+    from bw_new_data_integration_spark.sources.odata_testing import InMemoryODataServer
+
+    c = _t(spark, sf_dir, "customer")
+    records = [r.asDict() for r in c.orderBy("c_custkey").collect()]
+    server = InMemoryODataServer(records)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+        ]
+    )
+    nations = sorted({r["c_nationkey"] for r in records})
+    scanned = odata.read_paged_partitioned(
+        spark,
+        lambda: server.fetch,
+        "customers",
+        schema,
+        slices=[f"c_nationkey eq {n}" for n in nations],
+        page_size=97,  # deliberately not divisible into slice sizes: forces multi-page walks
+    )
+    # The existing keyset comes from the TARGET table (as in the
+    # reference's create-vs-update lookup), and the paged scan is
+    # persisted before the split consumes it twice (semi + anti join)
+    # — a remote paged source must never be re-fetched per branch.
+    scanned = scanned.persist()
+    existing = c.where(F.col("c_custkey") % 3 == 0).select("c_custkey")
+    to_create, to_update = merge.split_create_update(scanned, existing, ["c_custkey"])
+    uni = to_create.withColumn("is_new", F.lit(1)).unionByName(
+        to_update.withColumn("is_new", F.lit(0))
+    )
+    return uni.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey")).agg(
+        F.sum("is_new").cast("bigint").alias("n_create"),
+        F.sum(1 - F.col("is_new")).cast("bigint").alias("n_update"),
+        aggregate.exact_sum("c_acctbal").alias("sum_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quantile binning — curriculum-style bucketing by exact decile
 # boundaries. Deliberately NOT ntile(): an unpartitioned ranking window
 # forces every row into one task, which is exactly what dies at 100 TB.

@@ -28,6 +28,9 @@ Transport = Callable[[list[dict]], list[int]]
 SUCCESS_CREATED = 201
 SUCCESS_OK = (200, 201, 204)
 RETRYABLE = (429, 500, 502, 503, 504)
+#: auth failures trigger a token refresh + immediate retry, not backoff
+#: (reference full_refresh_fy2023_2025.py:73-75)
+AUTH_FAILED = (401, 403)
 
 
 class RetryPolicy:
@@ -61,12 +64,30 @@ def _send_batch(
     policy: RetryPolicy,
     stats: BatchStats,
     sleep: Callable[[float], None] = time.sleep,
+    on_auth_error: Callable[[], None] | None = None,
 ) -> None:
-    for attempt in range(policy.max_attempts):
+    def attempt_once() -> list[int] | None:
         try:
-            statuses = transport(batch)
+            return transport(batch)
         except (ConnectionError, TimeoutError):
-            statuses = None
+            return None
+
+    auth_retries = 0
+    for attempt in range(policy.max_attempts):
+        statuses = attempt_once()
+        while (
+            statuses is not None
+            and on_auth_error is not None
+            and auth_retries < policy.max_attempts
+            and any(s in AUTH_FAILED for s in statuses)
+        ):
+            # Expired token: refresh and resend immediately — an auth
+            # failure is not a server overload, so it neither consumes
+            # the retry budget nor backs off (bounded by max_attempts
+            # so a permanently-denied principal still terminates).
+            on_auth_error()
+            auth_retries += 1
+            statuses = attempt_once()
         if statuses is not None and not any(s in RETRYABLE for s in statuses):
             for s in statuses:
                 if s == SUCCESS_CREATED:
@@ -101,7 +122,12 @@ def write_batched(
 
     ``transport_factory`` is called once per partition ON THE EXECUTOR
     (a transport usually holds a socket/session and must not be
-    pickled from the driver).
+    pickled from the driver). If the returned transport exposes an
+    ``on_auth_error()`` method (typically ``TokenProvider.invalidate``
+    from ``sources/credentials.py``), a batch whose statuses include
+    401/403 triggers it and is resent immediately — the reference's
+    refresh-on-unauthorized discipline; proactive age-based refresh
+    lives inside the transport via ``TokenProvider.token()``.
     """
     policy = policy or RetryPolicy()
     spark = df.sparkSession
@@ -112,6 +138,7 @@ def write_batched(
 
     def handle_partition(rows: Iterator) -> None:
         transport = transport_factory()
+        on_auth_error = getattr(transport, "on_auth_error", None)
         stats = BatchStats()
         batch: list[dict] = []
         for row in rows:
@@ -120,10 +147,10 @@ def write_batched(
                 continue
             batch.append(rec)
             if len(batch) >= batch_size:
-                _send_batch(batch, transport, policy, stats)
+                _send_batch(batch, transport, policy, stats, on_auth_error=on_auth_error)
                 batch = []
         if batch:
-            _send_batch(batch, transport, policy, stats)
+            _send_batch(batch, transport, policy, stats, on_auth_error=on_auth_error)
         acc_created.add(stats.created)
         acc_updated.add(stats.updated)
         acc_errors.add(stats.errors)
@@ -165,3 +192,107 @@ def format_key_for_url(key: str) -> str:
     ``load_csv.py:91``). Runs executor-side at URL-build time in a
     transport implementation."""
     return key.replace("'", "''")
+
+
+# ---------------------------------------------------------------------------
+# S9 — paged table scan ($select projection, @odata.nextLink pagination)
+# ---------------------------------------------------------------------------
+
+#: a page fetch: request URL (or opaque nextLink) -> parsed OData JSON
+#: page ``{"value": [records...], "@odata.nextLink": url-or-absent}``
+PageFetch = Callable[[str], dict]
+
+
+def build_query_url(
+    entity: str,
+    select: Sequence[str] | None = None,
+    filter: str | None = None,  # noqa: A002 - OData's own name
+    top: int | None = None,
+) -> str:
+    """Compose the initial page URL the way the reference does
+    (``load_store_hours.py:111-124``: ``$select`` to fetch only the
+    columns the pipeline maps — server-side column pruning — and
+    ``$top`` page sizing; ``full_refresh_fy2023_2025.py:78-101`` adds
+    ``$filter`` fiscal-year slices)."""
+    params = []
+    if select:
+        params.append("$select=" + ",".join(select))
+    if filter:
+        params.append("$filter=" + filter)
+    if top:
+        params.append(f"$top={top}")
+    return entity + ("?" + "&".join(params) if params else "")
+
+
+def _walk_pages(fetch: PageFetch, first_url: str) -> Iterator[dict]:
+    """Follow ``@odata.nextLink`` until absent (reference
+    ``load_store_hours.py:125-138``). The link is opaque — the server
+    controls continuation; the client never builds page N's URL."""
+    url: str | None = first_url
+    while url:
+        page = fetch(url)
+        yield from page.get("value", [])
+        url = page.get("@odata.nextLink")
+
+
+def read_paged(
+    spark,
+    fetch_factory: Callable[[], PageFetch],
+    entity: str,
+    schema,
+    select: Sequence[str] | None = None,
+    filter: str | None = None,  # noqa: A002
+    page_size: int = 5000,
+) -> DataFrame:
+    """Driver-side sequential page walk → DataFrame with an explicit
+    schema. The nextLink chain is inherently serial, so this is for
+    *bounded* tables — exactly the reference's uses: a dimension lookup
+    before create-vs-update (J2) and the delete-phase ID fetch. For
+    large entities use :func:`read_paged_partitioned`, which runs one
+    chain per slice in parallel on executors."""
+    if select is None:
+        select = [f.name for f in schema.fields]
+    fetch = fetch_factory()
+    url = build_query_url(entity, select=select, filter=filter, top=page_size)
+    rows = [tuple(r.get(f.name) for f in schema.fields) for r in _walk_pages(fetch, url)]
+    return spark.createDataFrame(rows, schema)
+
+
+def read_paged_partitioned(
+    spark,
+    fetch_factory: Callable[[], PageFetch],
+    entity: str,
+    schema,
+    slices: Sequence[str],
+    select: Sequence[str] | None = None,
+    page_size: int = 5000,
+) -> DataFrame:
+    """Parallel paged scan: each ``$filter`` slice's nextLink chain is
+    walked independently on an executor (``mapInPandas``, one slice per
+    partition, Arrow-batched out). This is the scale path for S9 — the
+    same partitioned-by-slicer shape as the XMLA source's
+    ``fetch_partitioned``: slice cardinality (fiscal years, stores,
+    date ranges) bounds parallelism, and no page ever transits the
+    driver. ``fetch_factory`` is invoked executor-side, so sockets and
+    tokens are created next to their use, never pickled."""
+    import pandas as pd
+
+    if select is None:
+        select = [f.name for f in schema.fields]
+    names = [f.name for f in schema.fields]
+    sel = list(select)
+
+    sl = spark.createDataFrame(
+        [(s,) for s in slices], "slice_filter string"
+    ).repartition(len(slices), "slice_filter")
+
+    def fetch_slices(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        fetch = fetch_factory()
+        for pdf in batches:
+            for flt in pdf["slice_filter"]:
+                url = build_query_url(entity, select=sel, filter=flt, top=page_size)
+                recs = list(_walk_pages(fetch, url))
+                if recs:
+                    yield pd.DataFrame({n: [r.get(n) for r in recs] for n in names})
+
+    return sl.mapInPandas(fetch_slices, schema)

@@ -37,7 +37,15 @@ EVENTS_SCHEMA = T.StructType(
 def read_event_stream(spark: SparkSession, path: str, schema: T.StructType = EVENTS_SCHEMA) -> DataFrame:
     """File-source stream over a directory of event files. In
     production this is Kafka/CDC; the file source exercises the same
-    plan."""
+    plan.
+
+    Both fixture generations are supported, mirroring catalog.load's
+    batch path: pass a schema whose ``ts`` is LongType to read the
+    nanosecond-int64 generation (the required reader flag is set here —
+    without it the parquet reader rejects nanos before the cast branch
+    could ever run); the default schema reads the micros generation."""
+    if isinstance(schema["ts"].dataType, T.LongType):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.readStream.schema(schema).parquet(path)
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -643,3 +643,267 @@ def test_strict_upsert_rejects_duplicate_business_keys(spark, tmp_path):
     seq = spark.createDataFrame([Row(k="a", v=1, seq=1), Row(k="a", v=2, seq=2)])
     t.upsert(spark, seq, order_by=["seq"], strict=True)
     assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {"a": 2}
+
+
+# --- S9: OData paged reader ------------------------------------------------
+
+
+def _odata_server(n=25):
+    from bw_new_data_integration_spark.sources.odata_testing import InMemoryODataServer
+
+    recs = [{"id": i, "name": f"row{i:03d}", "grp": i % 3, "extra": "unprojected"} for i in range(n)]
+    return InMemoryODataServer(recs)
+
+
+def test_odata_read_paged_follows_nextlink_and_projects(spark):
+    from pyspark.sql import types as T
+
+    from bw_new_data_integration_spark.sources import odata
+
+    server = _odata_server(25)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    df = odata.read_paged(spark, lambda: server.fetch, "rows", schema, page_size=10)
+    got = sorted((r["id"], r["name"]) for r in df.collect())
+    assert got == [(i, f"row{i:03d}") for i in range(25)]
+    assert server.requests_served == 3  # 10+10+5: nextLink chain followed
+    assert df.columns == ["id", "name"]  # $select pruned 'grp'/'extra' server-side
+
+
+def test_odata_read_paged_filter_slice(spark):
+    from pyspark.sql import types as T
+
+    from bw_new_data_integration_spark.sources import odata
+
+    server = _odata_server(25)
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    df = odata.read_paged(spark, lambda: server.fetch, "rows", schema, filter="grp eq 1",
+                          select=["id"], page_size=4)
+    assert sorted(r["id"] for r in df.collect()) == [i for i in range(25) if i % 3 == 1]
+
+
+def test_odata_read_paged_partitioned_matches_sequential(spark):
+    from pyspark.sql import types as T
+
+    from bw_new_data_integration_spark.sources import odata
+
+    server = _odata_server(50)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.LongType()),
+    ])
+    seq = odata.read_paged(spark, lambda: server.fetch, "rows", schema, page_size=7)
+    par = odata.read_paged_partitioned(
+        spark, lambda: server.fetch, "rows", schema,
+        slices=[f"grp eq {g}" for g in range(3)], page_size=7,
+    )
+    assert sorted(map(tuple, seq.collect())) == sorted(map(tuple, par.collect()))
+
+
+# --- auth-refresh seam -----------------------------------------------------
+
+
+def test_token_provider_proactive_refresh_by_age():
+    from bw_new_data_integration_spark.sources.credentials import TokenProvider
+
+    clock = [0.0]
+    fetches = [0]
+
+    def fetch():
+        fetches[0] += 1
+        return f"tok{fetches[0]}"
+
+    p = TokenProvider(fetch, max_age_seconds=100, clock=lambda: clock[0])
+    assert p.token() == "tok1"
+    clock[0] = 50
+    assert p.token() == "tok1"  # still fresh
+    clock[0] = 150
+    assert p.token() == "tok2"  # past max age: proactive re-fetch
+    p.invalidate()
+    assert p.token() == "tok3"
+
+
+def test_write_batched_recovers_from_mid_load_401(spark):
+    """The reference's refresh-on-401 discipline: a token that expires
+    mid-load causes 401s; the sink must refresh via the transport's
+    on_auth_error and complete the load with zero errors and no
+    backoff-retry consumption."""
+    from bw_new_data_integration_spark.sources import odata
+    from bw_new_data_integration_spark.sources.credentials import TokenProvider
+
+    df = spark.createDataFrame([Row(k=f"k{i}", v=i) for i in range(40)])
+
+    class ExpiringTransport:
+        """Token 'tok1' dies after 2 batches; only a refreshed token works."""
+
+        def __init__(self):
+            self.provider = TokenProvider(self._fetch_token, max_age_seconds=10**9)
+            self._issued = 0
+            self._batches_on_current = 0
+
+        def _fetch_token(self):
+            self._issued += 1
+            self._batches_on_current = 0
+            return f"tok{self._issued}"
+
+        def __call__(self, batch):
+            tok = self.provider.token()
+            if tok == "tok1" and self._batches_on_current >= 2:
+                return [401] * len(batch)
+            self._batches_on_current += 1
+            return [201] * len(batch)
+
+        def on_auth_error(self):
+            self.provider.invalidate()
+
+    stats = odata.write_batched(
+        df, ExpiringTransport, "k", batch_size=10, concurrency=1,
+        policy=odata.RetryPolicy(max_attempts=3),
+    )
+    assert stats["errors"] == 0
+    assert stats["created"] == 40
+
+
+def test_read_event_stream_long_ts_schema_branch(spark, tmp_path):
+    """Streaming twin of catalog.load's nanos support: a LongType ts
+    schema must set the nanosAsLong reader flag and convert int64 nanos
+    to a microsecond timestamp (previously the branch was dead — the
+    reader rejected nanos files before it ran)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    src = str(tmp_path / "nanos_events")
+    base_us = 1_700_000_000_000_000
+    spark.createDataFrame(
+        [(1, (base_us + 5) * 1000, 7, "click", 1.0, "{}")],
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    events = st.read_event_stream(spark, src, schema=schema)
+    assert isinstance(events.schema["ts"].dataType, T.TimestampType)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    name = "nanos_stream_test"
+    (events.writeStream.format("memory").queryName(name).outputMode("append")
+     .trigger(availableNow=True).start().awaitTermination())
+    [row] = spark.table(name).collect()
+    assert row["ts"] == datetime.datetime(2023, 11, 14, 22, 13, 20, 5)
+
+
+# --- K5: declarative table spec + lifecycle --------------------------------
+
+
+def _daily_sales_spec():
+    from bw_new_data_integration_spark.sources.ddl import ColumnSpec, TableSpec
+
+    return TableSpec(
+        name="daily_sales",
+        columns=(
+            ColumnSpec("store_number", "string", max_length=20, required=True),
+            ColumnSpec("calendar_date", "date", required=True),
+            ColumnSpec("qty", "decimal"),
+            ColumnSpec("line_count", "int"),
+            ColumnSpec("business_key", "string", max_length=40, required=True),
+        ),
+        alternate_key=("business_key",),
+        partition_by=("calendar_date",),
+    )
+
+
+def test_table_spec_struct_and_ddl():
+    from pyspark.sql import types as T
+
+    spec = _daily_sales_spec()
+    st = spec.struct_type()
+    assert st["qty"].dataType == T.DecimalType(13, 2)
+    assert st["store_number"].nullable is False
+    sql = spec.create_table_sql(location="/tmp/ds")
+    assert "store_number STRING NOT NULL" in sql
+    assert "qty DECIMAL(13,2)" in sql
+    assert "PARTITIONED BY (calendar_date)" in sql
+
+
+def test_table_spec_rejects_unknown_key_column():
+    from bw_new_data_integration_spark.sources.ddl import ColumnSpec, TableSpec
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        TableSpec("t", (ColumnSpec("a", "int"),), alternate_key=("nope",))
+
+
+def test_validate_against_spec_counts_violations(spark):
+    from bw_new_data_integration_spark.sources import ddl
+
+    spec = _daily_sales_spec()
+    df = spark.createDataFrame(
+        [
+            ("s1", "2024-01-01", 10.0, 1, "bk1"),          # clean
+            (None, "2024-01-02", 10.0, 1, "bk2"),          # store_number null (required)
+            ("s3" * 11, "2024-01-03", 10.0, 1, "bk3"),     # store_number too long
+            ("s4", "2024-01-04", 2.0e11, 1, "bk4"),        # qty out of ±1e11 range
+            ("s5", "2024-01-05", 1.0, 1, None),            # business_key null
+        ],
+        "store_number string, calendar_date string, qty double, line_count int, business_key string",
+    ).withColumn("calendar_date", F.col("calendar_date").cast("date"))
+    got = {r["col_name"]: (r["n_violations"], r["n_checked"])
+           for r in ddl.validate_against_spec(df, spec).collect()}
+    assert got["store_number"] == (2, 5)
+    assert got["qty"] == (1, 5)
+    assert got["business_key"] == (1, 5)
+    assert got["calendar_date"] == (0, 5)
+    assert got["line_count"] == (0, 5)
+
+
+def test_table_lifecycle_polls_until_key_active():
+    from bw_new_data_integration_spark.sources.ddl import TableLifecycle
+
+    class FakeClient:
+        def __init__(self):
+            self.calls = []
+            self.polls = 0
+
+        def create_table(self, spec):
+            self.calls.append("create_table")
+
+        def create_alternate_key(self, table, key_cols):
+            self.calls.append(f"key:{','.join(key_cols)}")
+
+        def key_status(self, table):
+            self.polls += 1
+            return "Pending" if self.polls < 3 else "Active"
+
+        def publish(self, table):
+            self.calls.append("publish")
+
+    client = FakeClient()
+    lc = TableLifecycle(client, poll_interval=0.01, sleep=lambda s: None)
+    out = lc.provision(_daily_sales_spec())
+    assert out["steps"] == ["create_table", "create_alternate_key", "key_active", "publish"]
+    assert client.polls == 3
+    assert client.calls == ["create_table", "key:business_key", "publish"]
+
+
+def test_table_lifecycle_key_failure_raises():
+    from bw_new_data_integration_spark.sources.ddl import TableLifecycle
+
+    class FailingClient:
+        def create_table(self, spec): pass
+        def create_alternate_key(self, table, key_cols): pass
+        def key_status(self, table): return "Failed"
+        def publish(self, table): raise AssertionError("must not publish on failure")
+
+    lc = TableLifecycle(FailingClient(), sleep=lambda s: None)
+    with pytest.raises(RuntimeError, match="key build failed"):
+        lc.provision(_daily_sales_spec())
