@@ -157,3 +157,30 @@ def repetition_ratio(c: Column, n: int = 2) -> Column:
     return F.when(
         total > 0, F.lit(1.0) - distinct.cast("double") / total.cast("double")
     ).otherwise(F.lit(0.0))
+
+
+# --- PII scrubbing ---------------------------------------------------------
+# Training corpora are scrubbed of direct identifiers before use; the
+# two regexes below are the deterministic, cross-engine-portable core
+# (same RE semantics in Java regex and RE2). Real deployments layer
+# NER models on top — that stage is external to the engine, like the
+# multimodal decoders.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_email_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint")
+
+
+def pii_phone_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(PHONE_RE)).cast("bigint")
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace every email/phone occurrence with a typed placeholder.
+    Order matters: emails first, so a phone-like digit run inside an
+    address is consumed by the email rule."""
+    out = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")

@@ -1,0 +1,53 @@
+"""Eval-set contamination check — n-gram overlap against a benchmark.
+
+A training corpus must not contain the evaluation benchmarks it will be
+scored on. The standard check (GPT-3 appendix C / Dolma / FineWeb
+decontamination): shingle both corpora into word n-grams and flag every
+training document sharing n-grams with any eval document.
+
+Scale shape: the eval pool is benchmark-sized (thousands of docs —
+orders of magnitude smaller than the corpus), so its distinct-shingle
+set is **broadcast**; the training side streams through one shuffle-free
+hash join and a per-doc aggregate. The training corpus is never
+collected, never self-joined; cost is one scan of the corpus however
+large it is. (If the eval side ever outgrows broadcast, drop the hint
+and the same plan becomes a shuffle hash join on the shingle — the
+semantics don't change.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bw_new_data_integration_spark.functions import text
+
+
+def ngram_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Flag training docs sharing >= ``min_shared`` distinct word
+    ``n``-grams with the eval pool → (doc_id, n_shared_shingles).
+
+    Both sides are shingled identically; eval shingles are distinct-ed
+    (the pool is one set — which eval doc matched is irrelevant to the
+    contamination decision) and broadcast.
+    """
+    t_sh = train.select(
+        F.col(id_col), F.explode(text.word_shingles(F.col(text_col), n)).alias("s")
+    ).distinct()
+    e_sh = (
+        eval_df.select(F.explode(text.word_shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    shared = t_sh.join(F.broadcast(e_sh), "s")
+    return (
+        shared.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+        .where(F.col("n_shared_shingles") >= min_shared)
+    )

@@ -2615,6 +2615,137 @@ def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Leakage-free split — train/valid/test assignment keyed on the CONTENT
+# fingerprint, not the doc id: exact duplicates always land in the same
+# split (hash of the same fingerprint), so a memorized training doc can
+# never reappear in the eval split. The split decision is a pure column
+# expression — no shuffle beyond the final aggregate, stable under
+# repartitioning and across runs.
+# ---------------------------------------------------------------------------
+@register(
+    "split_leakage_free",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+  FROM documents
+),
+b AS (
+  SELECT *, CAST(('0x' || substring(md5(f), 1, 8))::UBIGINT AS BIGINT) % 100 AS bucket
+  FROM fp
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT f) AS BIGINT) AS n_groups,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1
+""",
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    f = text.fingerprint(F.col("text"))
+    bucket = F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("bigint") % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    return (
+        docs.select(split.alias("split"), f.alias("f"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("f").cast("bigint").alias("n_groups"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set contamination check (operators/contamination.py): docs with
+# doc_id % 97 == 0 stand in for the benchmark pool; every training doc
+# sharing >= 3 distinct word 3-grams with the pool is flagged. Eval
+# shingles broadcast; the corpus is scanned once — the plan a 100 TB
+# decontamination pass needs.
+# ---------------------------------------------------------------------------
+@register(
+    "contamination_check",
+    oracle=_SHINGLE_SQL
+    + """,
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+e AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 97 = 0),
+t AS (SELECT doc_id, s FROM dsh WHERE doc_id % 97 != 0)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+FROM t JOIN e USING (s)
+GROUP BY 1
+HAVING COUNT(*) >= 3
+""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_pool = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination.ngram_overlap(train, eval_pool, n=3, min_shared=3)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regex redaction of direct identifiers with counts
+# (functions/text.py). PII is synthesized deterministically onto the
+# corpus (the fixtures are clean), mirroring the dirty-coercion
+# pattern; the oracle replays the seeding and the redaction.
+# ---------------------------------------------------------------------------
+@register(
+    "pii_redaction",
+    oracle=rf"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' contact agent' || CAST(doc_id AS VARCHAR) || '@example.com'
+                      ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT CAST(SUM(len(regexp_extract_all(t, '{text.EMAIL_RE}'))) AS BIGINT) AS n_emails,
+       CAST(SUM(len(regexp_extract_all(t, '{text.PHONE_RE}'))) AS BIGINT) AS n_phones,
+       CAST(SUM(CASE WHEN regexp_matches(t, '{text.EMAIL_RE}')
+                       OR regexp_matches(t, '{text.PHONE_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(SUM(length(regexp_replace(regexp_replace(t, '{text.EMAIL_RE}', '[EMAIL]', 'g'),
+                                      '{text.PHONE_RE}', '[PHONE]', 'g'))) AS BIGINT) AS total_redacted_chars
+FROM seeded
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit(" contact agent"), k.cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            k % 7 == 0,
+            F.concat(F.lit(" call 555-123-"), F.lpad((k % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+    )
+    d = docs.select("doc_id", seeded.alias("t"))
+    return d.agg(
+        F.sum(text.pii_email_count(F.col("t"))).cast("bigint").alias("n_emails"),
+        F.sum(text.pii_phone_count(F.col("t"))).cast("bigint").alias("n_phones"),
+        F.sum(
+            F.when(
+                (text.pii_email_count(F.col("t")) > 0)
+                | (text.pii_phone_count(F.col("t")) > 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_docs_with_pii"),
+        F.sum(F.length(text.redact_pii(F.col("t")))).cast("bigint").alias("total_redacted_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Funnel conversion — staged sequence analysis over the event stream:
 # users who viewed, then clicked AFTER their first view, then purchased
 # AFTER that click. Each stage is a (filter -> groupBy user -> min ts)

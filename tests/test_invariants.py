@@ -236,3 +236,52 @@ def test_profile_exact_plan_has_no_expand(spark):
     df = q.registry()["profile_table"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan, plan[:2000]
+
+
+def test_contamination_broadcasts_eval_pool(spark):
+    """The decontamination join must broadcast the (benchmark-sized)
+    eval shingle set — a shuffle of the full training corpus's shingles
+    against a tiny pool is the wrong plan at any scale."""
+    df = q.registry()["contamination_check"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_split_leakage_free_groups_never_span_splits(spark):
+    """Exact duplicates (same content fingerprint) must land in one
+    split — the property that makes the split leakage-free."""
+    from bw_new_data_integration_spark import catalog
+    from bw_new_data_integration_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    docs = catalog.load(spark, SF_SMALL, "documents")
+    f = tx.fingerprint(F.col("text"))
+    bucket = F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("bigint") % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    spanning = (
+        docs.select(f.alias("f"), split.alias("split"))
+        .groupBy("f")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spanning == 0
+
+
+def test_redact_pii_replaces_identifiers(spark):
+    from bw_new_data_integration_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("reach me at jo.doe+x@mail.example.org or 555-123-4567 today",),
+         ("no pii here",)],
+        "t string",
+    ).select(
+        tx.redact_pii(F.col("t")).alias("r"),
+        tx.pii_email_count(F.col("t")).alias("e"),
+        tx.pii_phone_count(F.col("t")).alias("p"),
+    )
+    rows = df.collect()
+    assert rows[0]["r"] == "reach me at [EMAIL] or [PHONE] today"
+    assert (rows[0]["e"], rows[0]["p"]) == (1, 1)
+    assert rows[1]["r"] == "no pii here"
