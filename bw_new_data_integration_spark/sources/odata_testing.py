@@ -34,6 +34,11 @@ class InMemoryODataServer:
         self.records = records
         self.page_size_cap = page_size_cap
         self.requests_served = 0
+        # filter-result cache: a real server resolves $filter with an
+        # index; without this the fake re-scans every record per page
+        # request (O(n) per page → O(n²/page_size) per slice walk) and
+        # the benchmark measures the fake, not the reader under test
+        self._filter_cache: dict[str | None, list[dict]] = {}
 
     # -- OData literal / filter parsing ------------------------------------
 
@@ -68,7 +73,10 @@ class InMemoryODataServer:
         top = min(int(params.get("$top", self.page_size_cap)), self.page_size_cap)
         offset = int(params.get("$skiptoken", 0))
 
-        matched = [r for r in self.records if self._matches(r, flt)]
+        matched = self._filter_cache.get(flt)
+        if matched is None:
+            matched = [r for r in self.records if self._matches(r, flt)]
+            self._filter_cache[flt] = matched
         page = matched[offset : offset + top]
         if select:
             fields = select.split(",")
