@@ -66,6 +66,8 @@ OPTIONAL = [
     "split_leakage_free",
     "contamination_check",
     "pii_redaction",
+    "s8_excel_roundtrip",
+    "k5_schema_evolution",
     "validate_expectations",
     "scd2_dimension",
     "o7_activity_streaks",

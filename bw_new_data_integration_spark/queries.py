@@ -2898,6 +2898,125 @@ def s9_odata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S8 — Excel scan end-to-end (reference load_store_hours.py:64-108):
+# a workbook is synthesized from the supplier table (master-data-sized,
+# like the reference's store-hours file), read back through the stdlib
+# SpreadsheetML reader, headers normalized, values coerced, and P5
+# display names + C9 OData quote escaping applied — the full
+# file->typed-table path, oracle-checked against the source rows.
+# ---------------------------------------------------------------------------
+@register(
+    "s8_excel_roundtrip",
+    oracle="""
+WITH base AS (
+  SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DECIMAL(13,2)) AS bal
+  FROM supplier
+)
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       COUNT(*) AS n_stores,
+       CAST(SUM(CAST(bal AS DECIMAL(27,6))) AS DOUBLE) AS sum_acctbal,
+       MAX(s_name || ' - ' || CAST(s_suppkey AS VARCHAR)) AS max_display,
+       MAX(replace(s_name || '''s', '''', '''''')) AS max_escaped
+FROM base GROUP BY 1
+""",
+)
+def s8_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bw_new_data_integration_spark.sources import files
+
+    sup = _t(spark, sf_dir, "supplier")
+    rows = (
+        sup.select(
+            F.col("s_suppkey").cast("string").alias("k"),
+            "s_name",
+            F.col("s_nationkey").cast("string").alias("n"),
+            F.col("s_acctbal").cast("decimal(13,2)").cast("string").alias("b"),
+        )
+        .orderBy(F.col("s_suppkey"))
+        .collect()
+    )
+    path = tempfile.mktemp(suffix=".xlsx", prefix="bw_s8_")
+    files.write_minimal_xlsx(
+        path,
+        ["Store Number", "Store Name", "Nation Key", "Account Balance"],
+        [[r["k"], r["s_name"], r["n"], r["b"]] for r in rows],
+    )
+    df = files.read_excel(spark, path)
+    df = files.normalize_headers(
+        df,
+        {
+            "Store Number": "store_number",
+            "Store Name": "store_name",
+            "Nation Key": "nationkey",
+            "Account Balance": "acctbal",
+        },
+    )
+    typed = df.select(
+        "store_number",
+        "store_name",
+        F.col("nationkey").cast("bigint").alias("nationkey"),
+        coercion.to_decimal(F.col("acctbal")).alias("bal"),
+        keys.display_name(F.col("store_name"), F.col("store_number")).alias("disp"),
+        keys.escape_odata_quotes(F.concat(F.col("store_name"), F.lit("'s"))).alias("esc"),
+    )
+    return typed.groupBy("nationkey").agg(
+        F.count("*").alias("n_stores"),
+        aggregate.exact_sum("bal").alias("sum_acctbal"),
+        F.max("disp").alias("max_display"),
+        F.max("esc").alias("max_escaped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K5 — schema-evolving merge: the source carries a column the target
+# lacks; after the upsert the new column exists (null for untouched
+# rows) and every source row carries it — the mergeSchema semantics the
+# reference implements with metadata add-column scripts
+# (dataverse_table_creation/add_*_columns.py).
+# ---------------------------------------------------------------------------
+@register(
+    "k5_schema_evolution",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey AS k, o_totalprice AS price FROM orders WHERE o_orderkey % 2 = 0
+),
+source AS (
+  SELECT o_orderkey AS k, o_totalprice * CAST(1.1 AS DOUBLE) AS price,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+merged AS (
+  SELECT t.k, t.price, CAST(NULL AS VARCHAR) AS priority FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.k = t.k)
+  UNION ALL
+  SELECT k, price, priority FROM source
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(COUNT(priority) AS BIGINT) AS n_with_new_col,
+       CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+FROM merged
+""",
+)
+def k5_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    target = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    source = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    merged = merge.merge_upsert(target, source, ["k"], evolve_schema=True)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count("priority").cast("bigint").alias("n_with_new_col"),
+        aggregate.exact_sum("price").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quantile binning — curriculum-style bucketing by exact decile
 # boundaries. Deliberately NOT ntile(): an unpartitioned ranking window
 # forces every row into one task, which is exactly what dies at 100 TB.

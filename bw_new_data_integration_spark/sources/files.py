@@ -83,6 +83,58 @@ def read_excel(
     return spark.createDataFrame(padded, schema=schema)
 
 
+def write_minimal_xlsx(path: str, header: list, rows: list[list]) -> None:
+    """Hand-built SpreadsheetML workbook (inline strings only) — the
+    deterministic fixture twin of ``read_excel``'s stdlib path, used by
+    tests and the s8 registry query to synthesize workbooks without any
+    Excel library. Values are XML-escaped; ``None`` cells are omitted
+    (how Excel stores blanks)."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def row_xml(r_idx: int, values: list) -> str:
+        cells = []
+        for c_idx, v in enumerate(values):
+            col = ""
+            i = c_idx
+            while True:
+                col = chr(ord("A") + i % 26) + col
+                i = i // 26 - 1
+                if i < 0:
+                    break
+            if v is None:
+                continue
+            cells.append(
+                f'<c r="{col}{r_idx}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+            )
+        return f'<row r="{r_idx}">{"".join(cells)}</row>'
+
+    all_rows = [list(header)] + [list(r) for r in rows]
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        + "".join(row_xml(i + 1, r) for i, r in enumerate(all_rows))
+        + "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?>'
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            "</Types>",
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            '<sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>',
+        )
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
 def _read_xlsx_stdlib(path: str, sheet_index: int = 0) -> list[list[str | None]]:
     """Minimal SpreadsheetML reader: zipfile + ElementTree, shared and
     inline strings, 1900-epoch untouched (cell values come back as the

@@ -514,46 +514,7 @@ def test_format_key_for_url_escapes_quotes():
     assert odata.format_key_for_url("plain") == "plain"
 
 
-def _write_minimal_xlsx(path, header, rows):
-    """Hand-built SpreadsheetML workbook (inline strings only) — lets
-    the test run without any Excel library installed."""
-    import zipfile
-
-    def row_xml(r_idx, values):
-        cells = []
-        for c_idx, v in enumerate(values):
-            col = chr(ord("A") + c_idx)
-            if v is None:
-                continue
-            cells.append(
-                f'<c r="{col}{r_idx}" t="inlineStr"><is><t>{v}</t></is></c>'
-            )
-        return f'<row r="{r_idx}">{"".join(cells)}</row>'
-
-    all_rows = [header] + rows
-    sheet = (
-        '<?xml version="1.0"?>'
-        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        "<sheetData>"
-        + "".join(row_xml(i + 1, r) for i, r in enumerate(all_rows))
-        + "</sheetData></worksheet>"
-    )
-    with zipfile.ZipFile(path, "w") as z:
-        z.writestr(
-            "[Content_Types].xml",
-            '<?xml version="1.0"?>'
-            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
-            '<Default Extension="xml" ContentType="application/xml"/>'
-            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
-            "</Types>",
-        )
-        z.writestr(
-            "xl/workbook.xml",
-            '<?xml version="1.0"?>'
-            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-            '<sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>',
-        )
-        z.writestr("xl/worksheets/sheet1.xml", sheet)
+from bw_new_data_integration_spark.sources.files import write_minimal_xlsx as _write_minimal_xlsx
 
 
 def test_read_excel_stdlib_fallback(spark, tmp_path):
