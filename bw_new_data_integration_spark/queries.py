@@ -1490,6 +1490,83 @@ def s2_xmla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1 — partitioned XMLA fetch: one MDX query per fiscal-year slice
+# through the injected transport, each response flattened by the COO
+# pivot and unioned as DataFrame partitions (sources/xmla.py
+# fetch_partitioned; reference modules/olap_sync.py:111-151 splits
+# queries per FY exactly like this). The transport is a deterministic
+# fake synthesizing SSAS wire responses from the orders table — the
+# protocol path (per-slice execute -> parse -> union) is the thing
+# under test; the oracle recomputes the same aggregate in SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "s1_xmla_partitioned",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS VARCHAR) AS fy,
+       o_orderpriority AS priority,
+       CAST(COUNT(*) AS DOUBLE) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_totalprice
+FROM orders GROUP BY 1, 2
+""",
+)
+def s1_xmla_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from bw_new_data_integration_spark.operators import aggregate as _agg
+    from bw_new_data_integration_spark.sources import xmla
+
+    o = _t(spark, sf_dir, "orders")
+    agg_rows = (
+        o.groupBy(F.year("o_orderdate").alias("fy"), "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _agg.exact_sum("o_totalprice").alias("sum_totalprice"),
+        )
+        .orderBy("fy", "o_orderpriority")
+        .collect()
+    )
+    by_year: dict[int, list] = {}
+    for r in agg_rows:
+        by_year.setdefault(r["fy"], []).append(r)
+    measures = ["n_orders", "sum_totalprice"]
+
+    def execute(mdx: str) -> str:
+        y = int(_re.search(r"\[FY(\d+)\]", mdx).group(1))
+        rows = by_year[y]
+        axis0 = "".join(
+            f'<Tuple><Member Hierarchy="[Measures]"><Caption>{m}</Caption></Member></Tuple>'
+            for m in measures
+        )
+        axis1 = "".join(
+            '<Tuple><Member Hierarchy="[Order].[Priority]">'
+            f'<Caption>{r["o_orderpriority"]}</Caption></Member></Tuple>'
+            for r in rows
+        )
+        cells = "".join(
+            f'<Cell CellOrdinal="{i * len(measures) + j}"><Value>{r[m]!r}</Value></Cell>'
+            for i, r in enumerate(rows)
+            for j, m in enumerate(measures)
+        )
+        return (
+            '<root xmlns="urn:schemas-microsoft-com:xml-analysis:mddataset">'
+            f'<Axes><Axis name="Axis0"><Tuples>{axis0}</Tuples></Axis>'
+            f'<Axis name="Axis1"><Tuples>{axis1}</Tuples></Axis></Axes>'
+            f"<CellData>{cells}</CellData></root>"
+        )
+
+    mdx_by_slice = {
+        str(y): f"SELECT ... ON COLUMNS, ... ON ROWS FROM [Cube] WHERE [Time].[FY{y}]"
+        for y in sorted(by_year)
+    }
+    df = xmla.fetch_partitioned(
+        spark, execute, mdx_by_slice, [{"pattern": "Priority", "field": "priority"}]
+    )
+    return df.select(
+        F.col("__slice").alias("fy"), "priority", "n_orders", "sum_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
 # S7 — CSV scan with the reference's dirty-input discipline
 # (load_csv.py:41-81): header CSV read as all-string (never
 # inferSchema), then null tokens, comma-grouped decimals and
