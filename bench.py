@@ -48,6 +48,9 @@ OPTIONAL = [
     "pipeline_sales_channel",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
     "j5_asof_join",
     "j6_range_join_counts",
     "rollup_hierarchy",
@@ -68,6 +71,7 @@ OPTIONAL = [
     "pii_redaction",
     "s8_excel_roundtrip",
     "k5_schema_evolution",
+    "s1_xmla_partitioned",
     "validate_expectations",
     "scd2_dimension",
     "o7_activity_streaks",
@@ -97,6 +101,10 @@ def main() -> None:
     per_query: dict[str, float] = {}
     total = 0.0
     for name in names:
+        # queries that persist internally (s9 paged scan, dedup pipeline)
+        # must not leave cached partitions to pressure later queries'
+        # heap — every timed query starts cache-cold
+        spark.catalog.clearCache()
         t0 = time.time()
         df = registry[name](spark, sf_dir)
         n = df.count()

@@ -2141,6 +2141,152 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q7-shape — volume shipping between two nations: the 6-way join
+# (lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈ nation×2) with the
+# nation pair filter pushed into both broadcast dimensions BEFORE the
+# fact joins — the fact table is reduced by the supplier-nation
+# semi-join first, so only qualifying rows reach the big orders join.
+# ---------------------------------------------------------------------------
+@register(
+    "q7_volume_shipping",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(1 - l_discount AS DECIMAL(8,6)) AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY 1, 2, 3
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(14,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,6)")
+    joined = (
+        li.join(F.broadcast(s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))),
+                li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))),
+              o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("l_year"),
+    ).agg(
+        F.sum(volume).cast("decimal(38,6)").cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10-shape — returned-item reporting: revenue lost to returns per
+# customer, global top-20. orderBy+limit compiles to
+# TakeOrderedAndProject (per-partition top-k, tiny final merge) —
+# never a full global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    oracle="""
+WITH rev AS (
+  SELECT c_custkey, c_name,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1, 2
+)
+SELECT c_custkey, c_name, revenue
+FROM rev ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    volume = F.col("l_extendedprice").cast("decimal(14,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,6)")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(volume).cast("decimal(38,6)").cast("double").alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Q14-shape — promo revenue share in one month: conditional exact-
+# decimal sums in a single pass, ratio taken in double at the end.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN v ELSE CAST(0 AS DECIMAL(23,12)) END) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue,
+       CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue,
+       100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN v ELSE CAST(0 AS DECIMAL(23,12)) END) AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) AS promo_pct
+FROM (
+  SELECT p.p_type,
+         CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(1 - l_discount AS DECIMAL(8,6)) AS v
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1995-09-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1995-10-01'
+)
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1995-10-01"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    v = F.col("l_extendedprice").cast("decimal(14,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,6)")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_type", v.alias("v")
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("v")).otherwise(
+            F.lit(0).cast("decimal(23,12)")
+        )
+    ).cast("decimal(38,6)").cast("double")
+    total = F.sum("v").cast("decimal(38,6)").cast("double")
+    return joined.agg(
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        (F.lit(100.0) * promo / total).alias("promo_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream join: watermarked interval self-join of the event
 # stream (probe x trailing quotes), driven with availableNow. The
 # oracle is the equivalent batch theta-join — streaming state
