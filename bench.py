@@ -72,6 +72,8 @@ OPTIONAL = [
     "s8_excel_roundtrip",
     "k5_schema_evolution",
     "s1_xmla_partitioned",
+    "mixture_balance",
+    "pack_sequences",
     "validate_expectations",
     "scd2_dimension",
     "o7_activity_streaks",

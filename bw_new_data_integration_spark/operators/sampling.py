@@ -1,0 +1,90 @@
+"""Corpus sampling / packing operators for training-data assembly.
+
+Three ops a 100 TB pretraining pipeline runs after dedup + filtering:
+
+- ``hash_threshold_sample`` — deterministic per-group downsampling to
+  target rates WITHOUT a per-group window: keep a row iff
+  ``bucket(stable_hash(id)) < rate * BUCKETS``. Fully parallel (pure
+  column predicate, no shuffle), reproducible across runs/partitioning,
+  and composable (sampling at rate a then b ≡ rate min(a,b) because the
+  kept set is a hash prefix). A ``row_number() OVER (PARTITION BY
+  group)`` would funnel each group into one task — the exact-count
+  version only works when groups are small; rate-based is the scale
+  form.
+
+- ``balance_mixture`` — equalize group shares (e.g. per-language) by
+  computing per-group counts (one tiny aggregate) and hash-threshold
+  sampling each group down to ~the smallest group's size. The rate
+  table is group-cardinality-sized and broadcast.
+
+- ``pack_sequences`` — greedy sequence packing: assign documents to
+  fixed-token-budget bins (context windows). Global greedy packing is
+  inherently sequential, so the distributed form packs WITHIN shards
+  (training shards are independent by construction): documents are
+  hash-bucketed into shards, and within each shard a running token
+  cumsum assigns ``bin = floor(prefix_sum / budget)``. One shuffle on
+  the shard key; each shard's window is one task sized by
+  corpus/shards, tuned via ``n_shards``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash space for threshold sampling (md5 32-bit prefix)
+_BUCKETS = 1 << 32
+
+
+def _hash_bucket(c: Column) -> Column:
+    """Stable uniform bucket in [0, 2^32): md5 hex prefix — identical
+    in Spark and any SQL engine with md5, unlike xxhash64/rand."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+def hash_threshold_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Keep ~``rate`` of rows, deterministically, with no shuffle."""
+    return df.where(_hash_bucket(F.col(id_col)) < int(rate * _BUCKETS))
+
+
+def balance_mixture(
+    df: DataFrame, group_col: str, id_col: str, target_per_group: int | None = None
+) -> DataFrame:
+    """Downsample every group to ~``target_per_group`` rows (default:
+    the smallest group's count) via per-group hash thresholds."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    if target_per_group is None:
+        # driver-side min over a group-cardinality-sized frame
+        target_per_group = min(r["__n"] for r in counts.collect())
+    rates = counts.select(
+        group_col,
+        F.least(F.lit(1.0), F.lit(float(target_per_group)) / F.col("__n")).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(_hash_bucket(F.col(id_col)) < (F.col("__rate") * _BUCKETS).cast("bigint"))
+        .drop("__rate")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assign each row a (shard, bin) so every bin's total ``size_col``
+    is ~``budget`` (a document larger than the budget gets its own
+    bin). Adds ``shard`` and ``bin`` columns."""
+    shard = (F.col(id_col) % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__csum", F.sum(F.col(size_col)).over(w))
+        .withColumn(
+            "bin",
+            F.floor((F.col("__csum") - F.lit(1)) / F.lit(budget)).cast("bigint"),
+        )
+        .drop("__csum")
+    )

@@ -2969,6 +2969,73 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mixture balancing — equalize per-language corpus shares via per-group
+# hash-threshold sampling (operators/sampling.py): no per-group window
+# (which would funnel each language into one task at 100 TB), just a
+# broadcast rate table and a pure column predicate. Deterministic and
+# reproducible across runs and partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_balance",
+    oracle="""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+tgt AS (SELECT MIN(n) AS t FROM counts),
+rates AS (
+  SELECT lang, least(1.0, CAST((SELECT t FROM tgt) AS DOUBLE) / n) AS rate FROM counts
+),
+kept AS (
+  SELECT d.lang, d.n_chars
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+      < CAST(trunc(r.rate * 4294967296) AS BIGINT)
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY 1
+""",
+)
+def mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    balanced = sampling.balance_mixture(docs, "lang", "doc_id")
+    return balanced.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — documents assigned to fixed-token-budget bins
+# (context windows) per hash shard (operators/sampling.py): global
+# greedy packing is sequential, so packing runs within shards —
+# training shards are independent by construction — one shuffle on the
+# shard key, shard size tuned by n_shards.
+# ---------------------------------------------------------------------------
+@register(
+    "pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars, CAST(doc_id % 16 AS INT) AS shard,
+         SUM(n_chars) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS csum
+  FROM documents
+)
+SELECT shard, CAST(floor((csum - 1) / 2048.0) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bin_chars
+FROM t GROUP BY 1, 2
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = sampling.pack_sequences(docs, "doc_id", "n_chars", budget=2048, n_shards=16)
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bin_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Funnel conversion — staged sequence analysis over the event stream:
 # users who viewed, then clicked AFTER their first view, then purchased
 # AFTER that click. Each stage is a (filter -> groupBy user -> min ts)

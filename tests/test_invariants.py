@@ -285,3 +285,46 @@ def test_redact_pii_replaces_identifiers(spark):
     assert rows[0]["r"] == "reach me at [EMAIL] or [PHONE] today"
     assert (rows[0]["e"], rows[0]["p"]) == (1, 1)
     assert rows[1]["r"] == "no pii here"
+
+
+def test_balance_mixture_equalizes_groups(spark):
+    """After balancing, every language's share is within sampling noise
+    of the smallest group (hash-threshold sampling is rate-exact only
+    in expectation), and re-running selects the identical rows."""
+    from bw_new_data_integration_spark import catalog
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = catalog.load(spark, SF_SMALL, "documents")
+    smallest = min(
+        r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    b1 = sampling.balance_mixture(docs, "lang", "doc_id")
+    counts = {r["lang"]: r["n"] for r in b1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n <= smallest * 1.5 + 10, (lang, n, smallest)
+        assert n >= smallest * 0.5 - 10, (lang, n, smallest)
+    b2 = sampling.balance_mixture(docs, "lang", "doc_id")
+    assert sorted(r["doc_id"] for r in b1.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in b2.select("doc_id").collect()
+    )
+
+
+def test_pack_sequences_respects_budget(spark):
+    """Every doc lands in exactly one bin; a bin's total exceeds the
+    budget only by (part of) its last straddling document — total minus
+    that doc is always under budget."""
+    from bw_new_data_integration_spark import catalog
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = catalog.load(spark, SF_SMALL, "documents").select("doc_id", "n_chars")
+    budget = 2048
+    packed = sampling.pack_sequences(docs, "doc_id", "n_chars", budget=budget, n_shards=8)
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    bins = (
+        packed.groupBy("shard", "bin")
+        .agg(F.sum("n_chars").alias("total"), F.max("n_chars").alias("biggest"))
+        .collect()
+    )
+    for r in bins:
+        assert r["total"] - r["biggest"] < budget, dict(r.asDict())
