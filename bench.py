@@ -166,6 +166,7 @@ def main() -> None:
         total += dt
         print(f"# upsert_incremental_window: {wrows} rows in {dt:.2f}s "
               f"({wrows / dt:,.0f} rows/sec, partition-scoped)", file=sys.stderr)
+        df.unpersist()  # keep the skew metrics below cache-cold too
     finally:
         shutil.rmtree(tdir2, ignore_errors=True)
 

@@ -51,15 +51,27 @@ def balance_mixture(
     df: DataFrame, group_col: str, id_col: str, target_per_group: int | None = None
 ) -> DataFrame:
     """Downsample every group to ~``target_per_group`` rows (default:
-    the smallest group's count) via per-group hash thresholds."""
+    the smallest group's count) via per-group hash thresholds.
+
+    The corpus is scanned once for the count aggregate; when the target
+    is derived from it, the rate table is rebuilt driver-side from the
+    already-collected counts (group-cardinality-sized) rather than
+    re-evaluating the aggregate inside the join."""
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     if target_per_group is None:
-        # driver-side min over a group-cardinality-sized frame
-        target_per_group = min(r["__n"] for r in counts.collect())
-    rates = counts.select(
-        group_col,
-        F.least(F.lit(1.0), F.lit(float(target_per_group)) / F.col("__n")).alias("__rate"),
-    )
+        rows = counts.collect()  # one scan; group-cardinality rows
+        target_per_group = min(r["__n"] for r in rows)
+        rates = df.sparkSession.createDataFrame(
+            [(r[group_col], min(1.0, float(target_per_group) / r["__n"])) for r in rows],
+            [group_col, "__rate"],
+        )
+    else:
+        rates = counts.select(
+            group_col,
+            F.least(
+                F.lit(1.0), F.lit(float(target_per_group)) / F.col("__n")
+            ).alias("__rate"),
+        )
     return (
         df.join(F.broadcast(rates), group_col)
         .where(_hash_bucket(F.col(id_col)) < (F.col("__rate") * _BUCKETS).cast("bigint"))
@@ -75,8 +87,11 @@ def pack_sequences(
     n_shards: int = 64,
 ) -> DataFrame:
     """Assign each row a (shard, bin) so every bin's total ``size_col``
-    is ~``budget`` (a document larger than the budget gets its own
-    bin). Adds ``shard`` and ``bin`` columns."""
+    is ~``budget``. Bins are segments of the per-shard running cumsum,
+    so a bin's total exceeds the budget only by (part of) its last,
+    straddling document; an oversized document overflows the bin it
+    lands in and later documents may share that bin. Adds ``shard``
+    and ``bin`` columns."""
     shard = (F.col(id_col) % n_shards).cast("int")
     w = Window.partitionBy("shard").orderBy(F.col(id_col))
     return (

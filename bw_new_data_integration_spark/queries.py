@@ -2185,11 +2185,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice").cast("decimal(14,6)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(8,6)")
+    # Only the nation dimension (fixed 25 rows) is broadcast-hinted:
+    # supplier and customer grow with SF, so their join strategy is
+    # left to AQE (broadcast while small, shuffle join at scale). The
+    # nation-pair filter still reduces both before the fact joins.
     joined = (
-        li.join(F.broadcast(s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))),
+        li.join(s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key")),
                 li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))),
+        .join(c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")),
               o.o_custkey == c.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
@@ -2232,9 +2236,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice").cast("decimal(14,6)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(8,6)")
+    # customer grows with SF — no broadcast hint; AQE picks the
+    # strategy per actual size
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(F.sum(volume).cast("decimal(38,6)").cast("double").alias("revenue"))
     )
@@ -3226,13 +3232,17 @@ def s8_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_suppkey"))
         .collect()
     )
-    path = tempfile.mktemp(suffix=".xlsx", prefix="bw_s8_")
+    fd, path = tempfile.mkstemp(suffix=".xlsx", prefix="bw_s8_")
+    _os.close(fd)
     files.write_minimal_xlsx(
         path,
         ["Store Number", "Store Name", "Nation Key", "Account Balance"],
         [[r["k"], r["s_name"], r["n"], r["b"]] for r in rows],
     )
+    # read_excel materializes rows driver-side, so the workbook can be
+    # removed immediately — no temp-file leak per invocation
     df = files.read_excel(spark, path)
+    _os.remove(path)
     df = files.normalize_headers(
         df,
         {

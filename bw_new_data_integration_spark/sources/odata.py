@@ -79,12 +79,16 @@ def _send_batch(
             statuses is not None
             and on_auth_error is not None
             and auth_retries < policy.max_attempts
-            and any(s in AUTH_FAILED for s in statuses)
+            and all(s in AUTH_FAILED for s in statuses)
         ):
             # Expired token: refresh and resend immediately — an auth
             # failure is not a server overload, so it neither consumes
             # the retry budget nor backs off (bounded by max_attempts
             # so a permanently-denied principal still terminates).
+            # ALL subresponses must be 401/403: an expired token fails
+            # the whole request, whereas a row-level 403 in a mixed
+            # batch is a per-record authorization error — resending
+            # that batch would re-apply the already-succeeded rows.
             on_auth_error()
             auth_retries += 1
             statuses = attempt_once()
@@ -282,9 +286,12 @@ def read_paged_partitioned(
     names = [f.name for f in schema.fields]
     sel = list(select)
 
+    # range-partition on a slice index: exactly one slice per partition
+    # (hash repartitioning on the filter string can collide two slices
+    # into one task and leave another idle)
     sl = spark.createDataFrame(
-        [(s,) for s in slices], "slice_filter string"
-    ).repartition(len(slices), "slice_filter")
+        [(i, s) for i, s in enumerate(slices)], "slice_idx int, slice_filter string"
+    ).repartitionByRange(len(slices), "slice_idx")
 
     def fetch_slices(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         fetch = fetch_factory()

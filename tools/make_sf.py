@@ -67,66 +67,49 @@ def main() -> None:
     # dimensions stay fixed (region/nation cardinality is part of the schema)
     copy("region")
     copy("nation")
+    # SELECT * REPLACE keeps every column of whatever schema the
+    # fixtures carry — only keys (and key-derived names) are rewritten
     copy(
         "customer",
-        "SELECT c_custkey + {i} * "
-        + str(n["customer"])
-        + " AS c_custkey, 'Customer#' || lpad(CAST(c_custkey + {i} * "
-        + str(n["customer"])
-        + " AS VARCHAR), 9, '0') AS c_name, c_nationkey, c_acctbal, c_mktsegment FROM {src}",
+        "SELECT * REPLACE (c_custkey + {i} * " + str(n["customer"]) + " AS c_custkey, "
+        + "'Customer#' || lpad(CAST(c_custkey + {i} * " + str(n["customer"])
+        + " AS VARCHAR), 9, '0') AS c_name) FROM {src}",
     )
     copy(
         "supplier",
-        "SELECT s_suppkey + {i} * "
-        + str(n["supplier"])
-        + " AS s_suppkey, 'Supplier#' || lpad(CAST(s_suppkey + {i} * "
-        + str(n["supplier"])
-        + " AS VARCHAR), 9, '0') AS s_name, s_nationkey, s_acctbal FROM {src}",
+        "SELECT * REPLACE (s_suppkey + {i} * " + str(n["supplier"]) + " AS s_suppkey, "
+        + "'Supplier#' || lpad(CAST(s_suppkey + {i} * " + str(n["supplier"])
+        + " AS VARCHAR), 9, '0') AS s_name) FROM {src}",
     )
     copy(
         "part",
-        "SELECT p_partkey + {i} * "
-        + str(n["part"])
-        + " AS p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM {src}",
+        "SELECT * REPLACE (p_partkey + {i} * " + str(n["part"]) + " AS p_partkey) FROM {src}",
     )
     copy(
         "orders",
-        "SELECT o_orderkey + {i} * "
-        + str(n["orders"])
-        + " AS o_orderkey, o_custkey + {i} * "
-        + str(n["customer"])
-        + " AS o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM {src}",
+        "SELECT * REPLACE (o_orderkey + {i} * " + str(n["orders"]) + " AS o_orderkey, "
+        + "o_custkey + {i} * " + str(n["customer"]) + " AS o_custkey) FROM {src}",
     )
     copy(
         "lineitem",
-        "SELECT l_orderkey + {i} * "
-        + str(n["orders"])
-        + " AS l_orderkey, l_partkey + {i} * "
-        + str(n["part"])
-        + " AS l_partkey, l_suppkey + {i} * "
-        + str(n["supplier"])
-        + " AS l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
-        + "l_returnflag, l_linestatus, l_shipdate FROM {src}",
+        "SELECT * REPLACE (l_orderkey + {i} * " + str(n["orders"]) + " AS l_orderkey, "
+        + "l_partkey + {i} * " + str(n["part"]) + " AS l_partkey, "
+        + "l_suppkey + {i} * " + str(n["supplier"]) + " AS l_suppkey) FROM {src}",
     )
     copy(
         "events",
-        "SELECT event_id + {i} * "
-        + str(n["events"])
-        + " AS event_id, ts, user_id + {i} * "
-        + str(n["customer"])
-        + " AS user_id, event_type, value, props FROM {src}",
+        "SELECT * REPLACE (event_id + {i} * " + str(n["events"]) + " AS event_id, "
+        + "user_id + {i} * " + str(n["customer"]) + " AS user_id) FROM {src}",
     )
+    # SELECT * REPLACE keeps every column (documents carries extra
+    # metadata columns like `source`) — only the key is offset
     copy(
         "documents",
-        "SELECT doc_id + {i} * "
-        + str(n["documents"])
-        + " AS doc_id, text, lang, n_chars FROM {src}",
+        "SELECT * REPLACE (doc_id + {i} * " + str(n["documents"]) + " AS doc_id) FROM {src}",
     )
     copy(
         "embeddings",
-        "SELECT vec_id + {i} * "
-        + str(n["embeddings"])
-        + " AS vec_id, embedding, label FROM {src}",
+        "SELECT * REPLACE (vec_id + {i} * " + str(n["embeddings"]) + " AS vec_id) FROM {src}",
     )
 
 
