@@ -22,8 +22,10 @@ through.
 
 from __future__ import annotations
 
+import json
 import math
 import os
+import time
 from collections.abc import Sequence
 from functools import reduce
 from operator import and_, or_
@@ -84,7 +86,8 @@ class ParquetKeyedTable:
         writer.parquet(self._snapshot_dir(new_v))
         return new_v
 
-    def _flip(self, new_v: int) -> int:
+    def _flip(self, new_v: int, operation: str = "commit") -> int:
+        self._write_manifest(new_v, operation)
         os.makedirs(self.path, exist_ok=True)
         tmp = self._latest_file() + ".tmp"
         with open(tmp, "w") as f:
@@ -92,8 +95,67 @@ class ParquetKeyedTable:
         os.replace(tmp, self._latest_file())  # atomic pointer flip
         return new_v
 
-    def _commit(self, df: DataFrame) -> int:
-        return self._flip(self._write_snapshot(df))
+    def _write_manifest(self, version: int, operation: str) -> None:
+        """Per-version commit manifest (Delta's transaction-log entry,
+        file-listing flavor): data files with sizes, linked-vs-written
+        split, operation name, wall time. Written BEFORE the pointer
+        flip (underscore-prefixed, so Spark's reader and the data-file
+        walks both skip it), so a manifest always exists for the version `_LATEST`
+        names; a crash between manifest and flip leaves an unreferenced
+        version directory, never a referenced-but-unmanifested one."""
+        snap = self._snapshot_dir(version)
+        files = []
+        for d, _dirs, fs in os.walk(snap):
+            for f in fs:
+                if f.startswith(("_", ".")):
+                    continue
+                full = os.path.join(d, f)
+                st = os.stat(full)
+                files.append(
+                    {
+                        "path": os.path.relpath(full, snap),
+                        "bytes": st.st_size,
+                        # hard-linked from the previous snapshot (carried
+                        # forward untouched) iff the inode is shared
+                        "linked": st.st_nlink > 1,
+                    }
+                )
+        manifest = {
+            "version": version,
+            "operation": operation,
+            "timestamp": time.time(),
+            "key_cols": self.key_cols,
+            "partition_by": self.partition_by,
+            "n_files": len(files),
+            "n_linked": sum(1 for f in files if f["linked"]),
+            "total_bytes": sum(f["bytes"] for f in files),
+            "files": sorted(files, key=lambda f: f["path"]),
+        }
+        with open(os.path.join(snap, "_manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    def manifest(self, version: int | None = None) -> dict | None:
+        v = self.current_version() if version is None else version
+        p = os.path.join(self._snapshot_dir(v), "_manifest.json")
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def history(self) -> list[dict]:
+        """All committed versions' manifests, newest first (Delta's
+        DESCRIBE HISTORY): operation, file counts, linked/written
+        split, bytes — the audit trail for what each commit touched."""
+        out = []
+        for v in range(self.current_version(), -1, -1):
+            m = self.manifest(v)
+            if m is not None:
+                out.append(m)
+        return out
+
+    def _commit(self, df: DataFrame, operation: str = "commit") -> int:
+        return self._flip(self._write_snapshot(df), operation)
 
     def _link_untouched_partitions(self, old_v: int, new_v: int) -> None:
         """Carry partitions absent from the new snapshot forward as hard
@@ -120,7 +182,7 @@ class ParquetKeyedTable:
     # -- operations ----------------------------------------------------------
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit(df)
+        return self._commit(df, "overwrite")
 
     def upsert(
         self,
@@ -168,7 +230,7 @@ class ParquetKeyedTable:
             source = source.dropDuplicates(self.key_cols)
         target = self.read(spark)
         if target is None:
-            return self._commit(source)
+            return self._commit(source, "upsert")
         if (
             self.partition_by
             and set(self.partition_by) <= set(self.key_cols)
@@ -176,7 +238,7 @@ class ParquetKeyedTable:
         ):
             return self._partition_scoped_upsert(target, source)
         merged = merge_upsert(target, source, self.key_cols, evolve_schema=evolve_schema)
-        return self._commit(merged)
+        return self._commit(merged, "upsert")
 
     def _partition_scoped_upsert(self, target: DataFrame, source: DataFrame) -> int:
         # The partition columns are part of the key, so a key can never
@@ -198,13 +260,13 @@ class ParquetKeyedTable:
         merged = merge_upsert(target.where(pred), source, self.key_cols)
         new_v = self._write_snapshot(merged)
         self._link_untouched_partitions(old_v, new_v)
-        return self._flip(new_v)
+        return self._flip(new_v, "partition_upsert")
 
     def delete_keys(self, spark: SparkSession, keys_df: DataFrame) -> int:
         target = self.read(spark)
         if target is None:
             return self.current_version()
-        return self._commit(delete_matching(target, keys_df, self.key_cols))
+        return self._commit(delete_matching(target, keys_df, self.key_cols), "delete")
 
     def compact(self, spark: SparkSession, target_file_bytes: int = 128 << 20) -> int:
         """Rewrite the current snapshot into right-sized files (Delta's
@@ -225,8 +287,8 @@ class ParquetKeyedTable:
             os.path.getsize(os.path.join(d, f))
             for d, _, fs in os.walk(snap)
             for f in fs
-            if not f.startswith(("_", "."))
+            if not f.startswith(("_", ".")) 
         )
         n = max(1, math.ceil(size / max(1, target_file_bytes)))
         compacted = target.repartition(n, *self.key_cols).sortWithinPartitions(*self.key_cols)
-        return self._commit(compacted)
+        return self._commit(compacted, "compact")

@@ -868,3 +868,26 @@ def test_table_lifecycle_key_failure_raises():
     lc = TableLifecycle(FailingClient(), sleep=lambda s: None)
     with pytest.raises(RuntimeError, match="key build failed"):
         lc.provision(_daily_sales_spec())
+
+
+def test_manifest_and_history_track_commits(spark, tmp_path):
+    """Every commit writes a _manifest.json (Delta's DESCRIBE HISTORY
+    analogue): operation name, file counts, and — for partition-scoped
+    merges — the linked-vs-written split that proves untouched
+    partitions were carried forward, not rewritten."""
+    t = ParquetKeyedTable(str(tmp_path / "mt"), ["d", "k"], partition_by=["d"])
+    t.upsert(spark, spark.createDataFrame(
+        [Row(d="2024-01-01", k="a", v=1), Row(d="2024-01-02", k="b", v=2)]))
+    t.upsert(spark, spark.createDataFrame([Row(d="2024-01-02", k="b", v=20)]))
+    t.delete_keys(spark, spark.createDataFrame([Row(d="2024-01-01", k="a")]))
+
+    hist = t.history()
+    assert [m["operation"] for m in hist] == ["delete", "partition_upsert", "upsert"]
+    assert [m["version"] for m in hist] == [2, 1, 0]
+    pu = hist[1]
+    assert pu["n_linked"] >= 1  # 2024-01-01 carried forward as hard links
+    assert pu["n_files"] > pu["n_linked"]  # 2024-01-02 rewritten
+    assert all(f["bytes"] > 0 for f in pu["files"])
+    # reading still works with the manifest in the snapshot dir
+    assert t.read(spark).count() == 1
+    assert t.manifest()["operation"] == "delete"
