@@ -150,10 +150,15 @@ def ngram_jaccard(
     Jaccard = |A∩B| / (|A| + |B| - |A∩B|), computed from distinct
     shingles via a co-group count — no arrays collected to the driver.
     """
+    # the distinct shingle table feeds FOUR consumers in one plan (both
+    # join sides + both size lookups); persist so the explode+distinct
+    # shuffle runs once instead of per-consumer (ReusedExchange only
+    # covers the identical size aggregates, not the join sides)
     sh = (
         _spread(df, id_col)
         .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_words)).alias("sh"))
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
