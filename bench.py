@@ -76,6 +76,7 @@ OPTIONAL = [
     "pack_sequences",
     "validate_expectations",
     "scd2_dimension",
+    "scd2_point_in_time",
     "o7_activity_streaks",
     "kmeans_embeddings",
 ]

@@ -170,3 +170,34 @@ def scd2_merge(
         .select(*out_cols)
     )
     return hist.unionByName(unchanged).unionByName(closed).unionByName(new_versions).unionByName(brand_new)
+
+
+def point_in_time_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Join each fact to the dimension version valid AT the fact's
+    timestamp (the query side of SCD2: ``valid_from <= ts < valid_to``,
+    open-ended current rows included).
+
+    Plan shape: an equi-join on ``keys`` with the validity range as a
+    residual predicate — one shuffle on the key, no interval blow-up,
+    because SCD2 versions of one key are few and non-overlapping (each
+    fact matches exactly one version). This is the standard
+    point-in-time dimension enrichment a fact pipeline runs against a
+    history-preserving dimension.
+    """
+    cond = None
+    for k in keys:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (dim[valid_from] <= facts[ts_col])
+        & (dim[valid_to].isNull() | (facts[ts_col] < dim[valid_to]))
+    )
+    return facts.join(dim, cond)

@@ -3619,6 +3619,81 @@ def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD2 point-in-time enrichment — the QUERY side of the history-
+# preserving dimension: each fact joins the dimension version valid at
+# the fact's date (valid_from <= d < valid_to, open-ended current).
+# 1996 orders see the original segment; 1997 orders of active-in-1997
+# customers see ACTIVE97. Equi-join on the key with the validity range
+# as residual predicate — one shuffle, no interval blowup (versions per
+# key are few and non-overlapping).
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_point_in_time",
+    oracle="""
+WITH active97 AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997),
+dim AS (SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer),
+scd AS (
+  SELECT d.custkey, d.segment, DATE '1992-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to
+  FROM dim d LEFT JOIN active97 a USING (custkey) WHERE a.custkey IS NULL
+  UNION ALL
+  SELECT d.custkey, d.segment, DATE '1992-01-01', DATE '1997-01-01'
+  FROM dim d JOIN active97 a USING (custkey)
+  UNION ALL
+  SELECT a.custkey, 'ACTIVE97', DATE '1997-01-01', CAST(NULL AS DATE)
+  FROM active97 a
+),
+facts AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+)
+SELECT CAST(year(od) AS BIGINT) AS y, s.segment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_total
+FROM facts f JOIN scd s
+  ON f.custkey = s.custkey
+ AND s.valid_from <= f.od AND (s.valid_to IS NULL OR f.od < s.valid_to)
+GROUP BY 1, 2
+""",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dim = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        o.filter(F.year("o_orderdate") == 1997)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+        .withColumn("segment", F.lit("ACTIVE97"))
+        .withColumn("eff", F.lit("1997-01-01").cast("date"))
+    )
+    scd = merge.scd2_merge(dim, updates, ["custkey"], ["segment"], "eff")
+    facts = o.filter(F.year("o_orderdate").isin(1996, 1997)).select(
+        F.col("o_custkey").alias("f_custkey"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        "o_totalprice",
+    )
+    enriched = merge.point_in_time_lookup(
+        facts.withColumnRenamed("f_custkey", "custkey").alias("f"),
+        scd.alias("d"),
+        ["custkey"],
+        "od",
+    )
+    return enriched.groupBy(
+        F.year("od").cast("bigint").alias("y"), F.col("d.segment").alias("segment")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        aggregate.exact_sum("o_totalprice").alias("sum_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD Type 2 merge — attribute-history-preserving dimension maintenance
 # (the pattern the reference's overwrite-upsert cannot express): when a
 # tracked attribute changes, the current row is closed at the effective
