@@ -51,6 +51,7 @@ OPTIONAL = [
     "q7_volume_shipping",
     "q10_returned_items",
     "q14_promo_revenue",
+    "q19_disjunctive_revenue",
     "j5_asof_join",
     "j6_range_join_counts",
     "rollup_hierarchy",

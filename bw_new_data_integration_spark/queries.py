@@ -2293,6 +2293,43 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q19-shape — disjunctive join predicate (OR of brand/size/quantity
+# conjunctions): the optimizer stress-case. Catalyst extracts the
+# common p_partkey equi-key, pushes the part-only conjuncts
+# (brand, size) into the dimension scan via CNF conversion, and leaves
+# the cross-table residual on the join — the fact side is never
+# expanded. exact decimal revenue as everywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 45)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 45))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,6)")
+    return j.filter(cond).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream join: watermarked interval self-join of the event
 # stream (probe x trailing quotes), driven with availableNow. The
 # oracle is the equivalent batch theta-join — streaming state

@@ -328,3 +328,18 @@ def test_pack_sequences_respects_budget(spark):
     )
     for r in bins:
         assert r["total"] - r["biggest"] < budget, dict(r.asDict())
+
+
+def test_q19_disjunctive_predicates_push_into_both_scans(spark):
+    """Catalyst must extract per-table conjuncts from the OR-of-ANDs
+    join predicate and push them into BOTH parquet scans (CNF
+    conversion) — at 100 TB an unpushed disjunction reads the whole
+    fact table."""
+    df = q.registry()["q19_disjunctive_revenue"](spark, SF_SMALL)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    part_scan = next(ln for ln in scans if "part.parquet" in ln)
+    li_scan = next(ln for ln in scans if "lineit" in ln)
+    assert "p_brand" in part_scan and "p_size" in part_scan, part_scan[:300]
+    assert "l_quantity" in li_scan, li_scan[:300]
