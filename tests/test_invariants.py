@@ -343,3 +343,43 @@ def test_q19_disjunctive_predicates_push_into_both_scans(spark):
     li_scan = next(ln for ln in scans if "lineit" in ln)
     assert "p_brand" in part_scan and "p_size" in part_scan, part_scan[:300]
     assert "l_quantity" in li_scan, li_scan[:300]
+
+
+def test_hash_threshold_sample_is_composable(spark):
+    """Claimed property: sampling at rate a then rate b keeps exactly
+    the rate-min(a,b) set (the kept set is a hash prefix), which is
+    what makes repeated downsampling reproducible."""
+    from bw_new_data_integration_spark import catalog
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = catalog.load(spark, SF_SMALL, "documents")
+    twice = sampling.hash_threshold_sample(
+        sampling.hash_threshold_sample(docs, "doc_id", 0.5), "doc_id", 0.2
+    )
+    once = sampling.hash_threshold_sample(docs, "doc_id", 0.2)
+    assert sorted(r["doc_id"] for r in twice.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in once.select("doc_id").collect()
+    )
+
+
+def test_point_in_time_lookup_picks_exactly_one_version(spark):
+    """Each fact matches exactly the dimension version whose validity
+    interval contains its timestamp — closed history rows for old
+    facts, the open current row for new ones, never both."""
+    from bw_new_data_integration_spark.operators import merge as mg
+
+    dim = spark.createDataFrame(
+        [
+            (1, "OLD", "2020-01-01", "2022-01-01"),
+            (1, "NEW", "2022-01-01", None),
+            (2, "ONLY", "2020-01-01", None),
+        ],
+        "k bigint, seg string, valid_from string, valid_to string",
+    )
+    facts = spark.createDataFrame(
+        [(1, "2021-06-01"), (1, "2022-06-01"), (2, "2020-02-01")],
+        "fk bigint, ts string",
+    ).withColumnRenamed("fk", "k")
+    out = mg.point_in_time_lookup(facts, dim, ["k"], "ts")
+    got = sorted((r["ts"], r["seg"]) for r in out.collect())
+    assert got == [("2020-02-01", "ONLY"), ("2021-06-01", "OLD"), ("2022-06-01", "NEW")]
