@@ -73,6 +73,7 @@ OPTIONAL = [
     "s8_excel_roundtrip",
     "k5_schema_evolution",
     "s1_xmla_partitioned",
+    "s11_orc_roundtrip",
     "mixture_balance",
     "pack_sequences",
     "validate_expectations",

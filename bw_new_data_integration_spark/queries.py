@@ -3354,6 +3354,40 @@ def k5_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S11 — ORC round-trip: the engine's second columnar format (built into
+# Spark; Hive-ecosystem tables arrive as ORC as often as parquet).
+# Orders is staged to ORC with the writer, read back with an explicit
+# schema, and aggregated — proving the serialization is lossless for
+# every scalar type the engine's data model uses (bigint, double,
+# timestamp, string). The oracle recomputes from the parquet source.
+# ---------------------------------------------------------------------------
+@register(
+    "s11_orc_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_total,
+       CAST(MIN(o_orderdate) AS VARCHAR) AS min_date,
+       CAST(MAX(o_orderdate) AS VARCHAR) AS max_date
+FROM orders GROUP BY 1
+""",
+)
+def s11_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="bw_orc_src_") + "/orders_orc"
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        aggregate.exact_sum("o_totalprice").alias("sum_total"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quantile binning — curriculum-style bucketing by exact decile
 # boundaries. Deliberately NOT ntile(): an unpartitioned ranking window
 # forces every row into one task, which is exactly what dies at 100 TB.
