@@ -68,6 +68,7 @@ OPTIONAL = [
     "profile_table_approx",
     "s9_odata_scan",
     "split_leakage_free",
+    "split_neardup_safe",
     "contamination_check",
     "pii_redaction",
     "s8_excel_roundtrip",

@@ -2604,7 +2604,11 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One generated oracle replays every stage.
 # ---------------------------------------------------------------------------
 def _dedup_e2e_oracle(
-    num_hashes: int = 12, bands: int = 4, threshold: float = 0.5, max_iter: int = 5
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_iter: int = 5,
+    final_select: str | None = None,
 ) -> str:
     rpb = num_hashes // bands
     mins = ",\n       ".join(
@@ -2664,9 +2668,12 @@ edges AS (
 ),
 l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)"""
         + "".join(prop)
-        + f"""
-SELECT doc_id, lbl AS cluster_id, lbl = doc_id AS is_canonical FROM l{max_iter}
-"""
+        + "\n"
+        + (
+            final_select
+            or f"SELECT doc_id, lbl AS cluster_id, lbl = doc_id AS is_canonical FROM l{max_iter}"
+        ).format(labels=f"l{max_iter}")
+        + "\n"
     )
 
 
@@ -2676,6 +2683,45 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dedup.minhash_lsh_candidates(docs, num_hashes=12, bands=4)
     verified = dedup.ngram_jaccard(docs, pairs=cands, threshold=0.5).select("a_id", "b_id")
     return dedup.cluster_duplicates(docs.select("doc_id"), verified, max_iter=5)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup-aware split — the STRONG leakage guarantee: split assignment
+# is keyed on the duplicate CLUSTER id (LSH -> Jaccard-verify ->
+# connected components), so near-duplicates — not just byte-identical
+# copies — always land in the same split. split_leakage_free's
+# fingerprint key only catches exact dups; a paraphrased or
+# near-duplicated eval doc leaks through it, and this closes that hole.
+# ---------------------------------------------------------------------------
+@register(
+    "split_neardup_safe",
+    oracle=_dedup_e2e_oracle(
+        final_select="""
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_clusters
+FROM (
+  SELECT doc_id, lbl,
+         CAST(('0x' || substring(md5(CAST(lbl AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 100 AS bucket
+  FROM {labels}
+) GROUP BY 1"""
+    ),
+)
+def split_neardup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=12, bands=4)
+    verified = dedup.ngram_jaccard(docs, pairs=cands, threshold=0.5).select("a_id", "b_id")
+    clusters = dedup.cluster_duplicates(docs.select("doc_id"), verified, max_iter=5)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    return clusters.select(split.alias("split"), "cluster_id").groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )
 
 
 # ---------------------------------------------------------------------------
