@@ -40,11 +40,29 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Run ``max_iter`` Lloyd iterations; returns (id_col, cluster).
+    """Run ``max_iter`` Lloyd iterations; returns (id_col, cluster)."""
+    assigned, _ = kmeans_fit(
+        spark, emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    return assigned
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 10,
+    max_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[int]]:
+    """Run ``max_iter`` Lloyd iterations; returns ((id_col, cluster), inertias).
 
     ``cluster`` is the row index 0..k-1 of the centroid table, which is
     re-derived per iteration; cluster ids are stable because both init
-    and updates order centroids by construction.
+    and updates order centroids by construction. ``inertias`` is the
+    assignment-time objective per iteration, accumulated as floor-scaled
+    1e-6 integers (bit-stable under any partial-agg order) — Lloyd's
+    guarantees it is nonincreasing, which kmeans_embeddings' oracle gates.
     """
     data = emb.select(id_col, vec_col).localCheckpoint(eager=True)
 
@@ -55,6 +73,7 @@ def kmeans_assign(
     ]
 
     assigned = None
+    inertias: list[int] = []
     for _ in range(max_iter):
         cdf = F.broadcast(
             spark.createDataFrame(
@@ -67,9 +86,19 @@ def kmeans_assign(
             .withColumn("d2", _dist2(F.col(vec_col), F.col("cvec")))
             .groupBy(id_col)
             .agg(F.min(F.struct("d2", "cluster")).alias("best"))
-            .select(id_col, F.col("best.cluster").alias("cluster"))
+            .select(
+                id_col,
+                F.col("best.cluster").alias("cluster"),
+                F.col("best.d2").alias("d2"),
+            )
             .localCheckpoint(eager=True)
         )
+        inertias.append(
+            assigned.agg(
+                F.sum(F.floor(F.col("d2") * SCALE).cast("bigint")).alias("i")
+            ).collect()[0]["i"]
+        )
+        assigned = assigned.drop("d2")
         # update: integer-exact scaled component sums, k*dim rows total
         sums = (
             data.join(assigned, id_col)
@@ -90,4 +119,4 @@ def kmeans_assign(
             else centroids[i]  # empty cluster keeps its previous centroid
             for i in range(len(centroids))
         ]
-    return assigned
+    return assigned, inertias
