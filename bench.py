@@ -207,6 +207,19 @@ def main() -> None:
     print(f"# skew_agg plain={per_query['skew_agg_plain']}s "
           f"salted={per_query['skew_agg_salted']}s", file=sys.stderr)
 
+    # noise floor: re-time one cheap and one mid-weight query 3x so the
+    # recorded numbers carry their own run-to-run variance estimate
+    noise: dict[str, list[float]] = {}
+    for name in ("a1_pricing_summary", "pipeline_daily_sales"):
+        samples = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            registry[name](spark, sf_dir).count()
+            samples.append(round(time.time() - t0, 3))
+        noise[name] = samples
+    print(f"# noise_probe: {noise}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -215,6 +228,20 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "noise_probe_3x": noise,
+                "method": {
+                    "discipline": "cache-cold-per-query",
+                    "detail": (
+                        "codegen warmed once at sf0.001 per query; "
+                        "spark.catalog.clearCache() before each timed run; "
+                        "single process, queries sequential — run solo "
+                        "(concurrent Spark jobs inflate times ~3x). "
+                        "Totals comparable to BENCH_r02 (same discipline); "
+                        "BENCH_r01 was warm-cache and reads faster than "
+                        "like-for-like."
+                    ),
+                    "n_queries": len(per_query),
+                },
             }
         )
     )

@@ -229,6 +229,34 @@ def compile_key_template(template: str) -> Column:
     return F.concat(*parts)
 
 
+def key_validity_condition(template: str) -> Column | None:
+    """The F1/F7 required-key filter, reduced to its cheap equivalent.
+
+    The assembled key can only be NULL or empty through a NULL *date*
+    token: literal separators are non-empty, and non-date components go
+    through ``keys.clean_key_component`` which maps NULL/'' to
+    'Unknown'. So ``key IS NOT NULL AND length(key) > 0`` is exactly
+    ``every date token casts to a non-null date`` — a per-row null
+    check Catalyst pushes to the parquet scan, instead of the full
+    regex+concat key expression evaluated below the aggregate (where
+    filter pushdown would otherwise place it: at 100 TB that is a
+    regex over every scanned row for a filter that rarely drops any).
+    Returns None when the template has no date tokens (filter is a
+    tautology).
+    """
+    conds: list[Column] = []
+    for m in _TOKEN.finditer(template):
+        name, fmt = m.group(1), m.group(2)
+        if name is not None and fmt:
+            conds.append(F.col(name).cast("date").isNotNull())
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 # --- plan builder ----------------------------------------------------------
 
 
@@ -268,10 +296,12 @@ def build_plan(
         projected = projected.withColumn(
             mapping.alternate_key, compile_key_template(mapping.business_key_format)
         )
-        # F1/F7: rows must have a complete, non-empty key
-        projected = projected.filter(
-            F.col(mapping.alternate_key).isNotNull() & (F.length(mapping.alternate_key) > 0)
-        )
+        # F1/F7: rows must have a complete, non-empty key — applied in
+        # its reduced form (null-date-token check) so the pushed-down
+        # predicate is an isnotnull at the scan, not the key expression
+        validity = key_validity_condition(mapping.business_key_format)
+        if validity is not None:
+            projected = projected.filter(validity)
 
     if spec.non_empty and mapping.measures:
         cond = None
