@@ -115,8 +115,10 @@ def minhash_lsh_candidates(
     )
     # the self-join would recompute the whole shingle->signature plan
     # for each side; the bucket table is tiny (docs × bands rows), so
-    # persist it and join the cached copy against itself
-    buckets = buckets.persist()
+    # materialize it once and join the copy against itself
+    # (localCheckpoint, not persist: blocks are GC-reclaimed, no
+    # CacheManager entry for callers to leak)
+    buckets = buckets.localCheckpoint(eager=True)
     left = buckets.alias("l")
     right = buckets.alias("r")
     pairs = (
@@ -151,14 +153,16 @@ def ngram_jaccard(
     shingles via a co-group count — no arrays collected to the driver.
     """
     # the distinct shingle table feeds FOUR consumers in one plan (both
-    # join sides + both size lookups); persist so the explode+distinct
-    # shuffle runs once instead of per-consumer (ReusedExchange only
-    # covers the identical size aggregates, not the join sides)
+    # join sides + both size lookups); materialize it once via
+    # localCheckpoint rather than persist: same single computation, but
+    # the blocks are ContextCleaner-reclaimed when the result frame is
+    # dropped, whereas a persist entry lives in the CacheManager until
+    # someone explicitly unpersists — a leak for long-lived callers
     sh = (
         _spread(df, id_col)
         .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_words)).alias("sh"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -301,7 +305,7 @@ def embedding_near_dups_lsh(
         vec_col,
         norm(F.col(vec_col), dim).alias("__norm"),
         signature_col(vec_col, planes).alias("__bucket"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     a = withsig.alias("a")
     b = withsig.alias("b")
     return (

@@ -200,4 +200,10 @@ def point_in_time_lookup(
         & (dim[valid_from] <= facts[ts_col])
         & (dim[valid_to].isNull() | (facts[ts_col] < dim[valid_to]))
     )
-    return facts.join(dim, cond)
+    out = facts.join(dim, cond)
+    # the dimension's copies of the join keys would shadow the facts'
+    # (same names -> ambiguous-reference on any downstream select);
+    # keep only the facts' side
+    for k in keys:
+        out = out.drop(dim[k])
+    return out

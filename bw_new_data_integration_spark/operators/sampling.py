@@ -91,8 +91,12 @@ def pack_sequences(
     so a bin's total exceeds the budget only by (part of) its last,
     straddling document; an oversized document overflows the bin it
     lands in and later documents may share that bin. Adds ``shard``
-    and ``bin`` columns."""
-    shard = (F.col(id_col) % n_shards).cast("int")
+    and ``bin`` columns.
+
+    Shards are true hash buckets (``_hash_bucket`` = md5 prefix), so
+    any id type works — a numeric modulo would null out string ids and
+    silently collapse the packing window into one task."""
+    shard = (_hash_bucket(F.col(id_col)) % n_shards).cast("int")
     w = Window.partitionBy("shard").orderBy(F.col(id_col))
     return (
         df.withColumn("shard", shard)

@@ -3125,10 +3125,15 @@ def mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pack_sequences",
     oracle="""
-WITH t AS (
-  SELECT doc_id, n_chars, CAST(doc_id % 16 AS INT) AS shard,
-         SUM(n_chars) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS csum
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 16 AS INT) AS shard
   FROM documents
+),
+t AS (
+  SELECT doc_id, n_chars, shard,
+         SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id) AS csum
+  FROM h
 )
 SELECT shard, CAST(floor((csum - 1) / 2048.0) AS BIGINT) AS bin,
        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bin_chars
@@ -3283,9 +3288,10 @@ def s9_odata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The existing keyset comes from the TARGET table (as in the
     # reference's create-vs-update lookup), and the paged scan is
-    # persisted before the split consumes it twice (semi + anti join)
-    # — a remote paged source must never be re-fetched per branch.
-    scanned = scanned.persist()
+    # materialized (localCheckpoint: blocks are GC-reclaimed, unlike a
+    # persist entry) before the split consumes it twice (semi + anti
+    # join) — a remote paged source must never be re-fetched per branch.
+    scanned = scanned.localCheckpoint(eager=True)
     existing = c.where(F.col("c_custkey") % 3 == 0).select("c_custkey")
     to_create, to_update = merge.split_create_update(scanned, existing, ["c_custkey"])
     uni = to_create.withColumn("is_new", F.lit(1)).unionByName(

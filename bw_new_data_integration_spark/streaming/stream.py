@@ -41,9 +41,21 @@ def read_event_stream(spark: SparkSession, path: str, schema: T.StructType = EVE
 
     Both fixture generations are supported, mirroring catalog.load's
     batch path: pass a schema whose ``ts`` is LongType to read the
-    nanosecond-int64 generation (the required reader flag is set here —
-    without it the parquet reader rejects nanos before the cast branch
-    could ever run); the default schema reads the micros generation."""
+    nanosecond-int64 generation; the default schema reads the micros
+    generation.
+
+    .. warning:: the LongType branch sets
+       ``spark.sql.legacy.parquet.nanosAsLong=true`` **session-wide
+       and permanently** — the flag is consulted at every micro-batch
+       read, long after this function returns, so it cannot be
+       save/restored here. After a nanos-generation stream has been
+       opened, any OTHER query in the same session that reads a
+       TIMESTAMP(NANOS) parquet column will see it as bigint
+       nanoseconds instead of erroring. catalog.load sets the same
+       flag for the batch path, so engine-managed reads are
+       consistent either way; only sessions mixing in raw
+       ``spark.read.parquet`` calls over nanos files observe the
+       difference."""
     if isinstance(schema["ts"].dataType, T.LongType):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.readStream.schema(schema).parquet(path)
