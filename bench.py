@@ -74,6 +74,7 @@ OPTIONAL = [
     "s8_excel_roundtrip",
     "k5_schema_evolution",
     "s1_xmla_partitioned",
+    "s1_xmla_partitioned_dist",
     "s11_orc_roundtrip",
     "mixture_balance",
     "pack_sequences",
@@ -206,6 +207,73 @@ def main() -> None:
     total += per_query["skew_agg_plain"] + per_query["skew_agg_salted"]
     print(f"# skew_agg plain={per_query['skew_agg_plain']}s "
           f"salted={per_query['skew_agg_salted']}s", file=sys.stderr)
+
+    # XMLA backfill: 39 fiscal-period slices (the reference's
+    # backfill_sales_channel_by_period.sh scenario) with a simulated
+    # 20 ms SOAP round-trip per slice. Compares the driver-loop fetch
+    # (fetch_partitioned, reference parity) against the executor-side
+    # mapInPandas fetch (fetch_partitioned_distributed). Excluded from
+    # the wall total: the sleeps measure fetch *parallelism*, not
+    # engine throughput.
+    from bw_new_data_integration_spark.sources import xmla as xmla_src
+
+    o = catalog.load(spark, sf_dir, "orders")
+    prows = (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("period"), "o_orderpriority"
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .collect()
+    )
+    by_period: dict[str, list] = {}
+    for r in prows:
+        by_period.setdefault(r["period"], []).append(r)
+    periods = sorted(by_period)[:39]
+
+    def make_execute():
+        def execute(mdx: str) -> str:
+            time.sleep(0.02)  # simulated SOAP RTT
+            p = re.search(r"\[P([0-9-]+)\]", mdx).group(1)
+            rws = by_period[p]
+            axis0 = (
+                '<Tuple><Member Hierarchy="[Measures]">'
+                "<Caption>n_orders</Caption></Member></Tuple>"
+            )
+            axis1 = "".join(
+                '<Tuple><Member Hierarchy="[Order].[Priority]">'
+                f'<Caption>{r["o_orderpriority"]}</Caption></Member></Tuple>'
+                for r in rws
+            )
+            cells = "".join(
+                f'<Cell CellOrdinal="{i}"><Value>{r["n_orders"]!r}</Value></Cell>'
+                for i, r in enumerate(rws)
+            )
+            return (
+                '<root xmlns="urn:schemas-microsoft-com:xml-analysis:mddataset">'
+                f'<Axes><Axis name="Axis0"><Tuples>{axis0}</Tuples></Axis>'
+                f'<Axis name="Axis1"><Tuples>{axis1}</Tuples></Axis></Axes>'
+                f"<CellData>{cells}</CellData></root>"
+            )
+
+        return execute
+
+    maps = [{"pattern": "Priority", "field": "priority"}]
+    mdx = {p: f"SELECT ... FROM [Cube] WHERE [Time].[P{p}]" for p in periods}
+    t0 = time.time()
+    xmla_src.fetch_partitioned(spark, make_execute(), mdx, maps).count()
+    per_query["xmla_backfill39_seq"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    xmla_src.fetch_partitioned_distributed(
+        spark, make_execute, mdx, maps, ["priority"], ["n_orders"]
+    ).count()
+    per_query["xmla_backfill39_dist"] = round(time.time() - t0, 3)
+    print(
+        f"# xmla_backfill 39 slices @20ms RTT: seq="
+        f"{per_query['xmla_backfill39_seq']}s dist="
+        f"{per_query['xmla_backfill39_dist']}s "
+        f"({per_query['xmla_backfill39_seq'] / per_query['xmla_backfill39_dist']:.1f}x)",
+        file=sys.stderr,
+    )
 
     # noise floor: re-time one cheap and one mid-weight query 3x so the
     # recorded numbers carry their own run-to-run variance estimate

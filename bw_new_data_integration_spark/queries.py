@@ -1510,10 +1510,24 @@ FROM orders GROUP BY 1, 2
 """,
 )
 def s1_xmla_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.sources import xmla
+
+    execute, mdx_by_slice = _xmla_cube_fixture(spark, sf_dir)
+    df = xmla.fetch_partitioned(
+        spark, execute, mdx_by_slice, [{"pattern": "Priority", "field": "priority"}]
+    )
+    return df.select(
+        F.col("__slice").alias("fy"), "priority", "n_orders", "sum_totalprice"
+    )
+
+
+def _xmla_cube_fixture(spark: SparkSession, sf_dir: str):
+    """Shared fake-SOAP cube for the S1 queries: per-fiscal-year canned
+    responses derived from orders, plus the slice MDX map. Returns
+    (execute, mdx_by_slice)."""
     import re as _re
 
     from bw_new_data_integration_spark.operators import aggregate as _agg
-    from bw_new_data_integration_spark.sources import xmla
 
     o = _t(spark, sf_dir, "orders")
     agg_rows = (
@@ -1558,8 +1572,35 @@ def s1_xmla_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         str(y): f"SELECT ... ON COLUMNS, ... ON ROWS FROM [Cube] WHERE [Time].[FY{y}]"
         for y in sorted(by_year)
     }
-    df = xmla.fetch_partitioned(
-        spark, execute, mdx_by_slice, [{"pattern": "Priority", "field": "priority"}]
+    return execute, mdx_by_slice
+
+
+@register(
+    "s1_xmla_partitioned_dist",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS VARCHAR) AS fy,
+       o_orderpriority AS priority,
+       CAST(COUNT(*) AS DOUBLE) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_totalprice
+FROM orders GROUP BY 1, 2
+""",
+)
+def s1_xmla_partitioned_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 executor-side variant: the per-slice SOAP fetch + XML flatten
+    run on executors via xmla.fetch_partitioned_distributed (one slice
+    per partition), not in a driver loop. Same cube fixture and oracle
+    as s1_xmla_partitioned; the transport factory is pickled to the
+    workers, exactly like the S9 paged reader."""
+    from bw_new_data_integration_spark.sources import xmla
+
+    execute, mdx_by_slice = _xmla_cube_fixture(spark, sf_dir)
+    df = xmla.fetch_partitioned_distributed(
+        spark,
+        lambda: execute,
+        mdx_by_slice,
+        [{"pattern": "Priority", "field": "priority"}],
+        dim_fields=["priority"],
+        measure_fields=["n_orders", "sum_totalprice"],
     )
     return df.select(
         F.col("__slice").alias("fy"), "priority", "n_orders", "sum_totalprice"
@@ -4062,6 +4103,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kmeans_embeddings",
     "o7_activity_streaks",
     # -- round-3 additions (slots 49-50 of the window) --
+    "s1_xmla_partitioned_dist",
 ]
 
 

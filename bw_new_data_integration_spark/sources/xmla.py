@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
-from collections.abc import Callable, Iterable
+from collections.abc import Callable, Iterable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -194,6 +194,80 @@ def fetch_partitioned(
         for slice_name, mdx in mdx_by_slice.items()
     ]
     return reduce(DataFrame.unionByName, frames)
+
+
+def fetch_partitioned_distributed(
+    spark: SparkSession,
+    execute_factory: Callable[[], Callable[[str], str]],
+    mdx_by_slice: dict[str, str],
+    hierarchy_mappings: Iterable[dict[str, str]],
+    dim_fields: Sequence[str],
+    measure_fields: Sequence[str],
+) -> DataFrame:
+    """Executor-side partitioned cube read: each slice's SOAP call AND
+    its XML flatten run on an executor (``mapInPandas``, one slice per
+    partition, Arrow-batched out) — the scale form of
+    :func:`fetch_partitioned`, whose driver loop serializes the fetches
+    (parity with reference ``modules/olap_sync.py:111-151``, but a
+    bottleneck for e.g. the 39-fiscal-period backfill,
+    ``backfill_sales_channel_by_period.sh:14-25``).
+
+    Unlike the driver path, the output schema is declared, not
+    response-derived: ``dim_fields`` (strings) + ``measure_fields``
+    (doubles, numeric-with-null fallback exactly like the driver
+    path's try_cast). ``execute_factory`` is invoked executor-side, so
+    sockets/credentials are built next to their use, never pickled —
+    the same seam as odata.read_paged_partitioned.
+    """
+    import pandas as pd
+
+    slices = sorted(mdx_by_slice.items())
+    sl = spark.createDataFrame(
+        [(i, name, mdx) for i, (name, mdx) in enumerate(slices)],
+        "slice_idx int, slice_name string, mdx string",
+    ).repartitionByRange(max(len(slices), 1), "slice_idx")
+    mappings = [dict(m) for m in hierarchy_mappings]
+    dims = list(dim_fields)
+    meas = list(measure_fields)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        execute = execute_factory()
+        mapper = HierarchyMapper(mappings)
+        for pdf in batches:
+            for slice_name, mdx in zip(pdf["slice_name"], pdf["mdx"]):
+                measures, rows, cells = parse_axes_and_cells(execute(mdx))
+                if not rows:
+                    continue
+                n_m = max(len(measures), 1)
+                col_idx = {m: j for j, m in enumerate(measures)}
+                data: dict[str, list] = {"__slice": [slice_name] * len(rows)}
+                for d in dims:
+                    data[d] = [None] * len(rows)
+                for m in meas:
+                    data[m] = [None] * len(rows)
+                for ridx, tup in enumerate(rows):
+                    for hierarchy, caption in tup.items():
+                        f = mapper.field_for(hierarchy)
+                        if f in data:
+                            data[f][ridx] = caption
+                    for m in meas:
+                        j = col_idx.get(m)
+                        if j is None:
+                            continue
+                        v = cells.get(ridx * n_m + j)
+                        if v is not None:
+                            try:
+                                data[m][ridx] = float(v)
+                            except (TypeError, ValueError):
+                                pass  # string cell -> null measure, as try_cast
+                yield pd.DataFrame(data)
+
+    schema = T.StructType(
+        [T.StructField("__slice", T.StringType(), True)]
+        + [T.StructField(d, T.StringType(), True) for d in dims]
+        + [T.StructField(m, T.DoubleType(), True) for m in meas]
+    )
+    return sl.mapInPandas(run, schema)
 
 
 def build_soap_request(mdx: str, catalog: str) -> str:

@@ -243,6 +243,30 @@ def test_xmla_fetch_partitioned_unions_slices(spark):
     assert set(df.select("__slice").distinct().toPandas()["__slice"]) == {"fy2024", "fy2025"}
 
 
+def test_xmla_fetch_distributed_matches_driver_path(spark):
+    """The executor-side mapInPandas fetch must produce exactly the
+    driver-loop fetch's rows — same ordinal-invariant flatten, same
+    sparse-cell nulls, same numeric coercion — for any slice count."""
+    mdx_by_slice = {f"fy{y}": f"SELECT [FY{y}]" for y in range(2016, 2025)}  # 9 slices
+    seq = xmla.fetch_partitioned(
+        spark,
+        execute=lambda mdx: XMLA_SAMPLE,
+        mdx_by_slice=mdx_by_slice,
+        hierarchy_mappings=HIERARCHY_MAPPINGS,
+    ).select("__slice", "store_number", "calendar_date", "Net Sales", "Orders")
+    dist = xmla.fetch_partitioned_distributed(
+        spark,
+        lambda: (lambda mdx: XMLA_SAMPLE),
+        mdx_by_slice,
+        HIERARCHY_MAPPINGS,
+        dim_fields=["store_number", "calendar_date"],
+        measure_fields=["Net Sales", "Orders"],
+    ).select("__slice", "store_number", "calendar_date", "Net Sales", "Orders")
+    assert sorted(map(tuple, seq.collect())) == sorted(map(tuple, dist.collect()))
+    # one slice per input partition: parallelism == slice count
+    assert dist.rdd.getNumPartitions() == len(mdx_by_slice)
+
+
 def test_soap_envelope_contains_mdx():
     env = xmla.build_soap_request("SELECT {x} ON 0", "OARS Franchise")
     assert "<![CDATA[SELECT {x} ON 0]]>" in env and "OARS Franchise" in env
