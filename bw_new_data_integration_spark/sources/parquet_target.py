@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from functools import reduce
 from operator import and_, or_
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bw_new_data_integration_spark.operators.merge import (
@@ -213,32 +213,48 @@ class ParquetKeyedTable:
         if order_by:
             source = dedupe_latest(source, self.key_cols, order_by, desc=True)
         elif strict:
-            dup = (
-                source.groupBy(*self.key_cols)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .where(F.col("n") > 1)
-                .limit(1)
-                .collect()
+            # In-plan uniqueness assertion: a per-key window count feeds
+            # ``assert_true``, which throws from inside the merge job the
+            # moment any executor sees a duplicated key.  No separate
+            # eager probe job — the strict contract costs one extra
+            # hash-partitioning on the key (which the merge join reuses),
+            # not a second pass over the source.
+            n = F.count(F.lit(1)).over(Window.partitionBy(*self.key_cols))
+            msg = F.concat(
+                F.lit(
+                    "strict upsert: source batch has duplicate business keys (e.g. "
+                ),
+                F.to_json(F.struct(*self.key_cols)),
+                F.lit(") and no order_by to arbitrate last-write-wins"),
             )
-            if dup:
-                key = {c: dup[0][c] for c in self.key_cols}
-                raise ValueError(
-                    f"strict upsert: source batch has duplicate business keys "
-                    f"(e.g. {key}) and no order_by to arbitrate last-write-wins"
-                )
+            # assert_true returns NULL when the predicate holds, so the
+            # filter is a no-op on valid batches; it references the
+            # window column, so it cannot be pushed below the count.
+            source = (
+                source.withColumn("__key_n", n)
+                .where(F.assert_true(F.col("__key_n") <= 1, msg).isNull())
+                .drop("__key_n")
+            )
         else:
             source = source.dropDuplicates(self.key_cols)
-        target = self.read(spark)
-        if target is None:
-            return self._commit(source, "upsert")
-        if (
-            self.partition_by
-            and set(self.partition_by) <= set(self.key_cols)
-            and set(source.columns) == set(target.columns)
-        ):
-            return self._partition_scoped_upsert(target, source)
-        merged = merge_upsert(target, source, self.key_cols, evolve_schema=evolve_schema)
-        return self._commit(merged, "upsert")
+        try:
+            target = self.read(spark)
+            if target is None:
+                return self._commit(source, "upsert")
+            if (
+                self.partition_by
+                and set(self.partition_by) <= set(self.key_cols)
+                and set(source.columns) == set(target.columns)
+            ):
+                return self._partition_scoped_upsert(target, source)
+            merged = merge_upsert(target, source, self.key_cols, evolve_schema=evolve_schema)
+            return self._commit(merged, "upsert")
+        except Exception as e:  # surface the in-plan assertion as the API error
+            detail = str(e)
+            if strict and "strict upsert" in detail:
+                start = detail.index("strict upsert")
+                raise ValueError(detail[start:].splitlines()[0]) from None
+            raise
 
     def _partition_scoped_upsert(self, target: DataFrame, source: DataFrame) -> int:
         # The partition columns are part of the key, so a key can never

@@ -628,6 +628,13 @@ def test_strict_upsert_rejects_duplicate_business_keys(spark, tmp_path):
     seq = spark.createDataFrame([Row(k="a", v=1, seq=1), Row(k="a", v=2, seq=2)])
     t.upsert(spark, seq, order_by=["seq"], strict=True)
     assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {"a": 2}
+    # a unique batch passes the in-plan assertion untouched (no probe
+    # column leaks into the table, merge proceeds in the same job)
+    ok = spark.createDataFrame([Row(k="b", v=9, seq=1), Row(k="c", v=10, seq=2)])
+    t.upsert(spark, ok, strict=True)
+    snap = t.read(spark)
+    assert set(snap.columns) == {"k", "v", "seq"}
+    assert {r["k"]: r["v"] for r in snap.collect()} == {"a": 2, "b": 9, "c": 10}
 
 
 # --- S9: OData paged reader ------------------------------------------------
