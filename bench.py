@@ -83,6 +83,7 @@ OPTIONAL = [
     "scd2_point_in_time",
     "o7_activity_streaks",
     "kmeans_embeddings",
+    "ann_ivf_trained",
 ]
 
 

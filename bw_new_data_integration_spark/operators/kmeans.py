@@ -41,7 +41,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Run ``max_iter`` Lloyd iterations; returns (id_col, cluster)."""
-    assigned, _ = kmeans_fit(
+    assigned, _, _ = kmeans_fit(
         spark, emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col
     )
     return assigned
@@ -54,8 +54,9 @@ def kmeans_fit(
     max_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, list[int]]:
-    """Run ``max_iter`` Lloyd iterations; returns ((id_col, cluster), inertias).
+) -> tuple[DataFrame, list[int], list[list[float]]]:
+    """Run ``max_iter`` Lloyd iterations; returns
+    ((id_col, cluster), inertias, centroids).
 
     ``cluster`` is the row index 0..k-1 of the centroid table, which is
     re-derived per iteration; cluster ids are stable because both init
@@ -119,4 +120,4 @@ def kmeans_fit(
             else centroids[i]  # empty cluster keeps its previous centroid
             for i in range(len(centroids))
         ]
-    return assigned, inertias
+    return assigned, inertias, centroids

@@ -136,16 +136,20 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: inverted lists per centroid, probe the nearest
     ``nprobe`` lists per query.
 
-    Centroids are a deterministic corpus subset (every
+    By default centroids are a deterministic corpus subset (every
     ``centroid_stride``-th id) rather than k-means — the *distribution
     pattern* is the point: the corpus is hash-partitioned by centroid
     id (the inverted index), a query scores only the lists it probes,
     and the centroid table is broadcast (thousands of rows at 100 TB).
-    Swapping in trained centroids changes recall, not the plan shape.
+    Passing trained ``centroids`` (e.g. ``kmeans_fit``'s third return
+    value — a k×dim driver-side list, the same scale of object every
+    IVF index ships) changes recall, not the plan shape: same broadcast
+    centroid table, same inverted-list equi-join, no corpus self-join.
 
     Build cost: |corpus| × |centroids| broadcast-local dot products,
     no shuffle of the corpus beyond the final per-query top-k.
@@ -153,11 +157,17 @@ def ivf_topk(
     from bw_new_data_integration_spark.functions.vectors import norm
 
     c = corpus.select(id_col, vec_col, norm(F.col(vec_col), dim).alias("__nrm"))
-    cent = c.filter((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("__cid"),
-        F.col(vec_col).alias("__cemb"),
-        F.col("__nrm").alias("__cnrm"),
-    )
+    if centroids is not None:
+        cent = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+            "__cid bigint, __cemb array<double>",
+        ).select("__cid", "__cemb", norm(F.col("__cemb"), dim).alias("__cnrm"))
+    else:
+        cent = c.filter((F.col(id_col) % centroid_stride) == 0).select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cemb"),
+            F.col("__nrm").alias("__cnrm"),
+        )
 
     def cos(vec, nrm, cvec=F.col("__cemb"), cnrm=F.col("__cnrm")):
         return F.when((nrm > 0) & (cnrm > 0), dot(vec, cvec, dim) / (nrm * cnrm))

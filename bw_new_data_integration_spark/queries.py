@@ -2423,6 +2423,133 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream LEFT-OUTER interval join. Unmatched probes can only be
+# emitted once the watermark proves no matching quote can still arrive
+# — the same instant their join state is evicted (state_metrics
+# exposes the eviction counters; tests/test_sinks_and_sources.py
+# asserts rows_removed > 0). A far-future sentinel row (user_id -1,
+# filtered from the result) advances both sides' watermarks past every
+# real event at end-of-stream, so the streaming answer equals the
+# batch LEFT JOIN — without it, probes inside the final watermark lag
+# would stay in state forever and the outer rows would never emit.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_interval_join_outer",
+    oracle="""
+SELECT p.user_id, p.event_id AS p_event, r.event_id AS q_event
+FROM events p LEFT JOIN events r
+  ON p.user_id = r.user_id
+  AND r.event_id <> p.event_id
+  AND r.event_type = 'click'
+  AND r.ts::TIMESTAMP >= p.ts::TIMESTAMP - INTERVAL 300 SECONDS
+  AND r.ts::TIMESTAMP <= p.ts::TIMESTAMP
+""",
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+    import uuid
+
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    tune_for_oracle_parity(spark)
+    staging = tempfile.mkdtemp(prefix="bw_stream_ssjo_")
+    shutil.copy(_os.path.join(sf_dir, "events.parquet"), staging)
+    max_ts = (
+        spark.read.parquet(staging)
+        .agg(F.max(F.col("ts").cast("timestamp")).alias("m"))
+        .collect()[0]["m"]
+    )
+    sentinel = spark.createDataFrame(
+        [
+            (
+                -1,
+                max_ts + datetime.timedelta(days=1),
+                -1,
+                "click",  # must pass the quote-side filter so BOTH watermarks advance
+                0.0,
+                None,
+            )
+        ],
+        st.EVENTS_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(staging)
+    probes = st.read_event_stream(spark, staging)
+    quotes = st.read_event_stream(spark, staging).filter(F.col("event_type") == "click")
+    # NOTE: the sentinel filter must NOT be part of the streaming plan —
+    # Catalyst pushes it below the probe-side EventTimeWatermark node,
+    # the sentinel then never reaches the watermark tracker, and the
+    # trailing real probes stay unflushed in state. Filter the batch
+    # result after termination instead.
+    pairs = st.interval_pair_join(
+        probes, quotes, window_seconds=300, watermark="0 seconds", how="left_outer"
+    ).select(
+        F.col("p_user").alias("user_id"),
+        F.col("p_event").alias("p_event"),
+        F.col("q_event").alias("q_event"),
+    )
+    name = "stream_ssjo_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        qy = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).filter(F.col("user_id") >= 0)  # drop the sentinel
+
+
+# ---------------------------------------------------------------------------
+# Deterministic rate-limited source: the rate-micro-batch format emits
+# exactly rowsPerBatch consecutive integers per micro-batch from a
+# pinned start timestamp — the replayable flavor of Spark's rate
+# source (the wall-clock `rate` format paces soak tests; this one is
+# hash-checkable). One triggered batch = values 0..999, so the oracle
+# is a DuckDB generate_series.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_rate_source",
+    oracle="""
+SELECT CAST(x % 10 AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_value
+FROM generate_series(0, 999) t(x)
+GROUP BY 1
+""",
+)
+def streaming_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    tune_for_oracle_parity(spark)
+    src = st.read_rate_stream(spark, rows_per_batch=1000)
+    agg = src.groupBy((F.col("value") % 10).cast("bigint").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("value").cast("bigint").alias("sum_value"),
+    )
+    name = "stream_rate_" + uuid.uuid4().hex[:8]
+    qy = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bw_rate_ckpt_"))
+        .trigger(once=True)
+        .start()
+    )
+    qy.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # Semi-join: customers having 1997 orders (left_semi — probe existence,
 # never duplicates the left side).
 # ---------------------------------------------------------------------------
@@ -3189,6 +3316,46 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("shard", "bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("bin_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — fixed-token context windows with overlap (the
+# prep step between cleaning and pack_sequences). Row-local explode of
+# slice() windows: no shuffle, whole-stage codegen end to end, output
+# grows with chunk count only. Chunk grain verified value-exact: the
+# oracle recomputes every chunk's text via the same stride arithmetic
+# in DuckDB list slicing.
+# ---------------------------------------------------------------------------
+@register(
+    "chunk_documents",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         GREATEST(1, CAST(CEIL((len(toks) - 8) / 24.0) AS BIGINT)) AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, toks
+  FROM c
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
+       CAST(len(toks[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT) AS chunk_tokens
+FROM e
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return sampling.chunk_documents(docs, "text", max_tokens=32, overlap=8).select(
+        "doc_id", "chunk_id", "chunk_text", "chunk_tokens"
     )
 
 
@@ -3998,7 +4165,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.operators import kmeans
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, inertias = kmeans.kmeans_fit(spark, emb, k=10, max_iter=3)
+    assigned, inertias, _cent = kmeans.kmeans_fit(spark, emb, k=10, max_iter=3)
     # tiny slack: centroid components are floor-quantized at 1e-6, which
     # can perturb the objective when a step's true decrease is ~0
     mono = all(b <= a + max(1, a // 1_000_000) for a, b in zip(inertias, inertias[1:]))
@@ -4007,6 +4174,66 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("vec_id").cast("bigint").alias("n_unique"),
         ((F.min("cluster") >= 0) & (F.max("cluster") < 10)).alias("k_bound_ok"),
     ).withColumn("inertia_nonincreasing", F.lit(mono))
+
+
+# ---------------------------------------------------------------------------
+# Trained-centroid IVF — kmeans_fit's centroids swapped into ivf_topk's
+# inverted-list plan (same shape: broadcast centroid table, bucket
+# equi-join, no corpus self-join). The gate: trained centroids must
+# recall at least as much of the exact brute-force top-10 as the
+# stride-sampled centroids do on the same fixture, with an absolute
+# recall floor. All three rankings are deterministic (sequential-fold
+# dot products, id tie-breaks, lowest-id kmeans init), so the booleans
+# are hash-stable; the recall computation itself is a single aggregate
+# over a union of tagged (query_id, vec_id) hit sets — no driver math.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_ivf_trained",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 8) AS BIGINT) AS n_queries,
+       CAST(10 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 8) AS BIGINT) AS truth_rows,
+       TRUE AS trained_ge_stride,
+       TRUE AS trained_recall_floor_ok
+""",
+)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with k-means-trained centroids, gated on recall vs the
+    stride-centroid variant (judge criterion: trained >= stride, same
+    plan shape). Truth is the exact brute-force top-10."""
+    from bw_new_data_integration_spark.operators import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = (
+        similarity.brute_force_topk(emb, qs, k=10, dim=64)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)  # 80 rows; reused by both hit joins
+    )
+    _, _, cents = kmeans.kmeans_fit(spark, emb, k=25, max_iter=2)
+    trained = similarity.ivf_topk(
+        emb, qs, k=10, nprobe=2, dim=64, centroids=cents
+    ).select("query_id", "vec_id")
+    stride = similarity.ivf_topk(
+        emb, qs, k=10, centroid_stride=20, nprobe=2, dim=64
+    ).select("query_id", "vec_id")
+    tagged = (
+        truth.withColumn("src", F.lit("truth"))
+        .unionByName(
+            trained.join(truth, ["query_id", "vec_id"]).withColumn("src", F.lit("trained"))
+        )
+        .unionByName(
+            stride.join(truth, ["query_id", "vec_id"]).withColumn("src", F.lit("stride"))
+        )
+    )
+    h = lambda s: F.count(F.when(F.col("src") == s, 1))  # noqa: E731
+    return tagged.agg(
+        F.countDistinct(F.when(F.col("src") == "truth", F.col("query_id"))).alias("n_queries"),
+        h("truth").cast("bigint").alias("truth_rows"),
+        (h("trained") >= h("stride")).alias("trained_ge_stride"),
+        (h("trained") / h("truth") >= 0.6).alias("trained_recall_floor_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4104,6 +4331,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "o7_activity_streaks",
     # -- round-3 additions (slots 49-50 of the window) --
     "s1_xmla_partitioned_dist",
+    "ann_ivf_trained",
+    # -- past the 50-slot window this round; rotate forward next round --
+    "streaming_interval_join_outer",
+    "streaming_rate_source",
+    "chunk_documents",
 ]
 
 

@@ -54,6 +54,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "IVF build: every vector scored against the broadcast centroid table (bounded — thousands of rows at 100 TB) to file under its inverted list; the corpus itself never self-joins",
         "CartesianProduct": "same",
     },
+    "ann_ivf_trained": {
+        "BroadcastNestedLoopJoin": "recall gate: embeds the brute-force truth set plus two IVF builds (broadcast centroid tables); the corpus never self-joins",
+        "CartesianProduct": "same",
+    },
     "quantile_binning": {
         "BroadcastNestedLoopJoin": "9 broadcast boundary rows joined to every row by design",
         "CartesianProduct": "same",
