@@ -128,11 +128,60 @@ def run_stream_once(spark: SparkSession, source_path: str, target: ParquetKeyedT
     return q
 
 
+def read_rate_stream(
+    spark: SparkSession,
+    rows_per_batch: int = 1000,
+    n_partitions: int = 8,
+    start_timestamp_ms: int = 1_700_000_000_000,
+    advance_ms_per_batch: int = 1000,
+) -> DataFrame:
+    """Deterministic rate-limited source (``rate-micro-batch``): batch
+    *b* is exactly rows ``b*rows_per_batch .. (b+1)*rows_per_batch-1``
+    with timestamps advancing ``advance_ms_per_batch`` per batch — the
+    load-testing / smoke source for streaming pipelines, and (unlike
+    the wall-clock ``rate`` format) replayable and hash-checkable.
+
+    The plain ``rate`` format paces on wall time (``rowsPerSecond``)
+    and is the right knob for throughput soak tests; this wrapper
+    defaults to the deterministic variant so correctness gates can use
+    a rate source at all."""
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", n_partitions)
+        .option("startTimestamp", start_timestamp_ms)
+        .option("advanceMillisPerBatch", advance_ms_per_batch)
+        .load()
+    )
+
+
+def state_metrics(query) -> list[dict]:
+    """Per-stateful-operator metrics from the query's last progress:
+    state rows total/updated/removed and memory used — the numbers an
+    operator needs watched at 100 TB (unbounded state growth means a
+    missing watermark or an unbounded join condition)."""
+    progress = query.lastProgress
+    if not progress:
+        return []
+    ops = progress.get("stateOperators", [])
+    return [
+        {
+            "operator": op.get("operatorName", ""),
+            "rows_total": op.get("numRowsTotal", 0),
+            "rows_updated": op.get("numRowsUpdated", 0),
+            "rows_removed": op.get("numRowsRemoved", 0),
+            "memory_bytes": op.get("memoryUsedBytes", 0),
+        }
+        for op in ops
+    ]
+
+
 def interval_pair_join(
     probes: DataFrame,
     quotes: DataFrame,
     window_seconds: int = 300,
     watermark: str = "14 days",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream inner join: each probe event pairs
     with same-user quote events in its trailing window.
@@ -143,6 +192,11 @@ def interval_pair_join(
     (watermark + window), not the stream length. The batch twin is
     operators/range_join.py's bucketed equi-join; at cutover both
     produce the same pairs.
+
+    ``how="left_outer"`` emits unmatched probes with null quote
+    columns once the watermark passes their join window (i.e. once the
+    engine can PROVE no matching quote can still arrive) — exactly the
+    state-eviction point, observable via :func:`state_metrics`.
     """
     p = (
         probes.withWatermark("ts", watermark)
@@ -169,4 +223,5 @@ def interval_pair_join(
             AND q_ts <= p_ts
             """
         ),
+        how,
     )
