@@ -40,6 +40,16 @@ from bw_new_data_integration_spark.operators.merge import (
 )
 
 
+def _partition_values(rel_path: str) -> dict[str, str]:
+    """Hive-style ``col=value`` path segments → Delta partitionValues."""
+    out: dict[str, str] = {}
+    for seg in rel_path.split(os.sep)[1:-1]:  # skip v=N prefix and filename
+        if "=" in seg:
+            k, _, val = seg.partition("=")
+            out[k] = val
+    return out
+
+
 class ParquetKeyedTable:
     def __init__(
         self,
@@ -156,6 +166,90 @@ class ParquetKeyedTable:
 
     def _commit(self, df: DataFrame, operation: str = "commit") -> int:
         return self._flip(self._write_snapshot(df), operation)
+
+    def export_delta_log(self, spark: SparkSession) -> str:
+        """Materialize the commit history as a Delta-transaction-log-
+        compatible ``_delta_log/`` directory (the public Delta protocol:
+        one ``{version:020d}.json`` of newline-delimited actions per
+        commit — ``protocol``/``metaData``/``commitInfo``/``add``/
+        ``remove``). See ``docs/DELTA_LOG.md`` for the exact mapping.
+
+        Because every snapshot keeps its files under its own ``v=N/``
+        prefix (carried-forward files are hard links, not copies), each
+        commit maps onto Delta as a full rewrite: version N removes
+        version N-1's paths and adds version N's. ``add`` paths are
+        relative to the table root, so a Delta reader pointed at
+        ``self.path`` resolves them directly; time travel
+        (``VERSION AS OF n``) replays to exactly the files
+        ``read(version=n)`` scans. ``metaData`` is re-emitted whenever
+        the snapshot schema changes (K5 evolution)."""
+        log_dir = os.path.join(self.path, "_delta_log")
+        os.makedirs(log_dir, exist_ok=True)
+        prev_files: list[dict] = []
+        prev_schema: str | None = None
+        for v in range(self.current_version() + 1):
+            m = self.manifest(v)
+            if m is None:
+                continue
+            snap_rel = f"v={v}"
+            schema_json = spark.read.parquet(self._snapshot_dir(v)).schema.json()
+            actions: list[dict] = []
+            if v == 0:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+            if schema_json != prev_schema:
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": f"{os.path.basename(self.path)}-{v}",
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": schema_json,
+                            "partitionColumns": self.partition_by,
+                            "configuration": {},
+                            "createdTime": int(m["timestamp"] * 1000),
+                        }
+                    }
+                )
+                prev_schema = schema_json
+            actions.append(
+                {
+                    "commitInfo": {
+                        "timestamp": int(m["timestamp"] * 1000),
+                        "operation": m["operation"].upper(),
+                        "operationParameters": {
+                            "keyCols": json.dumps(self.key_cols),
+                            "nLinked": m["n_linked"],
+                        },
+                    }
+                }
+            )
+            for f in prev_files:
+                actions.append(
+                    {"remove": {"path": f["path"], "dataChange": True}}
+                )
+            ts_ms = int(m["timestamp"] * 1000)
+            cur_files = [
+                {"path": f"{snap_rel}/{f['path']}", "bytes": f["bytes"]}
+                for f in m["files"]
+            ]
+            for f in cur_files:
+                actions.append(
+                    {
+                        "add": {
+                            "path": f["path"],
+                            "partitionValues": _partition_values(f["path"]),
+                            "size": f["bytes"],
+                            "modificationTime": ts_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+                for a in actions:
+                    fh.write(json.dumps(a) + "\n")
+            prev_files = cur_files
+        return log_dir
 
     def _link_untouched_partitions(self, old_v: int, new_v: int) -> None:
         """Carry partitions absent from the new snapshot forward as hard

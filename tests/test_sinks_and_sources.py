@@ -389,6 +389,110 @@ def test_salted_aggregate_matches_plain(spark):
     assert as_sorted_tuples(salted) == as_sorted_tuples(plain)
 
 
+def test_stream_outer_join_evicts_state(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched probes emit exactly when
+    their state is evicted — state_metrics must show removals, and state
+    must not retain the whole stream (bounded by watermark + window)."""
+    import uuid
+
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+    os.symlink("/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet")
+    probes = st.read_event_stream(spark, str(src_dir))
+    quotes = st.read_event_stream(spark, str(src_dir)).filter(
+        F.col("event_type") == "click"
+    )
+    pairs = st.interval_pair_join(
+        probes, quotes, window_seconds=300, watermark="1 hour", how="left_outer"
+    )
+    name = "ssjo_test_" + uuid.uuid4().hex[:6]
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name)
+    # outer rows did emit (probes without any click quote in window)
+    assert res.filter(F.col("q_event").isNull()).count() > 0
+    m = st.state_metrics(q)
+    assert m, "stateful join must report state operator metrics"
+    join_op = m[0]
+    assert join_op["rows_removed"] > 0, "watermark must evict join state"
+    # retained state is the trailing (watermark+window) tail, not the stream
+    n_events = spark.read.parquet(str(src_dir)).count()
+    assert join_op["rows_total"] < 2 * n_events
+
+
+def test_foreach_batch_sink_replay_is_idempotent(spark, tmp_path):
+    """The reference's nightly 14-day repair re-sends the same window
+    every run (SURVEY §2.9); the streaming sink inherits that contract:
+    re-delivering an epoch (failure-replay) must leave the table
+    byte-for-byte identical because the merge is keyed, not appending."""
+    from bw_new_data_integration_spark import catalog
+    from bw_new_data_integration_spark.streaming import stream
+
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+    os.symlink("/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet")
+    target = ParquetKeyedTable(str(tmp_path / "agg"), ["window_start", "event_type"])
+    stream.run_stream_once(spark, str(src_dir), target, str(tmp_path / "ckpt"))
+    first = sorted(map(tuple, target.read(spark).collect()))
+
+    # replay the exact epoch the sink already committed: rebuild the same
+    # micro-batch aggregate as a batch frame and push it through the same
+    # foreachBatch writer
+    ev = catalog.load(spark, "/root/testdata/sf0.001", "events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    target.upsert(spark, agg)  # what write_batch does on redelivery
+    assert sorted(map(tuple, target.read(spark).collect())) == first
+    # restarting the stream with the same checkpoint reprocesses nothing
+    v = target.current_version()
+    stream.run_stream_once(spark, str(src_dir), target, str(tmp_path / "ckpt"))
+    assert sorted(map(tuple, target.read(spark).collect())) == first
+    assert target.current_version() == v  # empty replay = no new commit
+
+
+def test_rate_stream_is_deterministic(spark, tmp_path):
+    """rate-micro-batch: batch b is exactly rows b*N..(b+1)*N-1 — two
+    independent runs produce identical frames (the wall-clock `rate`
+    source cannot promise this)."""
+    import uuid
+
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    def run(tag):
+        src = st.read_rate_stream(spark, rows_per_batch=500, n_partitions=4)
+        name = f"rate_{tag}_" + uuid.uuid4().hex[:6]
+        q = (
+            src.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["value"] for r in spark.table(name).collect())
+
+    a, b = run("a"), run("b")
+    assert a == b == list(range(500))
+
+
 def test_stream_sessionize_state_spans_microbatches(spark, tmp_path):
     """applyInPandasWithState sessionization must carry (last_ts,
     count) state across micro-batches: two files processed one per
@@ -635,6 +739,65 @@ def test_strict_upsert_rejects_duplicate_business_keys(spark, tmp_path):
     snap = t.read(spark)
     assert set(snap.columns) == {"k", "v", "seq"}
     assert {r["k"]: r["v"] for r in snap.collect()} == {"a": 2, "b": 9, "c": 10}
+
+
+def test_delta_log_export_replays_history(spark, tmp_path):
+    """docs/DELTA_LOG.md contract: replaying the exported Delta actions
+    up to version n yields exactly the file set of snapshot n, and
+    reading those paths returns the same rows as read(version=n)."""
+    t = ParquetKeyedTable(str(tmp_path / "dlt"), ["d", "k"], partition_by=["d"])
+    t.overwrite(
+        spark.createDataFrame(
+            [Row(d="2024-01-01", k="a", v=1), Row(d="2024-01-02", k="b", v=2)]
+        )
+    )
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(d="2024-01-02", k="b", v=20), Row(d="2024-01-03", k="c", v=3)]
+        ),
+    )
+    t.delete_keys(spark, spark.createDataFrame([Row(d="2024-01-01", k="a")]))
+    log_dir = t.export_delta_log(spark)
+
+    assert sorted(os.listdir(log_dir)) == [f"{v:020d}.json" for v in range(3)]
+    active: dict[str, dict] = {}
+    seen_protocol = seen_metadata = False
+    for v in range(t.current_version() + 1):
+        ops = []
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                a = json.loads(line)
+                ops.append(next(iter(a)))
+                if "protocol" in a:
+                    seen_protocol = True
+                elif "metaData" in a:
+                    seen_metadata = True
+                    assert a["metaData"]["partitionColumns"] == ["d"]
+                    assert '"name":"k"' in a["metaData"]["schemaString"]
+                elif "remove" in a:
+                    active.pop(a["remove"]["path"])
+                elif "add" in a:
+                    add = a["add"]
+                    active[add["path"]] = add
+                    assert add["path"].startswith(f"v={v}/")
+                    # partitionValues parsed from the hive path
+                    assert set(add["partitionValues"]) == {"d"}
+                    assert os.path.getsize(os.path.join(t.path, add["path"])) == add["size"]
+        assert "commitInfo" in ops
+        # replayed state == manifest file listing of snapshot v
+        manifest_paths = {f"v={v}/{f['path']}" for f in t.manifest(v)["files"]}
+        assert set(active) == manifest_paths
+        # reading the replayed add-file paths == engine time travel
+        got = spark.read.option("basePath", t._snapshot_dir(v)).parquet(
+            *[os.path.join(t.path, p) for p in sorted(active)]
+        )
+        expect = t.read(spark, version=v)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    assert seen_protocol and seen_metadata
+    # protocol/metaData appear exactly once (schema never changed)
+    with open(os.path.join(log_dir, "00000000000000000001.json")) as fh:
+        assert all("metaData" not in json.loads(line) for line in fh)
 
 
 # --- S9: OData paged reader ------------------------------------------------
