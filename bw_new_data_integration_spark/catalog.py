@@ -62,3 +62,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (hash-clustered) catalog table — the
+    co-located-join layout for recurring fact-fact joins at 100 TB.
+
+    Every file holds exactly one hash bucket of ``bucket_cols``; two
+    tables bucketed the same way join with ZERO shuffle on either side
+    (Catalyst's output-partitioning matching elides both Exchanges —
+    pinned by
+    ``tests/test_invariants.py::test_bucketed_join_avoids_shuffle``).
+    A nightly fact-to-fact merge over 100 TB saves the two dominant
+    wide shuffles this way; the bucket count is chosen once (rows per
+    bucket ≈ executor-memory-sized) and becomes the join parallelism.
+    ``sort_cols`` additionally sorts within buckets (sort-merge join
+    without the sort step; parquet min/max stays selective on the key).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)

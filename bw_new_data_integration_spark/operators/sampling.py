@@ -79,6 +79,52 @@ def balance_mixture(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-token windows with overlap — the
+    standard context-window prep between cleaning and packing. Chunk
+    ``i`` covers tokens ``[i*stride, i*stride + max_tokens)`` where
+    ``stride = max_tokens - overlap``; the last chunk is the first one
+    whose window reaches the document's end (so short tails are never
+    emitted as a nearly-empty duplicate of the previous chunk).
+
+    Pure built-ins — ``split``/``sequence``/``explode``/``slice``/
+    ``array_join`` — so the expansion runs inside whole-stage codegen,
+    scales with output size (no shuffle at all: chunking is per-row),
+    and never touches Python. Adds ``chunk_id`` (0-based),
+    ``chunk_text`` and ``chunk_tokens``; empty documents yield one
+    empty chunk so no row is silently dropped."""
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")  # '' splits to ['']
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride))
+    ).cast("int")
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "*",
+            F.slice(
+                F.col("__toks"), F.col("chunk_id") * stride + 1, max_tokens
+            ).alias("__chunk_toks"),
+        )
+        .select(
+            *[c for c in df.columns],
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.array_join("__chunk_toks", " ").alias("chunk_text"),
+            F.size("__chunk_toks").cast("bigint").alias("chunk_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -104,13 +104,15 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketing both sides of a recurring big-big join on the join key
     lets the join run with NO exchange on either side — the 100 TB
     answer to repeated fact-to-fact joins (SURVEY.md §4)."""
+    from bw_new_data_integration_spark import catalog
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
     try:
         left = spark.range(0, 10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
         right = spark.range(0, 10_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
-        left.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_left")
-        right.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_right")
+        catalog.write_bucketed(left, "bkt_left", ["k"], n_buckets=8, sort_cols=["k"])
+        catalog.write_bucketed(right, "bkt_right", ["k"], n_buckets=8, sort_cols=["k"])
         joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan, plan[:500]
@@ -317,6 +319,50 @@ def test_balance_mixture_equalizes_groups(spark):
     assert sorted(r["doc_id"] for r in b1.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in b2.select("doc_id").collect()
     )
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk windows: stride arithmetic, overlap content, boundary and
+    empty-doc behavior — every token covered, consecutive chunks share
+    exactly `overlap` tokens (except a short final window)."""
+    from pyspark.sql import Row
+
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(f"t{i}" for i in range(10))),  # 1 chunk, exact
+            Row(doc_id=2, text=" ".join(f"t{i}" for i in range(11))),  # 2 chunks
+            Row(doc_id=3, text=" ".join(f"t{i}" for i in range(25))),  # windows
+            Row(doc_id=4, text="solo"),
+            Row(doc_id=5, text="   "),  # whitespace-only -> one empty chunk
+        ]
+    )
+    out = sampling.chunk_documents(docs, "text", max_tokens=10, overlap=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["chunk_tokens"] for r in by_doc[1]] == [10]
+    # 11 tokens, stride 7: chunk0 = t0..t9, chunk1 = t7..t10 (4 tokens)
+    assert [r["chunk_tokens"] for r in by_doc[2]] == [10, 4]
+    assert by_doc[2][1]["chunk_text"].split() == ["t7", "t8", "t9", "t10"]
+    # 25 tokens, stride 7 -> ceil((25-3)/7)=4 chunks; overlap check
+    c3 = by_doc[3]
+    assert len(c3) == 4
+    for a, b in zip(c3, c3[1:]):
+        at, bt = a["chunk_text"].split(), b["chunk_text"].split()
+        shared = min(3, len(bt))
+        assert at[-shared:] == bt[:shared] if len(at) == 10 else True
+    # full coverage: dedup-ing overlaps reconstructs the doc
+    seen = []
+    for r in c3:
+        toks = r["chunk_text"].split()
+        seen.extend(toks[3:] if seen else toks)
+    assert seen == [f"t{i}" for i in range(25)]
+    assert [r["chunk_tokens"] for r in by_doc[4]] == [1]
+    assert [(r["chunk_tokens"], r["chunk_text"]) for r in by_doc[5]] == [(0, "")]
+    with pytest.raises(ValueError, match="overlap"):
+        sampling.chunk_documents(docs, "text", max_tokens=8, overlap=8)
 
 
 def test_pack_sequences_respects_budget(spark):
