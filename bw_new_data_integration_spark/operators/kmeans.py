@@ -42,7 +42,13 @@ def kmeans_assign(
 ) -> DataFrame:
     """Run ``max_iter`` Lloyd iterations; returns (id_col, cluster)."""
     assigned, _, _ = kmeans_fit(
-        spark, emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+        spark,
+        emb,
+        k=k,
+        max_iter=max_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        collect_inertia=False,
     )
     return assigned
 
@@ -54,9 +60,13 @@ def kmeans_fit(
     max_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collect_inertia: bool = True,
 ) -> tuple[DataFrame, list[int], list[list[float]]]:
     """Run ``max_iter`` Lloyd iterations; returns
-    ((id_col, cluster), inertias, centroids).
+    ((id_col, cluster), inertias, centroids). ``collect_inertia=False``
+    skips the per-iteration objective aggregate (one Spark job each) —
+    ``inertias`` comes back empty; callers that only need assignments
+    or centroids save max_iter jobs.
 
     ``cluster`` is the row index 0..k-1 of the centroid table, which is
     re-derived per iteration; cluster ids are stable because both init
@@ -94,11 +104,12 @@ def kmeans_fit(
             )
             .localCheckpoint(eager=True)
         )
-        inertias.append(
-            assigned.agg(
-                F.sum(F.floor(F.col("d2") * SCALE).cast("bigint")).alias("i")
-            ).collect()[0]["i"]
-        )
+        if collect_inertia:
+            inertias.append(
+                assigned.agg(
+                    F.sum(F.floor(F.col("d2") * SCALE).cast("bigint")).alias("i")
+                ).collect()[0]["i"]
+            )
         assigned = assigned.drop("d2")
         # update: integer-exact scaled component sums, k*dim rows total
         sums = (

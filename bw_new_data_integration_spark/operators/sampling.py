@@ -96,12 +96,14 @@ def chunk_documents(
     ``array_join`` — so the expansion runs inside whole-stage codegen,
     scales with output size (no shuffle at all: chunking is per-row),
     and never touches Python. Adds ``chunk_id`` (0-based),
-    ``chunk_text`` and ``chunk_tokens``; empty documents yield one
-    empty chunk so no row is silently dropped."""
+    ``chunk_text`` and ``chunk_tokens``; empty and NULL documents yield
+    one empty chunk so no row is silently dropped (NULL coalesces to ''
+    up front — otherwise ``size(NULL)`` = -1 would leak a negative
+    token count)."""
     if overlap >= max_tokens:
         raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
     stride = max_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     toks = F.filter(toks, lambda t: t != "")  # '' splits to ['']
     n = F.size(toks)
     n_chunks = F.greatest(

@@ -3332,7 +3332,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
   FROM documents
 ),
 c AS (
@@ -4211,7 +4212,7 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)  # 80 rows; reused by both hit joins
     )
-    _, _, cents = kmeans.kmeans_fit(spark, emb, k=25, max_iter=2)
+    _, _, cents = kmeans.kmeans_fit(spark, emb, k=25, max_iter=2, collect_inertia=False)
     trained = similarity.ivf_topk(
         emb, qs, k=10, nprobe=2, dim=64, centroids=cents
     ).select("query_id", "vec_id")

@@ -29,6 +29,7 @@ import time
 from collections.abc import Sequence
 from functools import reduce
 from operator import and_, or_
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -40,13 +41,18 @@ from bw_new_data_integration_spark.operators.merge import (
 )
 
 
-def _partition_values(rel_path: str) -> dict[str, str]:
-    """Hive-style ``col=value`` path segments → Delta partitionValues."""
-    out: dict[str, str] = {}
-    for seg in rel_path.split(os.sep)[1:-1]:  # skip v=N prefix and filename
+def _partition_values(rel_path: str) -> dict[str, str | None]:
+    """Hive-style ``col=value`` path segments → Delta partitionValues.
+
+    Spark URL-encodes special characters in partition paths (``a b`` →
+    ``a%20b``) and writes nulls as ``__HIVE_DEFAULT_PARTITION__``;
+    Delta's partitionValues carry the decoded value / JSON null, so
+    both are mapped back here. ``add`` paths are always '/'-joined."""
+    out: dict[str, str | None] = {}
+    for seg in rel_path.split("/")[1:-1]:  # skip v=N prefix and filename
         if "=" in seg:
             k, _, val = seg.partition("=")
-            out[k] = val
+            out[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else unquote(val)
     return out
 
 
@@ -199,10 +205,12 @@ class ParquetKeyedTable:
                     {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
                 )
             if schema_json != prev_schema:
+                # the table id must be STABLE across the whole log (the
+                # Delta protocol treats an id change as a table replace)
                 actions.append(
                     {
                         "metaData": {
-                            "id": f"{os.path.basename(self.path)}-{v}",
+                            "id": os.path.basename(self.path),
                             "format": {"provider": "parquet", "options": {}},
                             "schemaString": schema_json,
                             "partitionColumns": self.partition_by,
@@ -346,6 +354,15 @@ class ParquetKeyedTable:
         except Exception as e:  # surface the in-plan assertion as the API error
             detail = str(e)
             if strict and "strict upsert" in detail:
+                # the assertion fired inside the write job; drop the
+                # partially-written, never-referenced snapshot dir (the
+                # pointer was not flipped, so readers never saw it)
+                import shutil
+
+                shutil.rmtree(
+                    self._snapshot_dir(self.current_version() + 1),
+                    ignore_errors=True,
+                )
                 start = detail.index("strict upsert")
                 raise ValueError(detail[start:].splitlines()[0]) from None
             raise

@@ -336,6 +336,7 @@ def test_chunk_documents_windows(spark):
             Row(doc_id=3, text=" ".join(f"t{i}" for i in range(25))),  # windows
             Row(doc_id=4, text="solo"),
             Row(doc_id=5, text="   "),  # whitespace-only -> one empty chunk
+            Row(doc_id=6, text=None),  # NULL -> one empty chunk, never -1 tokens
         ]
     )
     out = sampling.chunk_documents(docs, "text", max_tokens=10, overlap=3).collect()
@@ -361,6 +362,7 @@ def test_chunk_documents_windows(spark):
     assert seen == [f"t{i}" for i in range(25)]
     assert [r["chunk_tokens"] for r in by_doc[4]] == [1]
     assert [(r["chunk_tokens"], r["chunk_text"]) for r in by_doc[5]] == [(0, "")]
+    assert [(r["chunk_tokens"], r["chunk_text"]) for r in by_doc[6]] == [(0, "")]
     with pytest.raises(ValueError, match="overlap"):
         sampling.chunk_documents(docs, "text", max_tokens=8, overlap=8)
 

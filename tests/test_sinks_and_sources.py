@@ -728,6 +728,9 @@ def test_strict_upsert_rejects_duplicate_business_keys(spark, tmp_path):
     dup = spark.createDataFrame([Row(k="a", v=1), Row(k="a", v=2), Row(k="b", v=3)])
     with pytest.raises(ValueError, match="duplicate business keys"):
         t.upsert(spark, dup, strict=True)
+    # the in-plan assertion fired mid-write: the rejected commit's
+    # partial snapshot dir must not linger
+    assert not os.path.exists(t._snapshot_dir(t.current_version() + 1))
     # with order_by the ambiguity is resolved and strict is satisfied
     seq = spark.createDataFrame([Row(k="a", v=1, seq=1), Row(k="a", v=2, seq=2)])
     t.upsert(spark, seq, order_by=["seq"], strict=True)
