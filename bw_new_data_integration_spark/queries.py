@@ -3740,17 +3740,21 @@ GROUP BY 1
 def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     probs = [i / 10 for i in range(1, 10)]
-    qs = docs.agg(
+    # boundaries collected to the driver (9 doubles) and inlined as
+    # literals: the binning pass is then pure column expressions — no
+    # join of any kind, and Catalyst can constant-fold/pushdown around
+    # the literals. Two jobs total (exact-percentile agg + binned agg);
+    # at 100 TB the percentile scan dominates either way, and this
+    # removes the broadcast-nested-loop join the one-row-attach pattern
+    # needs (formerly a plan-audit allowlist entry).
+    qvals = docs.agg(
         F.expr(
             "percentile(n_chars, array({}))".format(",".join(str(p) for p in probs))
         ).alias("qs")
-    )
-    binned = docs.crossJoin(F.broadcast(qs)).withColumn(
+    ).collect()[0]["qs"]
+    binned = docs.withColumn(
         "bin",
-        sum(
-            (F.col("n_chars") > F.element_at("qs", i + 1)).cast("bigint")
-            for i in range(9)
-        )
+        sum((F.col("n_chars") > F.lit(float(v))).cast("bigint") for v in qvals)
         + F.lit(1),
     )
     return binned.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(

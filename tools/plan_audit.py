@@ -58,10 +58,6 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "recall gate: embeds the brute-force truth set plus two IVF builds (broadcast centroid tables); the corpus never self-joins",
         "CartesianProduct": "same",
     },
-    "quantile_binning": {
-        "BroadcastNestedLoopJoin": "9 broadcast boundary rows joined to every row by design",
-        "CartesianProduct": "same",
-    },
     "a3_ratio_measures": {
         "BroadcastNestedLoopJoin": "single global-total row broadcast for ratio denominators",
         "CartesianProduct": "same",
