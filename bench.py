@@ -114,7 +114,7 @@ def main() -> None:
     # loop re-timed at 1.0s in the same process's noise probe). The min
     # measures the plan's cost floor; interference never makes a query
     # faster. Run count via SPARK_GRAFT_BENCH_RUNS (default 2).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     per_query: dict[str, float] = {}
     total = 0.0
     for name in names:
@@ -194,6 +194,27 @@ def main() -> None:
         df.unpersist()  # keep the skew metrics below cache-cold too
     finally:
         shutil.rmtree(tdir2, ignore_errors=True)
+
+    # bare approx profile: the REGISTERED profile_table_approx gate now
+    # embeds an exact twin (its error-bound oracle needs it), so its
+    # time no longer measures the sketch plan alone. This metric keeps
+    # the production path (one scan, HLL++ state, no Expand) comparable
+    # with r1/r2 rows.
+    from bw_new_data_integration_spark import catalog
+    from bw_new_data_integration_spark.queries import _profile_cols
+    from bw_new_data_integration_spark.operators import profiling
+
+    orders = catalog.load(spark, sf_dir, "orders")
+    samples = []
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        profiling.profile(orders, _profile_cols(), approx=True, rsd=0.02).count()
+        samples.append(time.time() - t0)
+    per_query["profile_table_approx_bare"] = round(min(samples), 3)
+    total += per_query["profile_table_approx_bare"]
+    print(f"# profile_table_approx_bare: {per_query['profile_table_approx_bare']}s",
+          file=sys.stderr)
 
     # skew behavior (recorded per VERDICT r1 #8): one 90%-hot grouping
     # key. Plain groupBy funnels the hot key into a single reduce task;

@@ -105,11 +105,10 @@ def kmeans_fit(
             .localCheckpoint(eager=True)
         )
         if collect_inertia:
-            inertias.append(
-                assigned.agg(
-                    F.sum(F.floor(F.col("d2") * SCALE).cast("bigint")).alias("i")
-                ).collect()[0]["i"]
-            )
+            v = assigned.agg(
+                F.sum(F.floor(F.col("d2") * SCALE).cast("bigint")).alias("i")
+            ).collect()[0]["i"]
+            inertias.append(int(v) if v is not None else 0)  # SUM over 0 rows is NULL
         assigned = assigned.drop("d2")
         # update: integer-exact scaled component sums, k*dim rows total
         sums = (

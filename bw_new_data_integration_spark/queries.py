@@ -2503,7 +2503,13 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         qy.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name).filter(F.col("user_id") >= 0)  # drop the sentinel
+    # drop exactly the sentinel row (user_id -1 AND event_id -1),
+    # null-safely: an open-ended `user_id >= 0` would also silently
+    # drop real probes with NULL or negative ids, which the batch
+    # LEFT JOIN oracle retains
+    return spark.table(name).filter(
+        ~(F.col("user_id").eqNullSafe(F.lit(-1)) & F.col("p_event").eqNullSafe(F.lit(-1)))
+    )
 
 
 # ---------------------------------------------------------------------------

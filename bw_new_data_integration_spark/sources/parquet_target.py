@@ -29,7 +29,7 @@ import time
 from collections.abc import Sequence
 from functools import reduce
 from operator import and_, or_
-from urllib.parse import unquote
+from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -42,17 +42,23 @@ from bw_new_data_integration_spark.operators.merge import (
 
 
 def _partition_values(rel_path: str) -> dict[str, str | None]:
-    """Hive-style ``col=value`` path segments → Delta partitionValues.
+    """Protocol-encoded ``col=value`` path segments → Delta
+    partitionValues.
 
-    Spark URL-encodes special characters in partition paths (``a b`` →
-    ``a%20b``) and writes nulls as ``__HIVE_DEFAULT_PARTITION__``;
-    Delta's partitionValues carry the decoded value / JSON null, so
-    both are mapped back here. ``add`` paths are always '/'-joined."""
+    The path carries two encoding layers: the Delta protocol's
+    percent-encoding of the literal on-disk segment (undone first),
+    then Spark's hive escaping of special characters in the partition
+    VALUE (``a b`` → ``a%20b``, nulls → ``__HIVE_DEFAULT_PARTITION__``),
+    undone second so partitionValues hold the logical value / JSON
+    null. ``add`` paths are always '/'-joined."""
     out: dict[str, str | None] = {}
     for seg in rel_path.split("/")[1:-1]:  # skip v=N prefix and filename
         if "=" in seg:
             k, _, val = seg.partition("=")
-            out[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else unquote(val)
+            val = unquote(val)  # undo protocol percent-encoding
+            out[unquote(k)] = (
+                None if val == "__HIVE_DEFAULT_PARTITION__" else unquote(val)
+            )
     return out
 
 
@@ -237,8 +243,19 @@ class ParquetKeyedTable:
                     {"remove": {"path": f["path"], "dataChange": True}}
                 )
             ts_ms = int(m["timestamp"] * 1000)
+            # the Delta protocol requires add/remove paths to be
+            # percent-encoded relative paths; the on-disk (already
+            # hive-escaped) segment names are what must round-trip, so
+            # encode each literal segment (readers decode before
+            # resolving against the table root)
             cur_files = [
-                {"path": f"{snap_rel}/{f['path']}", "bytes": f["bytes"]}
+                {
+                    "path": "/".join(
+                        quote(seg, safe="=")  # '=' stays literal in col=value dirs
+                        for seg in f"{snap_rel}/{f['path']}".split("/")
+                    ),
+                    "bytes": f["bytes"],
+                }
                 for f in m["files"]
             ]
             for f in cur_files:

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 import os
+from urllib.parse import unquote as _unquote
 
 import pytest
 from pyspark.sql import Row
@@ -786,14 +787,17 @@ def test_delta_log_export_replays_history(spark, tmp_path):
                     assert add["path"].startswith(f"v={v}/")
                     # partitionValues parsed from the hive path
                     assert set(add["partitionValues"]) == {"d"}
-                    assert os.path.getsize(os.path.join(t.path, add["path"])) == add["size"]
+                    # add.path is protocol-percent-encoded; decode to resolve
+                    disk = os.path.join(t.path, _unquote(add["path"]))
+                    assert os.path.getsize(disk) == add["size"]
         assert "commitInfo" in ops
         # replayed state == manifest file listing of snapshot v
+        # (add.path is protocol-encoded; manifest stores raw disk paths)
         manifest_paths = {f"v={v}/{f['path']}" for f in t.manifest(v)["files"]}
-        assert set(active) == manifest_paths
+        assert {_unquote(p) for p in active} == manifest_paths
         # reading the replayed add-file paths == engine time travel
         got = spark.read.option("basePath", t._snapshot_dir(v)).parquet(
-            *[os.path.join(t.path, p) for p in sorted(active)]
+            *[os.path.join(t.path, _unquote(p)) for p in sorted(active)]
         )
         expect = t.read(spark, version=v)
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
@@ -801,6 +805,20 @@ def test_delta_log_export_replays_history(spark, tmp_path):
     # protocol/metaData appear exactly once (schema never changed)
     with open(os.path.join(log_dir, "00000000000000000001.json")) as fh:
         assert all("metaData" not in json.loads(line) for line in fh)
+
+    # special-character partition value: hive escaping (on disk) plus
+    # protocol percent-encoding (in add.path) must both round-trip to
+    # the logical value in partitionValues, and the decoded path must
+    # resolve on disk
+    t2 = ParquetKeyedTable(str(tmp_path / "dlt2"), ["d", "k"], partition_by=["d"])
+    t2.overwrite(spark.createDataFrame([Row(d="a:b c", k="x", v=1)]))
+    log2 = t2.export_delta_log(spark)
+    with open(os.path.join(log2, "00000000000000000000.json")) as fh:
+        adds = [json.loads(line)["add"] for line in fh if '"add"' in line]
+    assert adds
+    for a in adds:
+        assert a["partitionValues"] == {"d": "a:b c"}
+        assert os.path.exists(os.path.join(t2.path, _unquote(a["path"])))
 
 
 # --- S9: OData paged reader ------------------------------------------------
