@@ -412,6 +412,33 @@ class ParquetKeyedTable:
             return self.current_version()
         return self._commit(delete_matching(target, keys_df, self.key_cols), "delete")
 
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Delete all but the newest ``keep_last`` snapshot versions
+        (Delta's VACUUM). Removed versions stop being addressable by
+        ``read(version=...)`` and their ``_delta_log`` entries go stale
+        (document-matched: Delta readers also cannot time-travel past
+        vacuumed files). Because carried-forward files are hard links,
+        deleting an old ``v=N`` directory only drops a link — bytes
+        shared with surviving snapshots stay on disk exactly once, so
+        vacuum reclaims precisely the storage unique to the removed
+        versions. At 100 TB this is the retention job that bounds
+        snapshot storage to (churn × retained versions), not
+        (table size × versions).
+
+        Returns the removed version numbers."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current version must survive)")
+        current = self.current_version()
+        removed = []
+        for v in range(0, max(0, current - keep_last + 1)):
+            snap = self._snapshot_dir(v)
+            if os.path.isdir(snap):
+                shutil.rmtree(snap)
+                removed.append(v)
+        return removed
+
     def compact(self, spark: SparkSession, target_file_bytes: int = 128 << 20) -> int:
         """Rewrite the current snapshot into right-sized files (Delta's
         OPTIMIZE). Incremental merges leave each snapshot with as many

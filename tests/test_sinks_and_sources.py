@@ -494,6 +494,52 @@ def test_rate_stream_is_deterministic(spark, tmp_path):
     assert a == b == list(range(500))
 
 
+def test_streaming_rocksdb_state_store_matches_default(spark, tmp_path):
+    """The 100 TB streaming-state config: RocksDB state store (spillable,
+    not heap-bound) must produce byte-identical windowed aggregates to
+    the default HDFS-backed provider. This is the conf-only swap the
+    scale table in README promises — pin that it actually works."""
+    import uuid
+
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+    os.symlink("/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet")
+
+    def run(provider: str | None):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            agg = st.windowed_counts(st.read_event_stream(spark, str(src_dir)))
+            name = "rocks_" + uuid.uuid4().hex[:6]
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", str(tmp_path / ("ck_" + name)))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sorted(map(tuple, spark.table(name).collect()))
+        finally:
+            if provider:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
+
+    default = run(None)
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    assert default == rocks
+    assert len(rocks) > 0
+
+
 def test_stream_sessionize_state_spans_microbatches(spark, tmp_path):
     """applyInPandasWithState sessionization must carry (last_ts,
     count) state across micro-batches: two files processed one per
@@ -743,6 +789,39 @@ def test_strict_upsert_rejects_duplicate_business_keys(spark, tmp_path):
     snap = t.read(spark)
     assert set(snap.columns) == {"k", "v", "seq"}
     assert {r["k"]: r["v"] for r in snap.collect()} == {"a": 2, "b": 9, "c": 10}
+
+
+def test_vacuum_reclaims_only_unshared_bytes(spark, tmp_path):
+    """VACUUM analogue: old versions are deleted, the survivors keep
+    working, and hard-link sharing means bytes common to surviving
+    snapshots are never lost — only storage unique to removed versions
+    goes away."""
+    t = ParquetKeyedTable(str(tmp_path / "vac"), ["d", "k"], partition_by=["d"])
+    t.overwrite(
+        spark.createDataFrame(
+            [Row(d="2024-01-01", k="a", v=1), Row(d="2024-01-02", k="b", v=2)]
+        )
+    )
+    for day, val in [("2024-01-02", 20), ("2024-01-03", 3), ("2024-01-03", 30)]:
+        t.upsert(spark, spark.createDataFrame([Row(d=day, k="x", v=val)]))
+    assert t.current_version() == 3
+    removed = t.vacuum(keep_last=2)
+    assert removed == [0, 1]
+    assert not os.path.isdir(t._snapshot_dir(0))
+    assert not os.path.isdir(t._snapshot_dir(1))
+    # survivors intact, including partitions that were only ever
+    # hard-linked forward from vacuumed versions
+    latest = {(str(r["d"]), r["k"]): r["v"] for r in t.read(spark).collect()}
+    assert latest == {
+        ("2024-01-01", "a"): 1,
+        ("2024-01-02", "b"): 2,
+        ("2024-01-02", "x"): 20,
+        ("2024-01-03", "x"): 30,
+    }
+    prev = {(str(r["d"]), r["k"]): r["v"] for r in t.read(spark, version=2).collect()}
+    assert ("2024-01-01", "a") in prev
+    with pytest.raises(ValueError, match="keep_last"):
+        t.vacuum(keep_last=0)
 
 
 def test_delta_log_export_replays_history(spark, tmp_path):
