@@ -46,14 +46,29 @@ def build_slicer(spec: plans.PipelineSpec, args) -> object | None:
 
 
 def run_one(spark, specs, name, args) -> dict:
+    from pyspark.sql import Observation
+
     spec = specs[name]
     src = catalog.load(spark, args.sf_dir, spec.source_table)
     df = plans.build_plan(src, spec, slicer=build_slicer(spec, args), audit_ts=True)
+    # run-summary metrics ride the job that materializes the pipeline
+    # (Spark's observe() — no second pass over the data): output rows
+    # plus an audit that the F1/F7 key filters actually held. At 100 TB
+    # a separate validation count would rescan the source; this is free.
+    key = spec.mapping.alternate_key
+    obs = Observation(f"pipeline_metrics_{name}")
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(
+            F.when(F.col(key).isNull() | (F.length(key) == 0), 1).otherwise(0)
+        ).alias("empty_keys"),
+    )
     if args.print_plan:
         df.explain("formatted")
     if args.dry_run:
         n = df.count()
-        return {"pipeline": name, "dry_run": True, "rows": n}
+        return {"pipeline": name, "dry_run": True, "rows": n, "metrics": obs.get}
     target = ParquetKeyedTable(
         os.path.join(args.target_root, spec.mapping.table), [spec.mapping.alternate_key]
     )
@@ -65,6 +80,7 @@ def run_one(spark, specs, name, args) -> dict:
         "rows": n,
         "version": version,
         "seconds": round(time.time() - t0, 2),
+        "metrics": obs.get,
     }
 
 

@@ -367,6 +367,38 @@ def test_chunk_documents_windows(spark):
         sampling.chunk_documents(docs, "text", max_tokens=8, overlap=8)
 
 
+@pytest.mark.parametrize(
+    "max_tokens,overlap", [(10, 3), (8, 0), (5, 4), (16, 15), (7, 1)]
+)
+def test_chunk_documents_property_sweep(spark, max_tokens, overlap):
+    """Property, swept across window configs: for every doc length 0..N,
+    de-overlapped chunk concatenation reconstructs the document exactly
+    (no token lost, none duplicated), every chunk except the last is
+    full-width, and chunk starts advance by exactly the stride."""
+    from pyspark.sql import Row
+
+    from bw_new_data_integration_spark.operators import sampling
+
+    stride = max_tokens - overlap
+    docs = spark.createDataFrame(
+        [Row(doc_id=n, text=" ".join(f"w{i}" for i in range(n))) for n in range(0, 40)]
+    )
+    out = sampling.chunk_documents(docs, "text", max_tokens=max_tokens, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for n in range(0, 40):
+        chunks = sorted(by_doc[n], key=lambda r: r["chunk_id"])
+        expect_chunks = max(1, -(-(max(n, 0) - overlap) // stride)) if n > 0 else 1
+        assert len(chunks) == expect_chunks, (n, [c["chunk_text"] for c in chunks])
+        rebuilt: list[str] = []
+        for i, c in enumerate(chunks):
+            toks = c["chunk_text"].split()
+            assert toks == [f"w{j}" for j in range(i * stride, min(i * stride + max_tokens, n))]
+            rebuilt.extend(toks[overlap:] if i else toks)
+        assert rebuilt == [f"w{i}" for i in range(n)]
+
+
 def test_pack_sequences_respects_budget(spark):
     """Every doc lands in exactly one bin; a bin's total exceeds the
     budget only by (part of) its last straddling document — total minus

@@ -639,6 +639,10 @@ def test_runner_query_all_dry_run(tmp_path, capsys):
     for name in ("daily_sales", "sales_channel", "offers", "inventory", "clock_in_out"):
         assert name in out
     assert not (tmp_path / "targets").exists()  # dry run wrote nothing
+    # observe() run-summary metrics ride the same job: rows observed,
+    # and the F1/F7 key-filter audit holds (zero empty keys)
+    assert "'rows_out':" in out
+    assert "'empty_keys': 0" in out
 
 
 def test_time_travel_reads(spark, tmp_path):
