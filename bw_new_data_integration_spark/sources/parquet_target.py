@@ -101,11 +101,19 @@ class ParquetKeyedTable:
         return spark.read.parquet(self._snapshot_dir(v))
 
     def _write_snapshot(self, df: DataFrame) -> int:
+        from pyspark.sql import Observation
+
         new_v = self.current_version() + 1
+        # row count rides the write job itself (observe(), no second
+        # scan) and lands in the commit manifest — the per-commit
+        # volume signal history()/volume_anomalies() work from
+        obs = Observation(f"commit_rows_v{new_v}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(self._snapshot_dir(new_v))
+        self._last_rows_written = int(obs.get["rows"])
         return new_v
 
     def _flip(self, new_v: int, operation: str = "commit") -> int:
@@ -151,6 +159,10 @@ class ParquetKeyedTable:
             "n_files": len(files),
             "n_linked": sum(1 for f in files if f["linked"]),
             "total_bytes": sum(f["bytes"] for f in files),
+            # rows WRITTEN by this commit's job (partition-scoped
+            # merges count only the rewritten partitions, not carried-
+            # forward ones) — observed during the write, never rescanned
+            "rows_written": getattr(self, "_last_rows_written", None),
             "files": sorted(files, key=lambda f: f["path"]),
         }
         with open(os.path.join(snap, "_manifest.json"), "w") as f:
@@ -178,6 +190,41 @@ class ParquetKeyedTable:
 
     def _commit(self, df: DataFrame, operation: str = "commit") -> int:
         return self._flip(self._write_snapshot(df), operation)
+
+    def volume_anomalies(
+        self, min_history: int = 3, max_ratio: float = 3.0
+    ) -> list[dict]:
+        """Flag commits whose written-row volume deviates more than
+        ``max_ratio``× from the median of the commits before them — the
+        nightly-sync sanity check ('today's load is 10× yesterday's /
+        empty') that the reference performed by eyeballing run
+        notifications. Driver-side arithmetic over the manifests; no
+        Spark job. Returns [{version, operation, rows_written,
+        median_before, ratio}] for each flagged commit."""
+        hist = sorted(
+            (m for m in self.history() if m.get("rows_written") is not None),
+            key=lambda m: m["version"],
+        )
+        out = []
+        for i, m in enumerate(hist):
+            prior = [p["rows_written"] for p in hist[:i]]
+            if len(prior) < min_history:
+                continue
+            prior.sort()
+            med = prior[len(prior) // 2]
+            rows = m["rows_written"]
+            ratio = (rows / med) if med else float("inf") if rows else 1.0
+            if ratio > max_ratio or ratio < 1.0 / max_ratio:
+                out.append(
+                    {
+                        "version": m["version"],
+                        "operation": m["operation"],
+                        "rows_written": rows,
+                        "median_before": med,
+                        "ratio": round(ratio, 3),
+                    }
+                )
+        return out
 
     def export_delta_log(self, spark: SparkSession) -> str:
         """Materialize the commit history as a Delta-transaction-log-

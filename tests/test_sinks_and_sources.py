@@ -795,6 +795,29 @@ def test_strict_upsert_rejects_duplicate_business_keys(spark, tmp_path):
     assert {r["k"]: r["v"] for r in snap.collect()} == {"a": 2, "b": 9, "c": 10}
 
 
+def test_manifest_rows_written_and_volume_anomalies(spark, tmp_path):
+    """Commit manifests record rows written by the commit's own write
+    job (observe(), no rescan); volume_anomalies flags deviant loads
+    against the median of prior commits."""
+    t = ParquetKeyedTable(str(tmp_path / "vol"), ["k"])
+    for i in range(4):  # four steady ~100-row full refreshes
+        t.overwrite(
+            spark.range(0, 100 + i).select(F.col("id").alias("k"), F.lit(i).alias("v"))
+        )
+    assert t.manifest(0)["rows_written"] == 100
+    assert t.volume_anomalies() == []
+    # an empty-ish load (5 rows) and a 10x load both get flagged
+    t.overwrite(spark.range(0, 5).select(F.col("id").alias("k"), F.lit(9).alias("v")))
+    t.overwrite(spark.range(0, 1500).select(F.col("id").alias("k"), F.lit(9).alias("v")))
+    flagged = t.volume_anomalies()
+    assert [f["version"] for f in flagged] == [4, 5]
+    assert flagged[0]["rows_written"] < flagged[0]["median_before"]
+    assert flagged[1]["ratio"] > 3.0
+    # a keyed upsert's rows_written is the merge output it rewrote
+    t.upsert(spark, spark.createDataFrame([Row(k=1, v=99)]))
+    assert t.manifest()["rows_written"] == 1500
+
+
 def test_vacuum_reclaims_only_unshared_bytes(spark, tmp_path):
     """VACUUM analogue: old versions are deleted, the survivors keep
     working, and hard-link sharing means bytes common to surviving
