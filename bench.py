@@ -86,6 +86,7 @@ OPTIONAL = [
     "ann_ivf_trained",
     "chunk_documents",
     "shuffle_shards",
+    "ann_lsh_multiprobe",
 ]
 
 
@@ -276,24 +277,10 @@ def main() -> None:
             time.sleep(0.02)  # simulated SOAP RTT
             p = re.search(r"\[P([0-9-]+)\]", mdx).group(1)
             rws = by_period[p]
-            axis0 = (
-                '<Tuple><Member Hierarchy="[Measures]">'
-                "<Caption>n_orders</Caption></Member></Tuple>"
-            )
-            axis1 = "".join(
-                '<Tuple><Member Hierarchy="[Order].[Priority]">'
-                f'<Caption>{r["o_orderpriority"]}</Caption></Member></Tuple>'
-                for r in rws
-            )
-            cells = "".join(
-                f'<Cell CellOrdinal="{i}"><Value>{r["n_orders"]!r}</Value></Cell>'
-                for i, r in enumerate(rws)
-            )
-            return (
-                '<root xmlns="urn:schemas-microsoft-com:xml-analysis:mddataset">'
-                f'<Axes><Axis name="Axis0"><Tuples>{axis0}</Tuples></Axis>'
-                f'<Axis name="Axis1"><Tuples>{axis1}</Tuples></Axis></Axes>'
-                f"<CellData>{cells}</CellData></root>"
+            return xmla_src.render_mddataset(
+                ["n_orders"],
+                [[("[Order].[Priority]", r["o_orderpriority"])] for r in rws],
+                [[repr(r["n_orders"])] for r in rws],
             )
 
         return execute

@@ -126,6 +126,69 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: each query scores its own bucket
+    PLUS every bucket one bit-flip away (the vectors most likely to
+    have landed just across one hyperplane). Recall rises steeply —
+    a vector is missed only if it differs from the query in ≥2 signs —
+    while the corpus side is untouched: still one signature per vector,
+    still an equi-join on the bucket id. The query side fans out
+    ``n_planes + 1`` probe rows per query (tiny — queries are the
+    bounded side), and since every probe bucket is distinct, a
+    (query, corpus) pair can match at most once: no dedup step.
+    """
+    from bw_new_data_integration_spark.functions.vectors import norm
+
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        id_col,
+        vec_col,
+        norm(F.col(vec_col), dim).alias("__cnorm"),
+        signature_col(vec_col, planes).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col), dim).alias("__qnorm"),
+        signature_col(vec_col, planes).alias("__b0"),
+    )
+    probes = q.select(
+        query_id_col,
+        "__qvec",
+        "__qnorm",
+        F.explode(
+            F.array(
+                F.col("__b0"),
+                *[F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )
+        ).alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "__bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.when(
+                (F.col("__cnorm") > 0) & (F.col("__qnorm") > 0),
+                dot(F.col(vec_col), F.col("__qvec"), dim) / (F.col("__cnorm") * F.col("__qnorm")),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1329,6 +1329,66 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
 
 
+def _lsh_multiprobe_oracle(k: int = 10, n_planes: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """Same generated-signature technique as _lsh_topk_oracle, plus a
+    probe fan-out CTE: probe 0 is the query's own bucket, probe i is
+    the bucket with bit i-1 flipped (xor)."""
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    sig_terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        sig_terms.append(
+            f"(CASE WHEN {_dot_sql('embedding', arr)} >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    sig = "\n           + ".join(sig_terms)
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+         {sig} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qemb, nrm AS qnrm, bucket
+  FROM c WHERE vec_id < 5
+),
+probes AS (
+  SELECT q.query_id, q.qemb, q.qnrm,
+         CASE WHEN t.r = 0 THEN q.bucket
+              ELSE xor(q.bucket, CAST(power(2, t.r - 1) AS BIGINT)) END AS pbucket
+  FROM q, range(0, {n_planes + 1}) t(r)
+),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+         CASE WHEN c.nrm > 0 AND p.qnrm > 0
+              THEN {_dot_sql('c.embedding', 'p.qemb')} / (c.nrm * p.qnrm) END AS cos_sim
+  FROM c JOIN probes p ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH: probe the query's bucket plus every 1-bit-flip
+# neighbor — recall rises steeply (a vector is missed only if it
+# disagrees with the query on >= 2 hyperplane signs) while the corpus
+# side remains a single signature per vector and the join remains an
+# equi-join on the bucket id. The standard production middle ground
+# between single-probe LSH (cheap, low recall) and IVF.
+# ---------------------------------------------------------------------------
+@register("ann_lsh_multiprobe", oracle=_lsh_multiprobe_oracle())
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.lsh_topk_multiprobe(emb, qs, k=10, n_planes=8, dim=64, seed=7)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing: binary payload -> Arrow-batched mapInPandas
 # feature extraction. The decode kernel is a deterministic stub
@@ -1545,27 +1605,14 @@ def _xmla_cube_fixture(spark: SparkSession, sf_dir: str):
     measures = ["n_orders", "sum_totalprice"]
 
     def execute(mdx: str) -> str:
+        from bw_new_data_integration_spark.sources.xmla import render_mddataset
+
         y = int(_re.search(r"\[FY(\d+)\]", mdx).group(1))
         rows = by_year[y]
-        axis0 = "".join(
-            f'<Tuple><Member Hierarchy="[Measures]"><Caption>{m}</Caption></Member></Tuple>'
-            for m in measures
-        )
-        axis1 = "".join(
-            '<Tuple><Member Hierarchy="[Order].[Priority]">'
-            f'<Caption>{r["o_orderpriority"]}</Caption></Member></Tuple>'
-            for r in rows
-        )
-        cells = "".join(
-            f'<Cell CellOrdinal="{i * len(measures) + j}"><Value>{r[m]!r}</Value></Cell>'
-            for i, r in enumerate(rows)
-            for j, m in enumerate(measures)
-        )
-        return (
-            '<root xmlns="urn:schemas-microsoft-com:xml-analysis:mddataset">'
-            f'<Axes><Axis name="Axis0"><Tuples>{axis0}</Tuples></Axis>'
-            f'<Axis name="Axis1"><Tuples>{axis1}</Tuples></Axis></Axes>'
-            f"<CellData>{cells}</CellData></root>"
+        return render_mddataset(
+            measures,
+            [[("[Order].[Priority]", r["o_orderpriority"])] for r in rows],
+            [[repr(r[m]) for m in measures] for r in rows],
         )
 
     mdx_by_slice = {
@@ -4390,6 +4437,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "streaming_rate_source",
     "chunk_documents",
     "shuffle_shards",
+    "ann_lsh_multiprobe",
 ]
 
 

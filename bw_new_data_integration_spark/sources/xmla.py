@@ -270,6 +270,43 @@ def fetch_partitioned_distributed(
     return sl.mapInPandas(run, schema)
 
 
+def render_mddataset(
+    measures: Sequence[str],
+    row_tuples: Sequence[Sequence[tuple[str, str]]],
+    cell_values: Sequence[Sequence[object]],
+) -> str:
+    """Inverse of :func:`parse_axes_and_cells`: render an XMLA
+    mddataset response (Axis0 = measures, Axis1 = row tuples of
+    (hierarchy, caption) pairs, row-major cells). Test/fixture
+    builders share this instead of hand-assembling the XML; round-trip
+    with the parser is what the S1/S2 gates verify."""
+    axis0 = "".join(
+        f'<Tuple><Member Hierarchy="[Measures]"><Caption>{m}</Caption></Member></Tuple>'
+        for m in measures
+    )
+    axis1 = "".join(
+        "<Tuple>"
+        + "".join(
+            f'<Member Hierarchy="{h}"><Caption>{c}</Caption></Member>' for h, c in tup
+        )
+        + "</Tuple>"
+        for tup in row_tuples
+    )
+    n_m = max(len(measures), 1)
+    cells = "".join(
+        f'<Cell CellOrdinal="{i * n_m + j}"><Value>{v}</Value></Cell>'
+        for i, row in enumerate(cell_values)
+        for j, v in enumerate(row)
+        if v is not None
+    )
+    return (
+        '<root xmlns="urn:schemas-microsoft-com:xml-analysis:mddataset">'
+        f'<Axes><Axis name="Axis0"><Tuples>{axis0}</Tuples></Axis>'
+        f'<Axis name="Axis1"><Tuples>{axis1}</Tuples></Axis></Axes>'
+        f"<CellData>{cells}</CellData></root>"
+    )
+
+
 def build_soap_request(mdx: str, catalog: str) -> str:
     """XMLA Execute SOAP envelope (shape per the public XMLA spec;
     the reference builds the same envelope in ``modules/olap.py:7-46``)."""
