@@ -759,6 +759,59 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id").agg(F.max("session_seq").cast("bigint").alias("n_sessions"))
 
 
+# ---------------------------------------------------------------------------
+# O8 — native session_window aggregation: Spark's built-in session
+# windows (dynamic-gap tumbling) as the JVM-side twin of the custom
+# applyInPandasWithState sessionizer above. One shuffle on user_id,
+# session merge inside the aggregate; the oracle derives identical
+# sessions via the lag/island construction. window.end is defined as
+# last_event + gap by the built-in; the oracle mirrors that.
+# ---------------------------------------------------------------------------
+@register(
+    "o8_session_window_native",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, value,
+         CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                   OR date_diff('second', lag(ts::TIMESTAMP) OVER w, ts::TIMESTAMP) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sess
+""",
+)
+def o8_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ===========================================================================
 # Beyond-reference: training-data pipeline operators over documents /
 # embeddings. Oracle SQL for the hash-based ops is GENERATED from the
@@ -4438,6 +4491,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "chunk_documents",
     "shuffle_shards",
     "ann_lsh_multiprobe",
+    "o8_session_window_native",
 ]
 
 
