@@ -2175,6 +2175,48 @@ def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A9 — approx percentile sketch: the single-pass mergeable-state twin
+# of a7's exact percentiles (the 100 TB default — exact percentile
+# needs the full value multiset per group; the GK/KLL sketch is fixed
+# size and merges associatively). The estimate itself can vary with
+# partition merge order, so the gate follows the a8 error-bound
+# pattern: the hashed output carries the DETERMINISTIC pieces (exact
+# rank-neighborhood bounds) plus a boolean asserting the sketch landed
+# inside its guaranteed rank-error window — true under ANY merge order.
+# ---------------------------------------------------------------------------
+@register(
+    "a9_approx_percentile_sketch",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.45) AS p50_lo,
+       quantile_cont(o_totalprice, 0.55) AS p50_hi,
+       TRUE AS p50_within_bound,
+       TRUE AS p90_within_bound
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def a9_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    # accuracy 100 -> guaranteed rank error <= 1/100; gate against the
+    # exact values at p +/- 0.05 (stricter than the 0.01 guarantee by
+    # 5x slack, so the boolean is stable under any partition layout)
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.45).alias("p50_lo"),
+        F.percentile("o_totalprice", 0.55).alias("p50_hi"),
+        F.percentile_approx("o_totalprice", 0.5, 100).alias("__p50a"),
+        F.percentile_approx("o_totalprice", 0.9, 100).alias("__p90a"),
+        F.percentile("o_totalprice", 0.85).alias("__p90_lo"),
+        F.percentile("o_totalprice", 0.95).alias("__p90_hi"),
+    ).select(
+        "o_orderstatus",
+        "p50_lo",
+        "p50_hi",
+        F.col("__p50a").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_within_bound"),
+        F.col("__p90a").between(F.col("__p90_lo"), F.col("__p90_hi")).alias("p90_within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q3 shape — big-big join (orders x lineitem, sort-merge) + broadcast
 # dim filter + ranked top-k: the canonical "shipping priority" report.
 # ---------------------------------------------------------------------------
@@ -4492,6 +4534,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "shuffle_shards",
     "ann_lsh_multiprobe",
     "o8_session_window_native",
+    "a9_approx_percentile_sketch",
 ]
 
 
