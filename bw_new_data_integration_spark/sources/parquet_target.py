@@ -246,17 +246,22 @@ class ParquetKeyedTable:
         os.makedirs(log_dir, exist_ok=True)
         prev_files: list[dict] = []
         prev_schema: str | None = None
+        first_exported = True
         for v in range(self.current_version() + 1):
             m = self.manifest(v)
             if m is None:
-                continue
+                continue  # vacuumed (or never-manifested) version
             snap_rel = f"v={v}"
             schema_json = spark.read.parquet(self._snapshot_dir(v)).schema.json()
             actions: list[dict] = []
-            if v == 0:
+            if first_exported:
+                # protocol rides the FIRST surviving version, not
+                # literally v=0 — after vacuum() the log must still
+                # open with a protocol action or no reader accepts it
                 actions.append(
                     {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
                 )
+                first_exported = False
             if schema_json != prev_schema:
                 # the table id must be STABLE across the whole log (the
                 # Delta protocol treats an id change as a table replace)

@@ -851,6 +851,30 @@ def test_vacuum_reclaims_only_unshared_bytes(spark, tmp_path):
         t.vacuum(keep_last=0)
 
 
+def test_delta_log_export_after_vacuum_still_opens_with_protocol(spark, tmp_path):
+    """After vacuum removes v=0, the exported log's earliest surviving
+    entry must still open with protocol + metaData (a Delta reader
+    rejects a log with no protocol action), and its adds must replay to
+    the surviving snapshot."""
+    t = ParquetKeyedTable(str(tmp_path / "dvac"), ["k"])
+    for i in range(4):
+        t.overwrite(spark.createDataFrame([Row(k="a", v=i), Row(k="b", v=i * 10)]))
+    t.vacuum(keep_last=2)
+    log_dir = t.export_delta_log(spark)
+    written = sorted(os.listdir(log_dir))
+    assert written == ["00000000000000000002.json", "00000000000000000003.json"]
+    with open(os.path.join(log_dir, written[0])) as fh:
+        first = [json.loads(line) for line in fh]
+    assert any("protocol" in a for a in first)
+    assert any("metaData" in a for a in first)
+    assert not any("remove" in a for a in first)  # nothing precedes it
+    adds = [a["add"]["path"] for a in first if "add" in a]
+    got = spark.read.parquet(*[os.path.join(t.path, _unquote(p)) for p in adds])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, t.read(spark, version=2).collect())
+    )
+
+
 def test_delta_log_export_replays_history(spark, tmp_path):
     """docs/DELTA_LOG.md contract: replaying the exported Delta actions
     up to version n yields exactly the file set of snapshot n, and
