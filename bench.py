@@ -316,35 +316,59 @@ def main() -> None:
         noise[name] = samples
     print(f"# noise_probe: {noise}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "noise_probe_3x": noise,
-                "method": {
-                    "discipline": f"cache-cold-per-query, min-of-{runs}",
-                    "detail": (
-                        "codegen warmed once at sf0.001 per query; "
-                        "spark.catalog.clearCache() before each timed "
-                        "sample; per-query time = MIN of "
-                        f"{runs} cold samples (the box shares cores with "
-                        "the round driver — single samples showed "
-                        "transient 3-7x interference spikes; min measures "
-                        "the plan's cost floor). Single process, queries "
-                        "sequential — run solo. Totals comparable to "
-                        "BENCH_r02 (same cold discipline, single-sample); "
-                        "BENCH_r01 was warm-cache and reads faster than "
-                        "like-for-like."
-                    ),
-                    "n_queries": len(per_query),
-                },
-            }
-        )
-    )
+    # Full record goes to a sidecar file; stdout carries a compact JSON
+    # line sized to survive the driver's 2000-char stdout-tail capture
+    # (BENCH_r03.json lost its head because the line + long method note
+    # overflowed the window — VERDICT r3 "What's wrong" #2).
+    full = {
+        "metric": "headline_queries_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "noise_probe_3x": noise,
+        "method": {
+            "discipline": f"cache-cold-per-query, min-of-{runs}",
+            "detail": (
+                "codegen warmed once at sf0.001 per query; "
+                "spark.catalog.clearCache() before each timed sample; "
+                f"per-query time = MIN of {runs} cold samples (the box "
+                "shares cores with the round driver; min measures the "
+                "plan's cost floor). Single process, queries sequential. "
+                "NOTE on comparability: min-of-N reads <= single-sample "
+                "under noise, so r2 (single-sample) -> r3+ (min-of-2) "
+                "totals are not strictly comparable; per-query deltas "
+                "confirmed by solo reruns. BENCH_r01 was warm-cache and "
+                "reads faster than like-for-like."
+            ),
+            "n_queries": len(per_query),
+        },
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    with open(sidecar, "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(f"# full record written to {sidecar}", file=sys.stderr)
+
+    compact = {
+        "metric": "headline_queries_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "method": f"cache-cold min-of-{runs}; full record in BENCH.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:  # still too long: 2-decimal values, drop method
+        compact["queries"] = {k: round(v, 2) for k, v in per_query.items()}
+        compact.pop("method", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1990:  # last resort: keep the slowest queries only
+        top = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:40])
+        compact["queries"] = {k: round(v, 2) for k, v in top.items()}
+        compact["queries_truncated_see"] = "BENCH.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(f"# stdout JSON line length: {len(line)}", file=sys.stderr)
+    print(line)
     spark.stop()
 
 

@@ -1443,21 +1443,76 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing: binary payload -> Arrow-batched mapInPandas
-# feature extraction. The decode kernel is a deterministic stub
+# Multimodal REAL header decode: the query builds actual image payloads
+# on-executor (fully valid PNGs via make_png — zlib IDAT + CRCs; real
+# JPEG marker streams via make_jpeg_header; and deliberately corrupt
+# text bytes), then extract_image_meta parses format/width/height back
+# out of the raw bytes with the stdlib struct walker
+# (operators/multimodal.py parse_image_dims). The oracle replays the
+# fixture formulas — a hash match proves the kernel recovered the TRUE
+# dimensions from the bytes, and that corrupt payloads yield nulls
+# instead of task failures.
+# ---------------------------------------------------------------------------
+@register(
+    "mm_image_features",
+    oracle="""
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' END AS format,
+       CAST(CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN (doc_id % 29) + 1
+            WHEN 1 THEN (doc_id % 40) + 16 END AS INT) AS width,
+       CAST(CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN (doc_id % 13) + 1
+            WHEN 1 THEN (doc_id % 25) + 16 END AS INT) AS height
+FROM documents
+""",
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                kind = did % 3
+                if kind == 0:
+                    payloads.append(
+                        multimodal.make_png(int(did % 29) + 1, int(did % 13) + 1, seed=int(did))
+                    )
+                elif kind == 1:
+                    payloads.append(
+                        multimodal.make_jpeg_header(int(did % 40) + 16, int(did % 25) + 16)
+                    )
+                else:  # corrupt payload: not an image at all
+                    payloads.append((text or "x").encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        gen, "doc_id bigint, payload binary"
+    )
+    return multimodal.extract_image_meta(media, payload_col="payload", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature-vector plumbing: binary payload -> Arrow-batched
+# mapInPandas. The pixel-decode kernel is a deterministic STUB
 # (md5-seeded bytes — real PIL decode is not in this container), so the
 # oracle can replay it: feature i = byte i of md5(payload) / 255.
 # Payloads are the documents' utf-8 bytes.
 # ---------------------------------------------------------------------------
 @register(
-    "mm_image_features",
+    "mm_image_features_stub",
     oracle="""
 SELECT doc_id, CAST(t.r AS BIGINT) AS feat_idx,
        (('0x' || substr(md5(text), CAST(t.r * 2 + 1 AS INT), 2))::INT) / 255.0 AS feat_val
 FROM documents, range(0, 16) t(r)
 """,
 )
-def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.operators import multimodal
 
     docs = _t(spark, sf_dir, "documents")
@@ -4475,7 +4530,21 @@ def o7_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verified by tools/drive_contract.py and tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY = [
-    # -- 48 registered-before-round-3 queries with no driver row yet --
+    # -- round-4 slots 1-7: the 7 queries that fell past round-3's window --
+    "streaming_interval_join_outer",
+    "streaming_rate_source",
+    "chunk_documents",
+    "shuffle_shards",
+    "ann_lsh_multiprobe",
+    "o8_session_window_native",
+    "a9_approx_percentile_sketch",
+    # -- round-4 additions / semantics changed this round (need fresh rows) --
+    "f5_fiscal_period_slice",
+    "mm_image_features",
+    "mdx_template_backfill",
+    "late_data_repair",
+    "dedup_lsh_candidates_capped",
+    # -- previously-confirmed queries fill the remaining window slots --
     "j5_asof_join",
     "j6_range_join_counts",
     "rollup_hierarchy",
@@ -4524,17 +4593,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "scd2_dimension",
     "kmeans_embeddings",
     "o7_activity_streaks",
-    # -- round-3 additions (slots 49-50 of the window) --
+    # -- round-3 additions --
     "s1_xmla_partitioned_dist",
     "ann_ivf_trained",
-    # -- past the 50-slot window this round; rotate forward next round --
-    "streaming_interval_join_outer",
-    "streaming_rate_source",
-    "chunk_documents",
-    "shuffle_shards",
-    "ann_lsh_multiprobe",
-    "o8_session_window_native",
-    "a9_approx_percentile_sketch",
 ]
 
 

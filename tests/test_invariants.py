@@ -473,3 +473,57 @@ def test_point_in_time_lookup_picks_exactly_one_version(spark):
     out = mg.point_in_time_lookup(facts, dim, ["k"], "ts")
     got = sorted((r["ts"], r["seg"]) for r in out.collect())
     assert got == [("2020-02-01", "ONLY"), ("2021-06-01", "OLD"), ("2022-06-01", "NEW")]
+
+
+def test_parse_image_dims_real_headers():
+    """The stdlib image-header walker recovers true dimensions from
+    real bytes: a fully valid PNG (zlib IDAT + CRCs), a JPEG marker
+    stream whose SOF0 sits behind APP0/DQT segments that must be
+    skipped, GIF logical-screen descriptors — and returns nulls (never
+    raises) for corrupt or truncated payloads."""
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    png = mm.make_png(7, 3, seed=42)
+    assert mm.parse_image_dims(png) == ("png", 7, 3)
+    # the fixture PNG must be genuinely valid: CRCs check out and the
+    # IDAT inflates to height * (1 + width) filtered-scanline bytes
+    import struct
+    import zlib
+
+    off, idat = 8, None
+    while off < len(png):
+        (length,) = struct.unpack(">I", png[off : off + 4])
+        typ = png[off + 4 : off + 8]
+        body = png[off + 4 : off + 8 + length]
+        (crc,) = struct.unpack(">I", png[off + 8 + length : off + 12 + length])
+        assert zlib.crc32(body) & 0xFFFFFFFF == crc
+        if typ == b"IDAT":
+            idat = png[off + 8 : off + 8 + length]
+        off += 12 + length
+    assert len(zlib.decompress(idat)) == 3 * (1 + 7)
+
+    jpg = mm.make_jpeg_header(640, 480)
+    assert mm.parse_image_dims(jpg) == ("jpeg", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 6
+    assert mm.parse_image_dims(gif) == ("gif", 12, 34)
+    assert mm.parse_image_dims(b"not an image at all") == (None, None, None)
+    assert mm.parse_image_dims(None) == (None, None, None)
+    assert mm.parse_image_dims(png[:15]) == ("png", None, None)  # truncated
+    truncated_jpeg = b"\xff\xd8\xff\xe0\x00\x08\x00\x00\x00\x00\x00\x00"  # no SOF
+    assert mm.parse_image_dims(truncated_jpeg) == ("jpeg", None, None)
+
+
+def test_extract_image_meta_mixed_batch(spark):
+    """extract_image_meta parses real dimensions batch-wise and maps
+    corrupt payloads to null rows instead of failing the task."""
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    rows = [
+        (1, mm.make_png(5, 9)),
+        (2, mm.make_jpeg_header(100, 50)),
+        (3, b"garbage bytes here"),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {r["media_id"]: (r["format"], r["width"], r["height"])
+           for r in mm.extract_image_meta(df).collect()}
+    assert got == {1: ("png", 5, 9), 2: ("jpeg", 100, 50), 3: (None, None, None)}
