@@ -36,13 +36,32 @@ def trailing_window(
     return df.filter(F.col(ts_col) >= cutoff)
 
 
-def fiscal_year_of(date_col: Column, fy_start_month: int = 1) -> Column:
-    """Fiscal year slicer column (F4). With January start this is the
-    calendar year; the reference's 13-4 calendar anchors periods inside
-    the fiscal year."""
-    if fy_start_month == 1:
+def fiscal_year_start(
+    date_col: Column, fy_start_month: int = 1, fy_start_day: int = 1
+) -> Column:
+    """First day of the fiscal year containing ``date_col``.
+
+    The reference's 13-4 calendar runs on the franchise fiscal year —
+    ``[d_Year]&[y],[d_Period]&[p]`` bind against a cube calendar whose
+    FY start is not Jan-1 (``modules/olap_sync.py:264-274``). The
+    anchor is configurable as a month/day pair; dates before this
+    year's anchor belong to the prior fiscal year.
+    """
+    this_year = F.make_date(F.year(date_col), F.lit(fy_start_month), F.lit(fy_start_day))
+    prior_year = F.make_date(
+        F.year(date_col) - 1, F.lit(fy_start_month), F.lit(fy_start_day)
+    )
+    return F.when(date_col >= this_year, this_year).otherwise(prior_year)
+
+
+def fiscal_year_of(
+    date_col: Column, fy_start_month: int = 1, fy_start_day: int = 1
+) -> Column:
+    """Fiscal year label (F4): the calendar year in which the fiscal
+    year STARTS. With a January-1 anchor this is the calendar year."""
+    if fy_start_month == 1 and fy_start_day == 1:
         return F.year(date_col)
-    return F.year(F.add_months(date_col, 12 - (fy_start_month - 1))) - 1
+    return F.year(fiscal_year_start(date_col, fy_start_month, fy_start_day))
 
 
 def fiscal_period_of(date_col: Column, fy_start: Column | str) -> Column:

@@ -137,6 +137,10 @@ class PipelineSpec:
     slicer_column: str | None = None
     drop_all_rows: bool = True  # F2: discard cube rollup rows
     non_empty: bool = True  # F3: drop all-null-measure rows
+    # 13-4 fiscal calendar anchor (month, day) — the reference cube's
+    # FY start is a property of the cube, not Jan-1
+    # (modules/olap_sync.py:264-274); YAML key ``fy_start: "MM-DD"``
+    fy_start: tuple[int, int] = (1, 1)
 
 
 # --- loading ---------------------------------------------------------------
@@ -191,8 +195,23 @@ def load_pipelines(path: str) -> dict[str, PipelineSpec]:
             slicer_column=p.get("slicer_column"),
             drop_all_rows=p.get("drop_all_rows", True),
             non_empty=p.get("non_empty", True),
+            fy_start=parse_fy_start(p.get("fy_start")),
         )
     return specs
+
+
+def parse_fy_start(raw: object) -> tuple[int, int]:
+    """Parse a fiscal-year anchor: ``"MM-DD"`` string, ``[m, d]``
+    pair, or None (Jan-1)."""
+    if raw is None:
+        return (1, 1)
+    if isinstance(raw, str):
+        m, d = raw.split("-")
+        raw = (int(m), int(d))
+    m, d = int(raw[0]), int(raw[1])
+    if not (1 <= m <= 12 and 1 <= d <= 28):
+        raise ValueError(f"fy_start out of range: {(m, d)} (day must be 1-28)")
+    return (m, d)
 
 
 # --- business-key template compiler ---------------------------------------

@@ -13,19 +13,41 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from bw_new_data_integration_spark.operators.window_ops import fiscal_period_of, fiscal_year_of
+from bw_new_data_integration_spark.operators.window_ops import (
+    fiscal_period_of,
+    fiscal_year_of,
+    fiscal_year_start,
+)
 
 
-def fiscal_year(date_col: str, year: int) -> Column:
-    """F4: ``WHERE [Fiscal_Year].&[YYYY]``."""
-    return fiscal_year_of(F.col(date_col).cast("date")) == year
-
-
-def fiscal_period(date_col: str, year: int, period: int) -> Column:
-    """F5: ``WHERE [d_Year].&[y], [d_Period].&[p]`` (13×28-day calendar)."""
+def fiscal_year(
+    date_col: str, year: int, fy_start_month: int = 1, fy_start_day: int = 1
+) -> Column:
+    """F4: ``WHERE [Fiscal_Year].&[YYYY]``. ``fy_start_*`` anchor the
+    fiscal calendar (reference cube FY start, not necessarily Jan-1)."""
     d = F.col(date_col).cast("date")
-    fy_start = F.make_date(F.year(d), F.lit(1), F.lit(1))
-    return (fiscal_year_of(d) == year) & (fiscal_period_of(d, fy_start) == period)
+    return fiscal_year_of(d, fy_start_month, fy_start_day) == year
+
+
+def fiscal_period(
+    date_col: str,
+    year: int,
+    period: int,
+    fy_start_month: int = 1,
+    fy_start_day: int = 1,
+) -> Column:
+    """F5: ``WHERE [d_Year].&[y], [d_Period].&[p]`` (13×28-day calendar).
+
+    Periods count from the configurable fiscal-year anchor — the
+    reference's 13-4 calendar starts at the franchise FY start
+    (``modules/olap_sync.py:264-274``), so e.g. with a Feb-1 anchor,
+    Jan dates fall in period 12/13 of the PRIOR fiscal year.
+    """
+    d = F.col(date_col).cast("date")
+    fy_start = fiscal_year_start(d, fy_start_month, fy_start_day)
+    return (fiscal_year_of(d, fy_start_month, fy_start_day) == year) & (
+        fiscal_period_of(d, fy_start) == period
+    )
 
 
 def trailing_days(date_col: str, days: int, anchor: Column | None = None) -> Column:

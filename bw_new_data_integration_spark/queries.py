@@ -518,10 +518,16 @@ def f3_non_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f5_fiscal_period_slice",
     oracle="""
-WITH f AS (
-  SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS BIGINT) AS fy,
-         CAST(LEAST(date_diff('day', make_date(CAST(year(o_orderdate) AS INT), 1, 1), CAST(o_orderdate AS DATE)) // 28 + 1, 13) AS BIGINT) AS fp
+WITH y AS (
+  SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d,
+         CASE WHEN CAST(o_orderdate AS DATE) >= make_date(CAST(year(o_orderdate) AS INT), 2, 1)
+              THEN CAST(year(o_orderdate) AS INT)
+              ELSE CAST(year(o_orderdate) AS INT) - 1 END AS fyi
   FROM orders
+), f AS (
+  SELECT o_orderkey, o_totalprice, CAST(fyi AS BIGINT) AS fy,
+         CAST(LEAST(date_diff('day', make_date(fyi, 2, 1), d) // 28 + 1, 13) AS BIGINT) AS fp
+  FROM y
 )
 SELECT fy, fp, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_total
 FROM f WHERE fy = 1997 AND fp BETWEEN 2 AND 4
@@ -529,12 +535,16 @@ GROUP BY fy, fp
 """,
 )
 def f5_fiscal_period_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 with the reference's non-Jan-1 fiscal anchor: the 13-period
+    calendar counts from the franchise FY start (here Feb-1,
+    reference modules/olap_sync.py:264-274) — Jan dates belong to
+    period 12/13 of the PRIOR fiscal year."""
     o = _t(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
-    fy_start = F.make_date(F.year(d), F.lit(1), F.lit(1))
-    enriched = o.withColumn("fy", window_ops.fiscal_year_of(d).cast("bigint")).withColumn(
-        "fp", window_ops.fiscal_period_of(d, fy_start).cast("bigint")
-    )
+    fy_start = window_ops.fiscal_year_start(d, 2, 1)
+    enriched = o.withColumn(
+        "fy", window_ops.fiscal_year_of(d, 2, 1).cast("bigint")
+    ).withColumn("fp", window_ops.fiscal_period_of(d, fy_start).cast("bigint"))
     sliced = enriched.filter((F.col("fy") == 1997) & F.col("fp").between(2, 4))
     return sliced.groupBy("fy", "fp").agg(
         F.count("*").alias("n"), aggregate.exact_sum("o_totalprice").alias("sum_total")

@@ -35,10 +35,14 @@ def build_slicer(spec: plans.PipelineSpec, args) -> object | None:
     col = spec.slicer_column
     if col is None:
         return None
+    # fiscal anchor: CLI flag overrides the pipeline spec's fy_start
+    fy_m, fy_d = (
+        plans.parse_fy_start(args.fy_start) if getattr(args, "fy_start", None) else spec.fy_start
+    )
     if args.fy and args.fp:
-        return slicers.fiscal_period(col, args.fy, args.fp)
+        return slicers.fiscal_period(col, args.fy, args.fp, fy_m, fy_d)
     if args.fy:
-        return slicers.fiscal_year(col, args.fy)
+        return slicers.fiscal_year(col, args.fy, fy_m, fy_d)
     if args.length:
         days = 7 if args.length == "1wk" else 14
         return slicers.trailing_days(col, days)
@@ -95,6 +99,10 @@ def main(argv=None) -> int:
     ap.add_argument("--query", required=True, choices=[*specs.keys(), "all"])
     ap.add_argument("--fy", type=int, help="fiscal-year slicer (F4)")
     ap.add_argument("--fp", type=int, help="fiscal-period slicer, 1-13 (F5)")
+    ap.add_argument(
+        "--fy-start",
+        help="fiscal-year anchor MM-DD (13-4 calendar start; default from pipeline spec, else 01-01)",
+    )
     ap.add_argument("--length", choices=["1wk", "2wk"], help="trailing-window slicer (F6)")
     ap.add_argument("--sf-dir", default=catalog.DEFAULT_SF_DIR)
     ap.add_argument("--target-root", default="/tmp/bw_targets")

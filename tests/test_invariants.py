@@ -527,3 +527,57 @@ def test_extract_image_meta_mixed_batch(spark):
     got = {r["media_id"]: (r["format"], r["width"], r["height"])
            for r in mm.extract_image_meta(df).collect()}
     assert got == {1: ("png", 5, 9), 2: ("jpeg", 100, 50), 3: (None, None, None)}
+
+
+def test_fiscal_anchor_non_jan1(spark):
+    """13-4 calendar with a configurable FY anchor (reference
+    modules/olap_sync.py:264-274): with a Feb-1 start, Jan-15 belongs
+    to the PRIOR fiscal year's final period, Feb-1 opens period 1, and
+    day 364 caps at period 13."""
+    from bw_new_data_integration_spark.operators import window_ops as w
+
+    df = spark.createDataFrame(
+        [("2021-01-15",), ("2021-02-01",), ("2021-03-01",), ("2022-01-31",)],
+        "d string",
+    ).select(F.col("d").cast("date").alias("d"))
+    out = df.select(
+        "d",
+        w.fiscal_year_of(F.col("d"), 2, 1).alias("fy"),
+        w.fiscal_period_of(F.col("d"), w.fiscal_year_start(F.col("d"), 2, 1)).alias("fp"),
+    )
+    got = {str(r["d"]): (r["fy"], r["fp"]) for r in out.collect()}
+    assert got["2021-01-15"] == (2020, 13)  # day 349 of FY2020
+    assert got["2021-02-01"] == (2021, 1)
+    assert got["2021-03-01"] == (2021, 2)  # day 28 -> period 2
+    assert got["2022-01-31"] == (2021, 13)  # last day of FY2021
+
+
+def test_runner_fy_start_flag_and_spec(spark):
+    """--fy-start MM-DD overrides the pipeline spec's fy_start; both
+    flow into the F5 slicer predicate."""
+    import argparse
+
+    from bw_new_data_integration_spark import runner
+    from bw_new_data_integration_spark.plans import pipeline as plans
+
+    assert plans.parse_fy_start("02-01") == (2, 1)
+    assert plans.parse_fy_start(None) == (1, 1)
+    assert plans.parse_fy_start([7, 4]) == (7, 4)
+    with pytest.raises(ValueError):
+        plans.parse_fy_start("13-01")
+
+    spec = plans.PipelineSpec(
+        name="t", source_table="lineitem",
+        mapping=plans.MappingSpec(table="t", alternate_key="k",
+                                  business_key_format=None, fields=(), measures=()),
+        slicer_column="l_shipdate", fy_start=(2, 1),
+    )
+    df = spark.createDataFrame(
+        [("2021-01-15",), ("2021-02-10",)], "l_shipdate string"
+    )
+    args = argparse.Namespace(fy=2020, fp=13, length=None, fy_start=None)
+    sl = runner.build_slicer(spec, args)  # spec anchor: Feb-1
+    assert [r["l_shipdate"] for r in df.filter(sl).collect()] == ["2021-01-15"]
+    args2 = argparse.Namespace(fy=2021, fp=1, length=None, fy_start="03-01")
+    sl2 = runner.build_slicer(spec, args2)  # flag overrides: Mar-1 anchor
+    assert [r["l_shipdate"] for r in df.filter(sl2).collect()] == []
