@@ -241,12 +241,35 @@ class ParquetKeyedTable:
         ``self.path`` resolves them directly; time travel
         (``VERSION AS OF n``) replays to exactly the files
         ``read(version=n)`` scans. ``metaData`` is re-emitted whenever
-        the snapshot schema changes (K5 evolution)."""
+        the snapshot schema changes (K5 evolution).
+
+        **Vacuum-truncated logs**: after ``vacuum()`` the earliest
+        surviving version is > 0, and a log that neither starts at
+        version 0 nor has a checkpoint at/before its earliest delta is
+        unreadable by real Delta readers. The export therefore (a)
+        clears stale log entries for versions whose snapshot no longer
+        exists — otherwise replay-from-0 would resolve deleted files —
+        and (b) writes a **parquet checkpoint + ``_last_checkpoint``**
+        (the Delta protocol's mechanism for truncated logs): one
+        checkpoint at the first surviving version (makes the truncated
+        log well-formed) and one at the latest (snapshot construction
+        replays O(1), not O(commits))."""
         log_dir = os.path.join(self.path, "_delta_log")
         os.makedirs(log_dir, exist_ok=True)
+        # reconcile: drop every previously-exported log entry before
+        # rewriting — entries for vacuumed versions would otherwise
+        # reference deleted v=N files and duplicate protocol/metaData
+        for stale in os.listdir(log_dir):
+            if stale.endswith((".json", ".checkpoint.parquet")) or stale == "_last_checkpoint":
+                os.remove(os.path.join(log_dir, stale))
         prev_files: list[dict] = []
         prev_schema: str | None = None
         first_exported = True
+        protocol_action = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        last_metadata: dict | None = None
+        first_state: tuple[int, dict] | None = None
+        last_state: tuple[int, dict] | None = None
+        first_surviving: int | None = None
         for v in range(self.current_version() + 1):
             m = self.manifest(v)
             if m is None:
@@ -258,25 +281,21 @@ class ParquetKeyedTable:
                 # protocol rides the FIRST surviving version, not
                 # literally v=0 — after vacuum() the log must still
                 # open with a protocol action or no reader accepts it
-                actions.append(
-                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-                )
+                actions.append(protocol_action)
                 first_exported = False
+                first_surviving = v
             if schema_json != prev_schema:
                 # the table id must be STABLE across the whole log (the
                 # Delta protocol treats an id change as a table replace)
-                actions.append(
-                    {
-                        "metaData": {
-                            "id": os.path.basename(self.path),
-                            "format": {"provider": "parquet", "options": {}},
-                            "schemaString": schema_json,
-                            "partitionColumns": self.partition_by,
-                            "configuration": {},
-                            "createdTime": int(m["timestamp"] * 1000),
-                        }
-                    }
-                )
+                last_metadata = {
+                    "id": os.path.basename(self.path),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": self.partition_by,
+                    "configuration": {},
+                    "createdTime": int(m["timestamp"] * 1000),
+                }
+                actions.append({"metaData": last_metadata})
                 prev_schema = schema_json
             actions.append(
                 {
@@ -326,7 +345,107 @@ class ParquetKeyedTable:
                 for a in actions:
                     fh.write(json.dumps(a) + "\n")
             prev_files = cur_files
+            state = {"metadata": last_metadata, "files": cur_files, "ts_ms": ts_ms}
+            if v == first_surviving:
+                first_state = (v, state)
+            last_state = (v, state)
+        if last_state is not None:
+            # checkpoint at the first surviving version makes a
+            # vacuum-truncated log well-formed; one at the latest makes
+            # snapshot construction O(1). They coincide for 1-commit logs.
+            for cv, state in dict([first_state, last_state]).items():
+                self._write_checkpoint(
+                    log_dir, cv, protocol_action["protocol"], state["metadata"],
+                    state["files"], state["ts_ms"],
+                )
+            with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+                n_actions = 2 + len(last_state[1]["files"])
+                json.dump({"version": last_state[0], "size": n_actions}, fh)
         return log_dir
+
+    @staticmethod
+    def _write_checkpoint(
+        log_dir: str,
+        version: int,
+        protocol: dict,
+        metadata: dict | None,
+        files: list[dict],
+        ts_ms: int | None = None,
+    ) -> str:
+        """Write ``{version:020d}.checkpoint.parquet`` — the snapshot's
+        full action state (protocol + metaData + every active add) in
+        the Delta checkpoint parquet layout: one action per row, one
+        nullable struct column per action type. Single-file write via
+        pyarrow (the protocol names one exact file, not a directory)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        map_ss = pa.map_(pa.string(), pa.string())
+        schema = pa.schema(
+            [
+                pa.field(
+                    "protocol",
+                    pa.struct(
+                        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                    ),
+                ),
+                pa.field(
+                    "metaData",
+                    pa.struct(
+                        [
+                            ("id", pa.string()),
+                            (
+                                "format",
+                                pa.struct([("provider", pa.string()), ("options", map_ss)]),
+                            ),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.list_(pa.string())),
+                            ("configuration", map_ss),
+                            ("createdTime", pa.int64()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "add",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("partitionValues", map_ss),
+                            ("size", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        rows: list[dict] = [{"protocol": protocol}]
+        if metadata is not None:
+            md = dict(metadata)
+            md["format"] = {
+                "provider": md["format"]["provider"],
+                "options": list(md["format"]["options"].items()),
+            }
+            md["configuration"] = list(md["configuration"].items())
+            rows.append({"metaData": md})
+        for f in files:
+            rows.append(
+                {
+                    "add": {
+                        "path": f["path"],
+                        "partitionValues": [
+                            (k, v) for k, v in _partition_values(f["path"]).items()
+                        ],
+                        "size": f["bytes"],
+                        "modificationTime": ts_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+        table = pa.Table.from_pylist(rows, schema=schema)
+        out = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        pq.write_table(table, out)
+        return out
 
     def _link_untouched_partitions(self, old_v: int, new_v: int) -> None:
         """Carry partitions absent from the new snapshot forward as hard
@@ -421,8 +540,7 @@ class ParquetKeyedTable:
             merged = merge_upsert(target, source, self.key_cols, evolve_schema=evolve_schema)
             return self._commit(merged, "upsert")
         except Exception as e:  # surface the in-plan assertion as the API error
-            detail = str(e)
-            if strict and "strict upsert" in detail:
+            if strict and self._is_strict_assert_failure(e):
                 # the assertion fired inside the write job; drop the
                 # partially-written, never-referenced snapshot dir (the
                 # pointer was not flipped, so readers never saw it)
@@ -432,26 +550,87 @@ class ParquetKeyedTable:
                     self._snapshot_dir(self.current_version() + 1),
                     ignore_errors=True,
                 )
+                detail = str(e)
                 start = detail.index("strict upsert")
-                raise ValueError(detail[start:].splitlines()[0]) from None
+                raise ValueError(detail[start:].splitlines()[0]) from e
             raise
+
+    @staticmethod
+    def _is_strict_assert_failure(e: Exception) -> bool:
+        """True only for the in-plan ``assert_true`` firing — matched by
+        exception TYPE and Spark error condition (USER_RAISED_EXCEPTION),
+        not by substring alone: analysis/runtime errors embed plan text,
+        which contains the assertion's message literal, and must NOT be
+        misclassified as duplicate-key failures."""
+        try:
+            from pyspark.errors import SparkRuntimeException
+        except ImportError:  # pragma: no cover - ancient pyspark
+            return "strict upsert" in str(e)
+        if not isinstance(e, SparkRuntimeException):
+            return False
+        cond = None
+        getter = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        if getter is not None:
+            try:
+                cond = getter()
+            except Exception:  # pragma: no cover
+                cond = None
+        if cond is not None and cond != "USER_RAISED_EXCEPTION":
+            return False
+        return "strict upsert" in str(e)
+
+    #: Above this many touched partitions a partition-scoped merge stops
+    #: paying: the collect() and the IN-list grow linearly, and a batch
+    #: touching thousands of partitions is a backfill, not an increment —
+    #: a full-table merge (one shuffle, no driver-side partition list)
+    #: is the better plan. Tested flat to 1,000 partitions.
+    MAX_SCOPED_PARTITIONS = 2_000
 
     def _partition_scoped_upsert(self, target: DataFrame, source: DataFrame) -> int:
         # The partition columns are part of the key, so a key can never
         # move between partitions — merging each touched partition in
         # isolation is exactly equivalent to the full-table merge.
-        touched = source.select(*self.partition_by).distinct().collect()
+        # The collect is capped: limit(N+1) bounds driver memory no
+        # matter how wide the batch is.
+        touched = (
+            source.select(*self.partition_by)
+            .distinct()
+            .limit(self.MAX_SCOPED_PARTITIONS + 1)
+            .collect()
+        )
         if not touched:
             return self.current_version()  # empty batch: no-op, no new version
+        if len(touched) > self.MAX_SCOPED_PARTITIONS:
+            # documented fallback: backfill-sized batch -> full merge
+            merged = merge_upsert(target, source, self.key_cols)
+            return self._commit(merged, "upsert")
         # Literal predicate (not a join) so Catalyst statically prunes
-        # the target scan to the touched partition directories.
-        pred = reduce(
-            or_,
-            (
-                reduce(and_, (F.col(c).eqNullSafe(F.lit(row[c])) for c in self.partition_by))
-                for row in touched
-            ),
-        )
+        # the target scan to the touched partition directories. A single
+        # struct-IN (optimized to InSet past 10 values) keeps predicate
+        # size and evaluation O(1) per partition, unlike an OR-of-ANDs
+        # chain whose expression tree grows with the partition count.
+        # Tuples containing NULL partition values cannot ride IN (null-
+        # propagating equality) and get a null-safe OR-chain; they are
+        # bounded by the number of partition columns' null combinations.
+        cols = [F.col(c) for c in self.partition_by]
+        non_null = [r for r in touched if all(r[c] is not None for c in self.partition_by)]
+        with_null = [r for r in touched if any(r[c] is None for c in self.partition_by)]
+        preds = []
+        if non_null:
+            if len(self.partition_by) == 1:
+                c = self.partition_by[0]
+                preds.append(F.col(c).isin([r[c] for r in non_null]))
+            else:
+                lits = [
+                    F.struct(*(F.lit(r[c]).alias(c) for c in self.partition_by))
+                    for r in non_null
+                ]
+                preds.append(F.struct(*cols).isin(*lits))
+        for r in with_null:
+            preds.append(
+                reduce(and_, (F.col(c).eqNullSafe(F.lit(r[c])) for c in self.partition_by))
+            )
+        pred = reduce(or_, preds)
         old_v = self.current_version()
         merged = merge_upsert(target.where(pred), source, self.key_cols)
         new_v = self._write_snapshot(merged)

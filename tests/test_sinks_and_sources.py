@@ -859,11 +859,15 @@ def test_delta_log_export_after_vacuum_still_opens_with_protocol(spark, tmp_path
     t = ParquetKeyedTable(str(tmp_path / "dvac"), ["k"])
     for i in range(4):
         t.overwrite(spark.createDataFrame([Row(k="a", v=i), Row(k="b", v=i * 10)]))
+    # stale-entry reconciliation: a pre-vacuum export leaves entries for
+    # versions whose snapshots are about to be deleted; the re-export
+    # must clear them or replay-from-0 resolves deleted files
+    t.export_delta_log(spark)
     t.vacuum(keep_last=2)
     log_dir = t.export_delta_log(spark)
-    written = sorted(os.listdir(log_dir))
-    assert written == ["00000000000000000002.json", "00000000000000000003.json"]
-    with open(os.path.join(log_dir, written[0])) as fh:
+    jsons = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    assert jsons == ["00000000000000000002.json", "00000000000000000003.json"]
+    with open(os.path.join(log_dir, jsons[0])) as fh:
         first = [json.loads(line) for line in fh]
     assert any("protocol" in a for a in first)
     assert any("metaData" in a for a in first)
@@ -871,6 +875,26 @@ def test_delta_log_export_after_vacuum_still_opens_with_protocol(spark, tmp_path
     adds = [a["add"]["path"] for a in first if "add" in a]
     got = spark.read.parquet(*[os.path.join(t.path, _unquote(p)) for p in adds])
     assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, t.read(spark, version=2).collect())
+    )
+    # truncated-log readability: a parquet checkpoint must exist at (or
+    # before) the earliest delta, plus _last_checkpoint naming the
+    # newest one — the Delta protocol's mechanism for logs that no
+    # longer start at version 0
+    cps = sorted(f for f in os.listdir(log_dir) if f.endswith(".checkpoint.parquet"))
+    assert cps == [
+        "00000000000000000002.checkpoint.parquet",
+        "00000000000000000003.checkpoint.parquet",
+    ]
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        last_cp = json.load(fh)
+    assert last_cp["version"] == 3
+    cp = spark.read.parquet(os.path.join(log_dir, cps[0])).collect()
+    assert sum(1 for r in cp if r["protocol"] is not None) == 1
+    assert sum(1 for r in cp if r["metaData"] is not None) == 1
+    cp_adds = [r["add"]["path"] for r in cp if r["add"] is not None]
+    got2 = spark.read.parquet(*[os.path.join(t.path, _unquote(p)) for p in cp_adds])
+    assert sorted(map(tuple, got2.collect())) == sorted(
         map(tuple, t.read(spark, version=2).collect())
     )
 
@@ -894,7 +918,9 @@ def test_delta_log_export_replays_history(spark, tmp_path):
     t.delete_keys(spark, spark.createDataFrame([Row(d="2024-01-01", k="a")]))
     log_dir = t.export_delta_log(spark)
 
-    assert sorted(os.listdir(log_dir)) == [f"{v:020d}.json" for v in range(3)]
+    assert sorted(f for f in os.listdir(log_dir) if f.endswith(".json")) == [
+        f"{v:020d}.json" for v in range(3)
+    ]
     active: dict[str, dict] = {}
     seen_protocol = seen_metadata = False
     for v in range(t.current_version() + 1):
@@ -949,6 +975,117 @@ def test_delta_log_export_replays_history(spark, tmp_path):
     for a in adds:
         assert a["partitionValues"] == {"d": "a:b c"}
         assert os.path.exists(os.path.join(t2.path, _unquote(a["path"])))
+
+
+def test_delta_log_checkpoint_replays_long_history_o1(spark, tmp_path):
+    """Past 30 versions, a reader must not replay O(commits) JSON:
+    _last_checkpoint names the newest checkpoint, and loading that one
+    parquet file alone reconstructs the latest snapshot exactly."""
+    t = ParquetKeyedTable(str(tmp_path / "dlong"), ["k"])
+    for i in range(32):
+        t.upsert(spark, spark.createDataFrame([Row(k=f"k{i % 5}", v=i)]))
+    log_dir = t.export_delta_log(spark)
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        cp_info = json.load(fh)
+    assert cp_info["version"] == t.current_version() == 31
+    cp_file = os.path.join(log_dir, f"{cp_info['version']:020d}.checkpoint.parquet")
+    rows = spark.read.parquet(cp_file).collect()
+    assert cp_info["size"] == len(rows)
+    # checkpoint alone (no JSON replay) == latest snapshot
+    adds = [r["add"]["path"] for r in rows if r["add"] is not None]
+    got = spark.read.parquet(*[os.path.join(t.path, _unquote(p)) for p in adds])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, t.read(spark).collect())
+    )
+    # deltas after the checkpoint: none (checkpoint is at the tip), so
+    # snapshot construction reads exactly 1 checkpoint + 0 JSONs
+    newer = [
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and int(f.split(".")[0]) > cp_info["version"]
+    ]
+    assert newer == []
+
+
+def test_partition_scoped_merge_prunes_at_1000_partitions(spark, tmp_path):
+    """The touched-partition predicate must stay a single IN over a
+    composed partition tuple — static pruning in the scan, no
+    super-linear planning — even at 1,000 touched partitions, and a
+    batch past MAX_SCOPED_PARTITIONS must fall back to a full merge
+    rather than collect unboundedly."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    t = ParquetKeyedTable(str(tmp_path / "pp"), ["p", "k"], partition_by=["p"])
+    base = spark.range(4000).select(
+        F.concat(F.lit("p"), (F.col("id") % 2000).cast("string")).alias("p"),
+        F.col("id").cast("string").alias("k"),
+        F.col("id").alias("v"),
+    )
+    t.overwrite(base)
+    # window touching 1,000 of 2,000 partitions
+    window = spark.range(1000).select(
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("p"),
+        F.col("id").cast("string").alias("k"),
+        (F.col("id") + 100_000).alias("v"),
+    )
+    t0 = _time.time()
+    t.upsert(spark, window)
+    elapsed = _time.time() - t0
+    assert t.manifest()["operation"] == "partition_upsert"
+    assert elapsed < 120, f"planning blow-up: {elapsed:.1f}s"
+    got = t.read(spark)
+    assert got.count() == 4000
+    assert got.filter(F.col("v") >= 100_000).count() == 1000
+    # past the cap: full merge, not partition-scoped
+    prev_max = ParquetKeyedTable.MAX_SCOPED_PARTITIONS
+    ParquetKeyedTable.MAX_SCOPED_PARTITIONS = 500
+    try:
+        wide = spark.range(600).select(
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("p"),
+            F.col("id").cast("string").alias("k"),
+            (F.col("id") + 200_000).alias("v"),
+        )
+        t.upsert(spark, wide)
+        assert t.manifest()["operation"] == "upsert"  # fallback path
+        assert t.read(spark).filter(F.col("v") >= 200_000).count() == 600
+    finally:
+        ParquetKeyedTable.MAX_SCOPED_PARTITIONS = prev_max
+
+
+def test_partition_scoped_merge_statically_prunes_scan(spark, tmp_path):
+    """The struct-IN predicate over partition columns lands in the
+    FileScan's PartitionFilters (static pruning), and null partition
+    values still merge correctly via the null-safe side predicate."""
+    from pyspark.sql import functions as F
+
+    t = ParquetKeyedTable(str(tmp_path / "ppn"), ["m", "d", "k"], partition_by=["m", "d"])
+    rows = [Row(m=f"2024-{i % 3 + 1:02d}", d=f"d{i % 2}", k=f"k{i}", v=i) for i in range(12)]
+    t.overwrite(spark.createDataFrame(rows))
+    target = t.read(spark)
+    src = spark.createDataFrame(
+        [Row(m="2024-01", d="d0", k="k0", v=100), Row(m="2024-02", d="d1", k="k1", v=101)]
+    )
+    # reproduce the predicate the merge builds and check the scan plan
+    lits = [
+        F.struct(F.lit("2024-01").alias("m"), F.lit("d0").alias("d")),
+        F.struct(F.lit("2024-02").alias("m"), F.lit("d1").alias("d")),
+    ]
+    pred = F.struct("m", "d").isin(*lits)
+    plan = target.where(pred)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and " IN (" in plan, plan[:900]
+    t.upsert(spark, src)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got["k0"] == 100 and got["k1"] == 101 and len(got) == 12
+
+    # null partition value: must not be silently dropped by the IN
+    t2 = ParquetKeyedTable(str(tmp_path / "ppnull"), ["m", "k"], partition_by=["m"])
+    t2.overwrite(
+        spark.createDataFrame([("a", "x", 1), (None, "y", 2)], "m string, k string, v bigint")
+    )
+    t2.upsert(spark, spark.createDataFrame([(None, "y", 20)], "m string, k string, v bigint"))
+    got2 = {(r["m"], r["k"]): r["v"] for r in t2.read(spark).collect()}
+    assert got2 == {("a", "x"): 1, (None, "y"): 20}
 
 
 # --- S9: OData paged reader ------------------------------------------------
