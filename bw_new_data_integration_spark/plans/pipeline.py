@@ -141,6 +141,40 @@ class PipelineSpec:
     # FY start is a property of the cube, not Jan-1
     # (modules/olap_sync.py:264-274); YAML key ``fy_start: "MM-DD"``
     fy_start: tuple[int, int] = (1, 1)
+    # MDX template for cube-sourced backfills (``${var}`` placeholders,
+    # usually ``${slicer}``), rendered per slice and handed to the
+    # executor-side XMLA fetch — restores the reference's "new cube
+    # backfill = YAML only" workflow (pipelines.yaml ``source.mdx``,
+    # reference modules/pipeline_config.py:12-34). None for pipelines
+    # fed from parquet/CSV.
+    mdx: str | None = None
+    catalog: str | None = None
+
+    def render_mdx(self, variables: dict[str, object] | None = None) -> str:
+        if self.mdx is None:
+            raise ValueError(f"pipeline {self.name!r} has no MDX template")
+        return render_mdx_template(self.mdx, variables)
+
+    def backfill_mdx(self, slicers: dict[str, str]) -> dict[str, str]:
+        """Per-slice MDX for ``xmla.fetch_partitioned*``: render the
+        template once per slice with ``${slicer}`` bound — the
+        reference's backfill loop (modules/olap_sync.py:246-339),
+        minus the hand-formatting."""
+        return {name: self.render_mdx({"slicer": s}) for name, s in slicers.items()}
+
+
+def render_mdx_template(mdx: str, variables: dict[str, object] | None = None) -> str:
+    """``${var}``-only substitution into an MDX template (reference
+    ``modules/pipeline_config.py:20-34``): MDX is full of literal
+    ``{...}`` sets, so ``str.format``-style braces would force heavy
+    escaping in YAML — only the ``${var}`` spelling is substituted,
+    every other brace passes through untouched."""
+    if not variables:
+        return mdx
+    rendered = mdx
+    for key, value in variables.items():
+        rendered = rendered.replace(f"${{{key}}}", str(value))
+    return rendered
 
 
 # --- loading ---------------------------------------------------------------
@@ -196,6 +230,8 @@ def load_pipelines(path: str) -> dict[str, PipelineSpec]:
             drop_all_rows=p.get("drop_all_rows", True),
             non_empty=p.get("non_empty", True),
             fy_start=parse_fy_start(p.get("fy_start")),
+            mdx=(p["source"].get("mdx") or "").strip("\n") or None,
+            catalog=p["source"].get("catalog"),
         )
     return specs
 

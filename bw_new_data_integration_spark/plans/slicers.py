@@ -50,6 +50,26 @@ def fiscal_period(
     )
 
 
+def mdx_member_13_4(year: int, period: int | None = None) -> str:
+    """The 13-4-calendar slicer MEMBER STRING bound into MDX backfill
+    templates (``${slicer}``), byte-identical to the reference's
+    (modules/olap_sync.py:264-274). Used by the XMLA backfill path;
+    in-engine slicing uses :func:`fiscal_period` predicates instead."""
+    if period is not None:
+        if not 1 <= period <= 13:
+            raise ValueError("period must be between 1 and 13")
+        return (
+            f"[13-4 Calendar].[d_Year].[d_Year].&[{int(year)}],"
+            f"[13-4 Calendar].[d_Period].[d_Period].&[{int(period)}]"
+        )
+    return f"[13-4 Calendar].[d_Year].[d_Year].&[{int(year)}]"
+
+
+def mdx_member_fiscal_year(year: int) -> str:
+    """Regular-calendar FY slicer member (modules/olap_sync.py:280)."""
+    return f"[Calendar].[Calendar Hierarchy].[Fiscal_Year].&[{int(year)}]"
+
+
 def trailing_days(date_col: str, days: int, anchor: Column | None = None) -> Column:
     """F6: MyView 81/82 — last 7/14 days. ``anchor`` defaults to
     ``current_date()`` (production); tests pass the dataset max."""
