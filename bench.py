@@ -87,6 +87,8 @@ OPTIONAL = [
     "chunk_documents",
     "shuffle_shards",
     "ann_lsh_multiprobe",
+    "mdx_template_backfill",
+    "dedup_lsh_candidates_capped",
 ]
 
 

@@ -914,6 +914,77 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH skew guard: degenerate buckets (boilerplate) capped to hub-star
+# pairing — output and task time linear in bucket size, component
+# reachability preserved (operators/dedup.py minhash_lsh_candidates
+# max_bucket_size).
+# ---------------------------------------------------------------------------
+_BOILER_TEXT = (
+    "terms of service boilerplate all rights reserved "
+    "contact us for more information about this product"
+)
+
+
+def _capped_lsh_oracle(
+    num_hashes: int = 12, bands: int = 4, cap: int = 10, n_boiler: int = 40
+) -> str:
+    rpb = num_hashes // bands
+    band_structs = ", ".join(
+        "{{'band': {b}, 'bh': md5(concat_ws('|', {parts}))}}".format(
+            b=b, parts=", ".join(f"mh_{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(bands)
+    )
+    corpus = (
+        "SELECT doc_id, text FROM documents UNION ALL\n"
+        f"  SELECT 1000000 + i AS doc_id, '{_BOILER_TEXT}' AS text FROM range({n_boiler}) t(i)"
+    )
+    base = _minhash_select_sql(num_hashes).replace("FROM documents", "FROM corpus", 1)
+    base = base.replace(
+        "WITH toks", f"WITH sig AS (\nWITH corpus AS (\n  {corpus}\n),\ntoks", 1
+    )
+    return (
+        base
+        + """),
+buckets AS (
+  SELECT doc_id, unnest([{band_structs}], recursive := true) FROM sig
+),
+sized AS (
+  SELECT doc_id, band, bh,
+         COUNT(*) OVER (PARTITION BY band, bh) AS bn,
+         MIN(doc_id) OVER (PARTITION BY band, bh) AS hub
+  FROM buckets
+)
+SELECT DISTINCT a_id, b_id FROM (
+  SELECT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM sized l JOIN sized r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id AND l.bn <= {cap}
+  UNION ALL
+  SELECT hub AS a_id, doc_id AS b_id FROM sized WHERE bn > {cap} AND doc_id <> hub
+) p
+""".format(band_structs=band_structs, cap=cap)
+    )
+
+
+@register("dedup_lsh_candidates_capped", oracle=_capped_lsh_oracle())
+def dedup_lsh_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened LSH: the corpus is salted with 40 identical
+    boilerplate docs, forcing a degenerate bucket past the cap in every
+    band; ``max_bucket_size=10`` switches those buckets to hub-star
+    pairing (n-1 edges instead of n(n-1)/2) while normal buckets keep
+    all-pairs — the coded form of the mitigation previously only
+    documented at operators/dedup.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = spark.range(40).select(
+        (F.col("id") + 1_000_000).alias("doc_id"), F.lit(_BOILER_TEXT).alias("text")
+    )
+    corpus = docs.unionByName(boiler)
+    return dedup.minhash_lsh_candidates(
+        corpus, num_hashes=12, bands=4, max_bucket_size=10
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard similarity (threshold 0.5, all-pairs mode).
 # ---------------------------------------------------------------------------
 @register(
@@ -1612,6 +1683,98 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.9 late-data repair gate: the streaming path (14-day watermark +
+# foreachBatch keyed upsert) must converge to the SAME table as the
+# batch trailing-window re-sync when events arrive up to 14 days late —
+# the reference's repair horizon (truenas/cron-jobs.txt:12 re-upserts a
+# 2-week window nightly; the watermark is that horizon expressed as
+# streaming state retention). Events are replayed in two waves: wave 1
+# is everything on time, wave 2 holds back a deterministic subset of
+# the last 14 days and delivers it late. The oracle is the batch
+# truth over ALL events — exactly what a trailing-window re-sync
+# produces — so a green row proves the two modes reach the same state.
+# ---------------------------------------------------------------------------
+@register(
+    "late_data_repair",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
+)
+def late_data_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    tune_for_oracle_parity(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    # late wave: inside the repair horizon (> max-14d, so never dropped
+    # by the watermark) but strictly before the newest hour (so wave 1
+    # keeps the global max event time and sets the watermark honestly)
+    late_cond = (
+        (F.col("ts") > F.lit(max_ts) - F.expr("INTERVAL 14 DAYS"))
+        & (F.col("ts") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("event_id") % 3 == 0)
+    )
+
+    base = tempfile.mkdtemp(prefix="bw_late_repair_")
+    staging = _os.path.join(base, "src")
+    _os.makedirs(staging)
+
+    def stage(df: DataFrame, name: str) -> None:
+        out = _os.path.join(base, name)
+        df.coalesce(1).write.parquet(out)
+        for f in _os.listdir(out):
+            if f.endswith(".parquet"):
+                shutil.copy(_os.path.join(out, f), _os.path.join(staging, f"{name}.parquet"))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    target = ParquetKeyedTable(_os.path.join(base, "tbl"), ["window_start", "event_type"])
+    ckpt = _os.path.join(base, "ckpt")
+    qname = "late_repair_" + uuid.uuid4().hex[:8]
+
+    def run_wave() -> None:
+        events = st.read_event_stream(spark, staging, schema=schema)
+        agg = st.windowed_counts(events, window_duration="1 hour", watermark="14 days")
+        out = agg.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        q = (
+            st.upsert_sink(out, target, ckpt, query_name=qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        stage(ev.filter(~late_cond), "wave1")
+        run_wave()  # on-time delivery
+        stage(ev.filter(late_cond), "wave2")
+        run_wave()  # late arrivals, same checkpoint: state repairs in place
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return target.read(spark).select("window_start", "event_type", "n")
+
+
+# ---------------------------------------------------------------------------
 # S2/S6 — XMLA mddataset round-trip: a cube response (Axis0 measures ×
 # Axis1 dimension tuples + sparse ordinal cells) flattened to a
 # DataFrame via the COO pivot. The response XML is synthesized from the
@@ -1770,6 +1933,110 @@ def s1_xmla_partitioned_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         F.col("__slice").alias("fy"), "priority", "n_orders", "sum_totalprice"
     )
+
+
+# ---------------------------------------------------------------------------
+# P-series composite — YAML-driven MDX backfill: the pipeline's MDX
+# template (pipelines.yaml source.mdx) rendered per 13-4-calendar
+# period via ${slicer} substitution (reference
+# modules/pipeline_config.py:20-34 + modules/olap_sync.py:262-280),
+# fetched executor-side. "New cube backfill = YAML only, no code."
+# ---------------------------------------------------------------------------
+@register(
+    "mdx_template_backfill",
+    oracle="""
+WITH y AS (
+  SELECT o_orderpriority, o_totalprice, CAST(o_orderdate AS DATE) AS d,
+         CASE WHEN CAST(o_orderdate AS DATE) >= make_date(CAST(year(o_orderdate) AS INT), 2, 1)
+              THEN CAST(year(o_orderdate) AS INT)
+              ELSE CAST(year(o_orderdate) AS INT) - 1 END AS fyi
+  FROM orders
+), f AS (
+  SELECT o_orderpriority, o_totalprice, CAST(fyi AS BIGINT) AS fy,
+         CAST(LEAST(date_diff('day', make_date(fyi, 2, 1), d) // 28 + 1, 13) AS BIGINT) AS fp
+  FROM y
+)
+SELECT fy, fp, o_orderpriority AS priority,
+       CAST(COUNT(*) AS DOUBLE) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_totalprice
+FROM f WHERE fy = 1997
+GROUP BY 1, 2, 3
+""",
+)
+def mdx_template_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-slice cube backfill driven entirely by config: the
+    sales_channel MDX template is loaded from pipelines/pipelines.yaml,
+    rendered once per fiscal period with ``${slicer}`` bound to the
+    reference's 13-4 member string (slicers.mdx_member_13_4), and
+    fetched on executors (one slice per partition). The fake transport
+    regex-extracts ``[d_Period].&[p]`` from the RENDERED MDX, so an
+    unsubstituted template fails loudly — the render step is on the
+    verified path. Oracle: the same 13-4 aggregate (Feb-1 anchor, the
+    spec's fy_start) in SQL."""
+    import re as _re
+
+    from bw_new_data_integration_spark.plans import pipeline as plans
+    from bw_new_data_integration_spark.plans import slicers
+    from bw_new_data_integration_spark.sources import xmla
+
+    spec = plans.load_pipelines(_PIPELINES_YAML)["sales_channel"]
+    fy = 1997
+    mdx_by_slice = spec.backfill_mdx(
+        {f"{fy}-P{p:02d}": slicers.mdx_member_13_4(fy, p) for p in range(1, 14)}
+    )
+
+    # deterministic fake cube: per-(period, priority) truth from orders
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    fy_m, fy_d = spec.fy_start
+    agg_rows = (
+        o.withColumn("fy", window_ops.fiscal_year_of(d, fy_m, fy_d))
+        .withColumn(
+            "fp", window_ops.fiscal_period_of(d, window_ops.fiscal_year_start(d, fy_m, fy_d))
+        )
+        .filter(F.col("fy") == fy)
+        .groupBy("fp", "o_orderpriority")
+        .agg(
+            F.count("*").cast("double").alias("n_orders"),
+            aggregate.exact_sum("o_totalprice").alias("sum_totalprice"),
+        )
+        .collect()
+    )
+    by_period: dict[int, list] = {}
+    for r in agg_rows:
+        by_period.setdefault(int(r["fp"]), []).append(r)
+    measures = ["n_orders", "sum_totalprice"]
+
+    def make_execute():
+        def execute(mdx: str) -> str:
+            from bw_new_data_integration_spark.sources.xmla import render_mddataset
+
+            p = int(_re.search(r"\[d_Period\]\.\[d_Period\]\.&\[(\d+)\]", mdx).group(1))
+            rows = by_period.get(p, [])
+            return render_mddataset(
+                measures,
+                [[("[Order].[Priority]", r["o_orderpriority"])] for r in rows],
+                [[repr(r[m]) for m in measures] for r in rows],
+            )
+
+        return execute
+
+    df = xmla.fetch_partitioned_distributed(
+        spark,
+        make_execute,
+        mdx_by_slice,
+        [{"pattern": "Priority", "field": "priority"}],
+        dim_fields=["priority"],
+        measure_fields=measures,
+    )
+    part = F.split("__slice", "-P")
+    return df.select(
+        part.getItem(0).cast("bigint").alias("fy"),
+        part.getItem(1).cast("bigint").alias("fp"),
+        "priority",
+        "n_orders",
+        "sum_totalprice",
+    ).where(F.col("n_orders").isNotNull())
 
 
 # ---------------------------------------------------------------------------
