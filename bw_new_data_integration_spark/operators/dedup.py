@@ -19,7 +19,7 @@ Hashes are md5-hex-based so a SQL oracle reproduces them bit-for-bit
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bw_new_data_integration_spark.functions.text import fingerprint, word_shingles
@@ -91,14 +91,25 @@ def minhash_lsh_candidates(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_words: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash LSH.
 
     Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
     a pair is a candidate if any band matches. The join is an equi-join
     on (band_id, band_hash) — hash-partitioned, never all-pairs; at
-    scale the bucket sizes are the only quadratic risk, and salting or
-    AQE skew-split handles a degenerate bucket (e.g. boilerplate docs).
+    scale the bucket sizes are the only quadratic risk.
+
+    ``max_bucket_size`` is the skew guard for that risk: a bucket of
+    *n* near-identical boilerplate docs otherwise emits n(n-1)/2 pairs
+    from one task. Buckets over the cap switch from all-pairs to a
+    **hub star** — every member pairs with the bucket's min id only —
+    emitting n-1 pairs. Task time and output become linear in bucket
+    size, while connected-component reachability is preserved exactly
+    (all members stay one component via the hub), so cluster-based
+    dedup keep-lists lose nothing; only direct pairwise verification
+    of non-hub members is skipped, and for degenerate buckets those
+    members are near-identical by construction. None = uncapped.
 
     Returns distinct (a_id, b_id) with a_id < b_id.
     """
@@ -113,6 +124,29 @@ def minhash_lsh_candidates(
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
+    if max_bucket_size is not None:
+        # one extra window pass on the same (band, bh) key: per-bucket
+        # size + hub (min id), then branch small/degenerate
+        w = Window.partitionBy("band", "bh")
+        sized = buckets.select(
+            F.col(id_col),
+            "band",
+            "bh",
+            F.count("*").over(w).alias("bn"),
+            F.min(id_col).over(w).alias("hub"),
+        ).localCheckpoint(eager=True)
+        small = sized.filter(F.col("bn") <= max_bucket_size)
+        left, right = small.alias("l"), small.alias("r")
+        full_pairs = left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(F.col(f"l.{id_col}").alias("a_id"), F.col(f"r.{id_col}").alias("b_id"))
+        star = sized.filter(
+            (F.col("bn") > max_bucket_size) & (F.col(id_col) != F.col("hub"))
+        ).select(F.col("hub").alias("a_id"), F.col(id_col).alias("b_id"))
+        return full_pairs.unionByName(star).distinct()
     # the self-join would recompute the whole shingle->signature plan
     # for each side; the bucket table is tiny (docs × bands rows), so
     # materialize it once and join the copy against itself

@@ -581,3 +581,48 @@ def test_runner_fy_start_flag_and_spec(spark):
     args2 = argparse.Namespace(fy=2021, fp=1, length=None, fy_start="03-01")
     sl2 = runner.build_slicer(spec, args2)  # flag overrides: Mar-1 anchor
     assert [r["l_shipdate"] for r in df.filter(sl2).collect()] == []
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """Skew guard (operators/dedup.py minhash_lsh_candidates
+    max_bucket_size): on a 50%-identical corpus the boilerplate bucket
+    must emit n-1 hub-star edges instead of n(n-1)/2 all-pairs, and
+    connected-component reachability must be preserved — the capped
+    keep-list equals the uncapped one."""
+    from bw_new_data_integration_spark.operators import dedup
+
+    n_boiler, n_unique = 100, 100
+    boiler = spark.range(n_boiler).selectExpr(
+        "id AS doc_id",
+        "'legal boilerplate all rights reserved see terms of service for details' AS text",
+    )
+    unique = spark.range(n_unique).selectExpr(
+        "id + 1000 AS doc_id",
+        "concat('unique document number ', id, ' discussing topic ', id * 7, "
+        "' with entirely distinct content ', id * 13) AS text",
+    )
+    corpus = boiler.unionByName(unique)
+
+    capped = dedup.minhash_lsh_candidates(corpus, max_bucket_size=10).localCheckpoint()
+    boiler_pairs = capped.filter((F.col("a_id") < 1000) & (F.col("b_id") < 1000))
+    # star topology: every boilerplate doc pairs with the hub (min id 0) only
+    assert boiler_pairs.count() == n_boiler - 1
+    assert boiler_pairs.filter(F.col("a_id") != 0).count() == 0
+    # output is linear in bucket size, not quadratic
+    assert capped.count() < n_boiler * (n_boiler - 1) // 2
+
+    uncapped = dedup.minhash_lsh_candidates(corpus).localCheckpoint()
+    assert uncapped.filter(
+        (F.col("a_id") < 1000) & (F.col("b_id") < 1000)
+    ).count() == n_boiler * (n_boiler - 1) // 2
+
+    ids = corpus.select("doc_id")
+    keep_capped = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_duplicates(ids, capped).collect()
+    }
+    keep_uncapped = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_duplicates(ids, uncapped).collect()
+    }
+    assert keep_capped == keep_uncapped
