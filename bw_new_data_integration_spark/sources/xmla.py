@@ -279,22 +279,30 @@ def render_mddataset(
     mddataset response (Axis0 = measures, Axis1 = row tuples of
     (hierarchy, caption) pairs, row-major cells). Test/fixture
     builders share this instead of hand-assembling the XML; round-trip
-    with the parser is what the S1/S2 gates verify."""
+    with the parser is what the S1/S2 gates verify.
+
+    Captions, values, and hierarchy names are XML-escaped (escape /
+    quoteattr), so captions containing ``&``, ``<`` or quotes still
+    produce well-formed XML — ElementTree unescapes on parse, keeping
+    the round-trip lossless."""
+    from xml.sax.saxutils import escape, quoteattr
+
     axis0 = "".join(
-        f'<Tuple><Member Hierarchy="[Measures]"><Caption>{m}</Caption></Member></Tuple>'
+        f'<Tuple><Member Hierarchy="[Measures]"><Caption>{escape(str(m))}</Caption></Member></Tuple>'
         for m in measures
     )
     axis1 = "".join(
         "<Tuple>"
         + "".join(
-            f'<Member Hierarchy="{h}"><Caption>{c}</Caption></Member>' for h, c in tup
+            f"<Member Hierarchy={quoteattr(str(h))}><Caption>{escape(str(c))}</Caption></Member>"
+            for h, c in tup
         )
         + "</Tuple>"
         for tup in row_tuples
     )
     n_m = max(len(measures), 1)
     cells = "".join(
-        f'<Cell CellOrdinal="{i * n_m + j}"><Value>{v}</Value></Cell>'
+        f'<Cell CellOrdinal="{i * n_m + j}"><Value>{escape(str(v))}</Value></Cell>'
         for i, row in enumerate(cell_values)
         for j, v in enumerate(row)
         if v is not None

@@ -223,6 +223,21 @@ def test_xmla_parse_axes_and_cells():
     assert cells == {0: "123.45", 1: "7", 3: "9"}
 
 
+def test_xmla_render_roundtrip_escapes_hostile_captions():
+    """render_mddataset must escape &, <, and quotes in captions,
+    hierarchy names, and values — the parse round-trip stays lossless
+    for member names like 'R&D <West> "HQ"'."""
+    hostile = 'R&D <West> "HQ"'
+    hier = '[Store].[Name & "Region"]'
+    xml_text = xmla.render_mddataset(
+        ["Net & Gross"], [[(hier, hostile)]], [["12 < 34 & 56"]]
+    )
+    measures, rows, cells = xmla.parse_axes_and_cells(xml_text)
+    assert measures == ["Net & Gross"]
+    assert rows == [{hier: hostile}]
+    assert cells == {0: "12 < 34 & 56"}
+
+
 def test_xmla_response_to_df(spark):
     df = xmla.response_to_df(spark, XMLA_SAMPLE, HIERARCHY_MAPPINGS)
     got = {tuple(r) for r in df.collect()}
