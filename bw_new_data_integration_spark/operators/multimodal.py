@@ -10,10 +10,19 @@ Real vs stubbed (container has no PIL/librosa):
   actual PNG IHDR, JPEG SOFn markers, and GIF logical-screen bytes with
   stdlib ``struct``; :func:`extract_image_meta` runs it batch-wise over
   the binary column.  :func:`make_png` emits fully valid (zlib IDAT,
-  CRC-correct) PNGs for fixtures/tests.
+  CRC-correct) PNGs for fixtures/tests. **Audio is fully real for PCM
+  WAV**: :func:`parse_wav` walks actual RIFF/fmt/data chunks and
+  :func:`extract_audio_features` computes amplitude stats from the
+  actual int16 samples (numpy ``frombuffer``); :func:`make_wav` emits
+  fully valid playable WAVs for fixtures.
+  **Video container metadata is real**: :func:`parse_mp4` walks actual
+  ISO-BMFF boxes (mvhd v0/v1, trak) for duration/timescale/tracks;
+  :func:`make_mp4` emits size-consistent fixtures.
 * **Stubbed**: pixel-level feature vectors (``_decode_image_stub``,
-  md5-seeded floats) and audio sample decode — clearly separated so
-  swapping in a real decoder is a one-function change.
+  md5-seeded floats), lossy-codec audio (mp3/ogg → null stats), and
+  video frame extraction (``sample_video_frames`` payload slices — a
+  real codec is not in this container) — clearly separated so swapping
+  in a real decoder is a one-function change.
 """
 
 from __future__ import annotations
@@ -275,24 +284,210 @@ def sample_video_frames(
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
-AUDIO_SAMPLE_RATE = 16_000  # Hz, assumed mono 16-bit PCM for the stub
+def make_mp4(
+    duration_ms: int, timescale: int = 1000, n_tracks: int = 1, width: int = 0, height: int = 0
+) -> bytes:
+    """Build a structurally valid ISO-BMFF (MP4) metadata stream:
+    ftyp + moov(mvhd + n_tracks × trak(tkhd)) with real box sizes,
+    version-0 mvhd carrying the true timescale/duration, and tkhd
+    carrying 16.16 fixed-point width/height. Media samples (mdat) are
+    omitted — the box walk a metadata parser must do is all real."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH2x8x", 0x00010000, 0x0100)  # rate, volume, reserved
+        + b"\x00" * 36  # matrix (zero-filled fixture)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", n_tracks + 1),  # next_track_ID
+    )
+    traks = b"".join(
+        box(
+            b"trak",
+            box(
+                b"tkhd",
+                struct.pack(">B3x", 0)
+                + struct.pack(">IIII", 0, 0, tid + 1, 0)
+                + struct.pack(">I", duration)
+                + b"\x00" * 8  # reserved
+                + struct.pack(">hhhh", 0, 0, 0, 0)  # layer, group, volume, rsvd
+                + b"\x00" * 36  # matrix
+                + struct.pack(">II", width << 16, height << 16),
+            ),
+        )
+        for tid in range(n_tracks)
+    )
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def parse_mp4(
+    payload: bytes | None,
+) -> tuple[int | None, int | None, int | None]:
+    """Parse ``(duration_ms, timescale, n_tracks)`` from real MP4
+    bytes: walk the top-level box chain to moov, then moov's children
+    for mvhd (version 0 or 1) and trak boxes. Stdlib ``struct`` only.
+
+    Non-MP4, truncated, or mvhd-less payloads return all Nones instead
+    of raising (same corrupt-blob contract as the image/audio parsers).
+    """
+    if payload is None or len(payload) < 12:
+        return (None, None, None)
+
+    def walk(buf: bytes):
+        pos, n = 0, len(buf)
+        while pos + 8 <= n:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            typ = buf[pos + 4 : pos + 8]
+            body_off = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > n:
+                    return
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                body_off = pos + 16
+            if size < 8 or pos + size > n:
+                return
+            yield typ, buf[body_off : pos + size]
+            pos += size
+
+    top = {typ: body for typ, body in walk(payload)}
+    if b"ftyp" not in top and b"moov" not in top:
+        return (None, None, None)
+    moov = top.get(b"moov")
+    if moov is None:
+        return (None, None, None)
+    duration_ms = timescale = None
+    n_tracks = 0
+    for typ, body in walk(moov):
+        if typ == b"mvhd" and len(body) >= 4:
+            version = body[0]
+            if version == 0 and len(body) >= 20:
+                timescale, duration = struct.unpack(">II", body[12:20])
+            elif version == 1 and len(body) >= 32:
+                (timescale,) = struct.unpack(">I", body[20:24])
+                (duration,) = struct.unpack(">Q", body[24:32])
+            else:
+                continue
+            if timescale:
+                duration_ms = duration * 1000 // timescale
+        elif typ == b"trak":
+            n_tracks += 1
+    if timescale is None:
+        return (None, None, None)
+    return (duration_ms, timescale, n_tracks)
+
+
+def extract_video_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Batch-wise REAL MP4 metadata decode over a binary column:
+    (id, duration_ms, timescale, n_tracks) via :func:`parse_mp4`;
+    corrupt payloads become null rows, not task failures."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("timescale", T.IntegerType(), True),
+            T.StructField("n_tracks", T.IntegerType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                d, ts, nt = parse_mp4(payload)
+                rows.append((mid, d, ts, nt))
+            yield pd.DataFrame(rows, columns=[id_col, "duration_ms", "timescale", "n_tracks"])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+AUDIO_SAMPLE_RATE = 16_000  # Hz, default rate for generated fixtures
+
+
+def make_wav(n_samples: int, sample_rate: int = AUDIO_SAMPLE_RATE, seed: int = 0) -> bytes:
+    """Build a REAL, fully valid mono 16-bit PCM WAV file
+    (fixture/test helper): RIFF header, fmt chunk, data chunk — playable
+    by any WAV reader. Sample *i* is ``((seed*31 + i*17) % 65536) -
+    32768``, a formula a SQL oracle replays exactly."""
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((seed * 31 + i * 17) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    byte_rate = sample_rate * 2  # mono, 16-bit
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def parse_wav(
+    payload: bytes | None,
+) -> tuple[int | None, int | None, int | None, bytes | None]:
+    """Parse ``(sample_rate, channels, bits, pcm_bytes)`` from real WAV
+    bytes — stdlib-only RIFF chunk walk, no soundfile/librosa.
+
+    Non-WAV, truncated, or compressed (non-PCM) payloads return all
+    Nones instead of raising — at 100 TB a corrupt blob must not kill
+    the task (same contract as :func:`parse_image_dims`)."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return (None, None, None, None)
+    pos, n = 12, len(payload)
+    rate = channels = bits = None
+    data: bytes | None = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, channels, rate, _br, _align, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1:  # only uncompressed PCM is decodable here
+                return (None, None, None, None)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        return (None, None, None, None)
+    return (rate, channels, bits, data)
 
 
 def extract_audio_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
-    """Per-clip audio features via Arrow-batched mapInPandas.
+    """Per-clip audio features via Arrow-batched mapInPandas — REAL
+    decode for PCM WAV payloads, stdlib + numpy only.
 
-    Output: (id, duration_ms, amp_mean, amp_peak). Decode is STUBBED
-    (librosa/soundfile not in this container): duration derives from
-    the payload size under the assumed PCM format, amplitude stats are
-    md5-seeded — deterministic, so the SQL oracle replays them. The
-    schema/batching contract is the real deliverable; swapping in a
-    real decoder is a one-function change.
+    Output: (id, sample_rate, duration_ms, amp_mean, amp_peak).
+    Duration comes from the actual fmt/data chunks; amplitude stats
+    from the actual int16 samples (``np.frombuffer``), normalized to
+    [0, 1]: ``amp_mean = sum(|s|) / (n * 32768)`` (integer sum, so the
+    single double division is oracle-exact), ``amp_peak = max(|s|) /
+    32768``. Unknown/corrupt/compressed payloads yield null stats, not
+    task failures. (Lossy formats — mp3/ogg — would need a codec not
+    in this container and fall into the null path.)
     """
+    import numpy as np
+
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
             T.StructField("duration_ms", T.LongType(), True),
             T.StructField("amp_mean", T.DoubleType(), True),
             T.StructField("amp_peak", T.DoubleType(), True),
@@ -303,9 +498,28 @@ def extract_audio_features(
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                digest = hashlib.md5(payload).digest()
-                duration_ms = len(payload) * 1000 // (AUDIO_SAMPLE_RATE * 2)
-                rows.append((mid, duration_ms, digest[0] / 255.0, digest[1] / 255.0))
-            yield pd.DataFrame(rows, columns=[id_col, "duration_ms", "amp_mean", "amp_peak"])
+                rate, channels, bits, data = parse_wav(payload)
+                if rate is None or bits != 16 or not data:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                samples = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+                n_frames = len(samples) // max(channels or 1, 1)
+                if len(samples) == 0:
+                    rows.append((mid, rate, 0, None, None))
+                    continue
+                sum_abs = int(np.abs(samples.astype(np.int64)).sum())
+                max_abs = int(np.abs(samples.astype(np.int64)).max())
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        n_frames * 1000 // rate,
+                        sum_abs / (len(samples) * 32768.0),
+                        max_abs / 32768.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "sample_rate", "duration_ms", "amp_mean", "amp_peak"]
+            )
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
