@@ -978,7 +978,13 @@ def dedup_lsh_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     boiler = spark.range(40).select(
         (F.col("id") + 1_000_000).alias("doc_id"), F.lit(_BOILER_TEXT).alias("text")
     )
-    corpus = docs.unionByName(boiler)
+    # rebalance the union explicitly: its partition COUNT (1 fat scan
+    # partition + 32 near-empty range partitions) defeats _spread's
+    # under-partitioned check, and the digest work would run in one
+    # task (found as a 10x wall regression in the sf1 revalidation)
+    corpus = docs.unionByName(boiler).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return dedup.minhash_lsh_candidates(
         corpus, num_hashes=12, bands=4, max_bucket_size=10
     )
@@ -2295,25 +2301,179 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal audio: duration from payload size + md5-seeded amplitude
-# stats (stub decode, deterministic — oracle replays it).
+# Multimodal audio REAL decode: the query builds actual playable PCM
+# WAV files on-executor (make_wav — real RIFF/fmt/data chunks, int16
+# samples from a replayable formula) plus deliberately corrupt text
+# payloads, then extract_audio_features parses the RIFF chunks and
+# computes amplitude stats from the ACTUAL samples
+# (operators/multimodal.py parse_wav + np.frombuffer). The oracle
+# replays the sample formula — a hash match proves the kernel decoded
+# the true rate/duration/amplitudes from the bytes, and that corrupt
+# payloads yield nulls instead of task failures.
 # ---------------------------------------------------------------------------
 @register(
     "mm_audio_features",
     oracle="""
-SELECT doc_id,
-       CAST(octet_length(encode(text)) * 1000 // 32000 AS BIGINT) AS duration_ms,
-       (('0x' || substr(md5(text), 1, 2))::INT) / 255.0 AS amp_mean,
-       (('0x' || substr(md5(text), 3, 2))::INT) / 255.0 AS amp_peak
-FROM documents
+WITH params AS (
+  SELECT doc_id, (doc_id % 977) + 100 AS n
+  FROM documents WHERE doc_id % 4 <> 3
+),
+stats AS (
+  SELECT p.doc_id, p.n,
+         SUM(abs(((p.doc_id * 31 + t.i * 17) % 65536) - 32768)) AS sum_abs,
+         MAX(abs(((p.doc_id * 31 + t.i * 17) % 65536) - 32768)) AS max_abs
+  FROM params p, range(0, 1077) t(i)
+  WHERE t.i < p.n
+  GROUP BY p.doc_id, p.n
+)
+SELECT doc_id, CAST(16000 AS INT) AS sample_rate,
+       CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+       CAST(sum_abs AS DOUBLE) / (n * 32768.0) AS amp_mean,
+       CAST(max_abs AS DOUBLE) / 32768.0 AS amp_peak
+FROM stats
+UNION ALL
+SELECT doc_id, CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM documents WHERE doc_id % 4 = 3
 """,
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if did % 4 == 3:  # corrupt: not audio at all
+                    payloads.append((text or "x").encode("utf-8"))
+                else:
+                    payloads.append(multimodal.make_wav(int(did % 977) + 100, seed=int(did)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id bigint, payload binary")
     return multimodal.extract_audio_features(media, payload_col="payload", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal video REAL metadata decode: actual ISO-BMFF (MP4) byte
+# streams built on-executor (make_mp4 — real box sizes, version-0 mvhd,
+# per-track tkhd) plus corrupt payloads; extract_video_meta walks the
+# real box chain (operators/multimodal.py parse_mp4) to recover
+# duration/timescale/track count. The oracle replays the fixture
+# formulas including the ms -> timescale-units -> ms floor round-trip.
+# Frame/pixel extraction stays a documented stub (no codec in this
+# container); container metadata is now real for image, audio, video.
+# ---------------------------------------------------------------------------
+@register(
+    "mm_video_meta",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         (doc_id % 9000) + 500 AS ms,
+         CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 600 END AS ts,
+         CAST((doc_id % 3) + 1 AS INT) AS n_tracks
+  FROM documents WHERE doc_id % 5 <> 4
+)
+SELECT doc_id,
+       CAST((ms * ts // 1000) * 1000 // ts AS BIGINT) AS duration_ms,
+       CAST(ts AS INT) AS timescale,
+       n_tracks
+FROM p
+UNION ALL
+SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT)
+FROM documents WHERE doc_id % 5 = 4
+""",
+)
+def mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if did % 5 == 4:  # corrupt: not a video container
+                    payloads.append((text or "x").encode("utf-8"))
+                else:
+                    payloads.append(
+                        multimodal.make_mp4(
+                            int(did % 9000) + 500,
+                            timescale=1000 if did % 2 == 0 else 600,
+                            n_tracks=int(did % 3) + 1,
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    return multimodal.extract_video_meta(media, payload_col="payload", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus term statistics (operators/corpus.py): per-doc salient terms
+# and unigram rarity — the CCNet-style curation signals. Ranking and
+# the gate's output columns are integer/rational only, so the oracle
+# match is bit-exact (no transcendental floats in the compare).
+# ---------------------------------------------------------------------------
+_TOKS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')) AS term
+  FROM documents
+)
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=_TOKS_SQL
+    + """,
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+  FROM tf t JOIN dfreq d USING (term)
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df
+FROM ranked WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus.tfidf_top_terms(docs, k=3)
+    # gate compares the integer-deterministic columns; the tf·idf double
+    # is for consumers (ln ulp differences between engines would make a
+    # float compare flaky without changing the ranking)
+    return out.select("doc_id", "rank", "term", "tf", "df")
+
+
+@register(
+    "unigram_rarity_score",
+    oracle=_TOKS_SQL
+    + """,
+vocab AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(freq) AS BIGINT) AS sum_freq,
+       CAST(SUM(freq) AS DOUBLE) / (COUNT(*) * 1.0) AS mean_freq,
+       MIN(freq) AS min_freq
+FROM toks JOIN vocab USING (term)
+GROUP BY doc_id
+""",
+)
+def unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.unigram_rarity(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -4818,9 +4978,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- round-4 additions / semantics changed this round (need fresh rows) --
     "f5_fiscal_period_slice",
     "mm_image_features",
+    "mm_audio_features",
+    "mm_video_meta",
     "mdx_template_backfill",
     "late_data_repair",
     "dedup_lsh_candidates_capped",
+    "tfidf_top_terms",
+    "unigram_rarity_score",
     # -- previously-confirmed queries fill the remaining window slots --
     "j5_asof_join",
     "j6_range_join_counts",

@@ -626,3 +626,71 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
         for r in dedup.cluster_duplicates(ids, uncapped).collect()
     }
     assert keep_capped == keep_uncapped
+
+
+def test_make_wav_valid_and_parse_wav_real_decode():
+    """make_wav fixtures must be genuinely valid WAV files — verified
+    with the stdlib `wave` reader, independent of our parser — and
+    parse_wav must recover the true rate/samples, returning all-Nones
+    (never raising) for corrupt, truncated, or compressed payloads."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    w = mm.make_wav(1234, sample_rate=8000, seed=5)
+    with wave.open(io.BytesIO(w)) as rd:
+        assert rd.getframerate() == 8000
+        assert rd.getnchannels() == 1
+        assert rd.getsampwidth() == 2
+        assert rd.getnframes() == 1234
+        frames = rd.readframes(1234)
+    expect = ((5 * 31 + np.arange(1234, dtype=np.int64) * 17) % 65536 - 32768).astype("<i2")
+    assert frames == expect.tobytes()
+
+    rate, channels, bits, data = mm.parse_wav(w)
+    assert (rate, channels, bits) == (8000, 1, 16)
+    assert data == frames
+
+    assert mm.parse_wav(b"not audio") == (None, None, None, None)
+    assert mm.parse_wav(None) == (None, None, None, None)
+    assert mm.parse_wav(w[:10]) == (None, None, None, None)
+    # compressed (non-PCM) fmt tag -> null path, not a misdecode
+    mp3ish = bytearray(w)
+    mp3ish[20:22] = struct.pack("<H", 85)  # MPEG layer 3 format tag
+    assert mm.parse_wav(bytes(mp3ish)) == (None, None, None, None)
+
+
+def test_make_mp4_valid_and_parse_mp4_real_decode():
+    """parse_mp4 walks real box chains (v0 and v1 mvhd, 64-bit
+    largesize) and returns all-Nones for corrupt or mvhd-less input."""
+    import struct
+
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    v = mm.make_mp4(7500, timescale=600, n_tracks=2, width=640, height=360)
+    # floor round-trip: 7500ms * 600 // 1000 = 4500 units -> 7500ms
+    assert mm.parse_mp4(v) == (7500, 600, 2)
+    # box sizes must be internally consistent: walking top-level boxes
+    # exactly consumes the payload
+    pos, seen = 0, []
+    while pos < len(v):
+        (size,) = struct.unpack(">I", v[pos : pos + 4])
+        seen.append(v[pos + 4 : pos + 8])
+        pos += size
+    assert pos == len(v) and seen == [b"ftyp", b"moov"]
+
+    # version-1 mvhd (64-bit times) parses too
+    mvhd1 = struct.pack(">B3x", 1) + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 3)
+    moov = struct.pack(">I", 8 + 8 + len(mvhd1)) + b"moov" + struct.pack(
+        ">I", 8 + len(mvhd1)
+    ) + b"mvhd" + mvhd1
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x02\x00"
+    assert mm.parse_mp4(ftyp + moov) == (3000, 90000, 0)
+
+    assert mm.parse_mp4(b"not a video") == (None, None, None)
+    assert mm.parse_mp4(None) == (None, None, None)
+    assert mm.parse_mp4(v[:20]) == (None, None, None)  # truncated moov
