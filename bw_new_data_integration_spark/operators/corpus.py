@@ -1,0 +1,110 @@
+"""Corpus-level term statistics for training-data curation
+(beyond-reference; the standard CCNet-style quality/salience signals).
+
+Two operators, both pure DataFrame plans:
+
+- :func:`tfidf_top_terms` — per-document most-salient terms. Ranking is
+  deliberately **integer-lexicographic** (tf desc, df asc, term asc):
+  the same order tf·idf induces when term frequencies differ, but free
+  of transcendental floats, so results are bit-stable across engines
+  and parallelism (the repo's determinism contract).
+- :func:`unigram_rarity` — per-document average corpus frequency of
+  its tokens (a unigram-LM "surprise" proxy: lower mean frequency =
+  rarer vocabulary). All-rational arithmetic: integer sums and one
+  double division.
+
+Scale notes (100 TB): both are two-shuffle plans — one groupBy on the
+token (vocabulary-sized, zipf-skewed: AQE skew-join handles the head
+tokens, or pre-filter stopwords), one groupBy/window on doc_id. No
+driver-side loops; the only collect is the 1-row corpus count
+(a scalar anchor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bw_new_data_integration_spark.functions.text import tokens
+
+
+def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` salient terms per document.
+
+    Output: (id, rank, term, tf, df, tfidf) where ``tf`` is the
+    term's in-document count, ``df`` the number of distinct documents
+    containing it, and ``tfidf = tf * ln(n_docs / df)`` (reported for
+    consumers; the *ranking* uses the integer ordering ``tf desc, df
+    asc, term asc`` so it is reproducible bit-for-bit).
+    """
+    terms = _doc_terms(df, text_col, id_col)
+    # materialize tf once: dfreq derives from it, and without lineage
+    # truncation Catalyst duplicates the explode+aggregate subtree —
+    # the corpus would be tokenized twice (.explain showed two scans)
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(id_col).distinct().count()  # scalar anchor
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("int"),
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+def unigram_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram rarity: (id, n_tokens, sum_freq, mean_freq,
+    min_freq) where ``freq`` is each token's total corpus count.
+    ``mean_freq = sum_freq / n_tokens`` — documents full of rare
+    vocabulary score low (a cheap unigram-LM perplexity stand-in used
+    for quality filtering and curriculum bucketing).
+    """
+    terms = _doc_terms(df, text_col, id_col)
+    # terms is deliberately NOT materialized here: it is corpus-sized
+    # (one row per token), so recomputing the cheap scan+explode twice
+    # beats writing a bigger-than-source intermediate; the vocabulary
+    # aggregate it feeds is map-side combined either way
+    vocab = terms.groupBy("term").agg(F.count("*").alias("freq"))
+    return (
+        terms.join(vocab, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+            F.min("freq").alias("min_freq"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_freq",
+            (F.col("sum_freq") / (F.col("n_tokens") * F.lit(1.0))).alias("mean_freq"),
+            "min_freq",
+        )
+    )
