@@ -89,6 +89,8 @@ OPTIONAL = [
     "ann_lsh_multiprobe",
     "mdx_template_backfill",
     "dedup_lsh_candidates_capped",
+    "tfidf_top_terms",
+    "unigram_rarity_score",
 ]
 
 

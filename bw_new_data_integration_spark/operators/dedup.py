@@ -28,7 +28,13 @@ from bw_new_data_integration_spark.functions.text import fingerprint, word_shing
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Repartition a small/single-file input before heavy per-row work
     (shingling, digesting) so it doesn't run in one task. Partitioning
-    BY the id also pre-aligns the downstream per-doc groupBy."""
+    BY the id also pre-aligns the downstream per-doc groupBy.
+
+    .. warning:: the check is by partition COUNT, which a lopsided
+       union defeats (1 fat scan partition + N near-empty ones passes
+       the check but still serializes the digest work — observed as a
+       10x wall regression at sf1). Callers building union corpora
+       should ``repartition(parallelism, id)`` explicitly."""
     target_parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target_parts:
         return df.repartition(target_parts, F.col(id_col))
