@@ -2123,6 +2123,106 @@ def s7_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S12 — JSON-lines scan: same dirty-input discipline as S7 (all-string
+# explicit schema, never inference, coercion deferred to expressions),
+# plus PERMISSIVE corrupt-record capture: every 13th line is invalid
+# JSON and must land in _corrupt_record, not fail the scan.
+# ---------------------------------------------------------------------------
+@register(
+    "s12_jsonl_roundtrip",
+    oracle="""
+WITH dirty AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+              ELSE strftime(CAST(o_orderdate AS DATE), '%-m/%-d/%Y') END AS date_raw,
+         CASE WHEN o_orderkey % 7 = 0 THEN '-'
+              WHEN o_orderkey % 11 = 0 THEN 'NULL'
+              ELSE CAST(o_orderkey % 900 + 100 AS VARCHAR) || ',' ||
+                   lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') || '.' ||
+                   lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') END AS amount_raw
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+parsed AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN try_strptime(date_raw, '%Y-%m-%d')::DATE
+              ELSE try_strptime(date_raw, '%m/%d/%Y')::DATE END AS d,
+         CASE WHEN trim(amount_raw) IN ('', '-', 'NULL', 'null', 'N/A', 'n/a') THEN NULL
+              ELSE CAST(replace(trim(amount_raw), ',', '') AS DECIMAL(13,2)) END AS amount
+  FROM dirty
+)
+SELECT CAST(year(d) AS BIGINT) AS y, COUNT(*) AS n, COUNT(amount) AS n_amount,
+       CAST(SUM(amount) AS DOUBLE) AS sum_amount
+FROM parsed GROUP BY 1
+UNION ALL
+SELECT CAST(NULL AS BIGINT), COUNT(*), 0, 0.0
+FROM orders WHERE o_orderkey % 13 = 0
+""",
+)
+def s12_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's dirt vocabulary through a JSONL scan: valid lines are
+    to_json structs, every 13th line is deliberately broken JSON. The
+    scan (files.read_jsonl_raw) must put broken lines in
+    _corrupt_record (counted in the null-year output row) and coerce
+    the rest through the same expression vocabulary as CSV."""
+    import tempfile
+
+    from bw_new_data_integration_spark.sources import files
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    line = F.when(k % 13 == 0, F.lit('{"broken')).otherwise(
+        F.to_json(
+            F.struct(
+                k.cast("string").alias("o_orderkey"),
+                F.when(k % 4 == 0, F.date_format(d, "yyyy-MM-dd"))
+                .otherwise(F.date_format(d, "M/d/yyyy"))
+                .alias("date_raw"),
+                F.when(k % 7 == 0, "-")
+                .when(k % 11 == 0, "NULL")
+                .otherwise(
+                    F.concat(
+                        (k % 900 + 100).cast("string"),
+                        F.lit(","),
+                        F.lpad((k % 1000).cast("string"), 3, "0"),
+                        F.lit("."),
+                        F.lpad((k % 100).cast("string"), 2, "0"),
+                    )
+                )
+                .alias("amount_raw"),
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="bw_jsonl_src_") + "/orders_jsonl"
+    o.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(path)
+
+    raw = files.read_jsonl_raw(spark, path, columns=["o_orderkey", "date_raw", "amount_raw"])
+    good = raw.filter(F.col("_corrupt_record").isNull())
+    parsed = good.select(
+        coercion.to_date_multiformat(F.col("date_raw")).alias("d"),
+        coercion.to_decimal(F.col("amount_raw")).alias("amount"),
+    )
+    agg = parsed.groupBy(F.year("d").cast("bigint").alias("y")).agg(
+        F.count("*").alias("n"),
+        F.count("amount").alias("n_amount"),
+        F.sum("amount").cast("double").alias("sum_amount"),
+    )
+    # the filter references a data column too: Spark disallows queries
+    # whose only referenced column is the internal corrupt-record column
+    corrupt = (
+        raw.filter(F.col("_corrupt_record").isNotNull() & F.col("o_orderkey").isNull())
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit(None).cast("bigint").alias("y"),
+            "n",
+            F.lit(0).cast("bigint").alias("n_amount"),
+            F.lit(0.0).alias("sum_amount"),
+        )
+    )
+    return agg.unionByName(corrupt)
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful streaming: per-user gap sessionization via
 # applyInPandasWithState, driven to completion with availableNow. The
 # oracle is the batch definition of the same operator — streaming and
@@ -4985,6 +5085,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_lsh_candidates_capped",
     "tfidf_top_terms",
     "unigram_rarity_score",
+    "s12_jsonl_roundtrip",
     # -- previously-confirmed queries fill the remaining window slots --
     "j5_asof_join",
     "j6_range_join_counts",

@@ -180,3 +180,28 @@ def _read_xlsx_stdlib(path: str, sheet_index: int = 0) -> list[list[str | None]]
         width = max(cells) + 1 if cells else 0
         out.append([cells.get(i) for i in range(width)])
     return out
+
+
+def read_jsonl_raw(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+) -> DataFrame:
+    """JSON-lines scan with the same dirty-input discipline as the CSV
+    path: every field read as STRING against an explicit schema (never
+    schema inference — sampling jobs at 100 TB are a scan of their
+    own, and the dirty values ARE strings), cleaning deferred to the
+    coercion expression vocabulary so Catalyst fuses scan+clean.
+    Unparseable lines surface in ``_corrupt_record`` instead of
+    failing the scan (PERMISSIVE, the engine's corrupt-blob contract).
+    """
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in columns]
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
