@@ -694,3 +694,89 @@ def test_make_mp4_valid_and_parse_mp4_real_decode():
     assert mm.parse_mp4(b"not a video") == (None, None, None)
     assert mm.parse_mp4(None) == (None, None, None)
     assert mm.parse_mp4(v[:20]) == (None, None, None)  # truncated moov
+
+
+def test_render_mdx_template_dollar_brace_only():
+    """${var}-only substitution (reference modules/pipeline_config.py:
+    20-34): literal MDX {...} sets pass through untouched, unknown
+    variables stay as-is, and PipelineSpec.backfill_mdx renders one MDX
+    string per slice from pipelines.yaml."""
+    import os
+
+    from bw_new_data_integration_spark.plans import pipeline as plans
+    from bw_new_data_integration_spark.plans import slicers
+
+    mdx = "SELECT { [Measures].[X] } ON COLUMNS FROM [C] WHERE ( ${slicer} )"
+    out = plans.render_mdx_template(mdx, {"slicer": "[13-4].[d_Year].&[2024]"})
+    assert out == "SELECT { [Measures].[X] } ON COLUMNS FROM [C] WHERE ( [13-4].[d_Year].&[2024] )"
+    assert plans.render_mdx_template(mdx, None) == mdx
+    assert "${missing}" in plans.render_mdx_template("a ${missing} b", {"other": 1})
+
+    yaml_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "pipelines", "pipelines.yaml",
+    )
+    spec = plans.load_pipelines(yaml_path)["sales_channel"]
+    assert spec.catalog == "Sales"
+    assert spec.fy_start == (2, 1)
+    rendered = spec.backfill_mdx(
+        {f"P{p}": slicers.mdx_member_13_4(2024, p) for p in (1, 13)}
+    )
+    assert set(rendered) == {"P1", "P13"}
+    assert "[d_Period].[d_Period].&[13]" in rendered["P13"]
+    assert "${slicer}" not in rendered["P1"]
+    assert "{ [Measures].[Net Sales], [Measures].[Order Count] }" in rendered["P1"]
+    with pytest.raises(ValueError):
+        slicers.mdx_member_13_4(2024, 14)
+    daily = plans.load_pipelines(yaml_path)["daily_sales"]
+    assert daily.mdx is None
+    with pytest.raises(ValueError):
+        daily.render_mdx({"slicer": "x"})
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB answer to a skewed big-big join is AQE's
+    OptimizeSkewedJoin: with skew thresholds lowered, the hot key's
+    partition must be split (skew=true in the final adaptive plan)
+    rather than serializing in one task — and values must match the
+    non-AQE plan exactly."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    # 95% of fact rows hit one key; dim is uniform
+    fact = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 20 != 0, 7).otherwise(F.col("id") % 1000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # global agg downstream: a groupBy on the join key would REQUIRE
+        # hash partitioning and make AQE skip the skew split (splitting
+        # duplicates the build side, breaking that partitioning).
+        # sum(v) keeps the varying payload column in the shuffle — a
+        # constant-key-only partition lz4-compresses under the skew
+        # threshold and never looks skewed
+        joined = fact.join(dim, "k").agg(
+            F.count("*").alias("n"), F.sum("w").alias("sw"), F.sum("v").alias("sv")
+        )
+        got = joined.collect()[0]
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    base = fact.join(dim, "k").agg(
+        F.count("*").alias("n"), F.sum("w").alias("sw"), F.sum("v").alias("sv")
+    ).collect()[0]
+    assert (got["n"], got["sw"], got["sv"]) == (base["n"], base["sw"], base["sv"])
