@@ -91,6 +91,8 @@ OPTIONAL = [
     "dedup_lsh_candidates_capped",
     "tfidf_top_terms",
     "unigram_rarity_score",
+    "training_corpus_e2e",
+    "s12_jsonl_roundtrip",
 ]
 
 

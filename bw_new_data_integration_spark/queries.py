@@ -4060,6 +4060,87 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Flagship training-data composite: the whole curation funnel as ONE
+# Catalyst plan — quality gate -> language filter -> exact dedup ->
+# token-budget sequence packing -> per-(shard, bin) manifest. Each
+# stage is the already-gated operator (text.quality_score,
+# functions/text.fingerprint, sampling.pack_sequences); the value here
+# is that the composition stays a single lazy plan: the quality and
+# language predicates reach the scan, dedup is one fingerprint
+# shuffle, packing one shard shuffle — no materialization between
+# stages. The oracle replays the entire funnel in SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "training_corpus_e2e",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars, text,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS ltoks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[\sA-Za-z0-9]', '', 'g')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, n_chars, text,
+         least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3
+         + (1.0 - least((CASE WHEN nonspace > 0 THEN CAST(punct AS DOUBLE) / CAST(nonspace AS DOUBLE) ELSE 0.0 END) * 4.0, 1.0)) * 0.2
+         + least((CASE WHEN len(ltoks) > 0
+                  THEN CAST(len(list_filter(ltoks, t -> list_contains({_STOPWORD_LIST_SQL}, t))) AS DOUBLE) / CAST(len(ltoks) AS DOUBLE)
+                  ELSE 0.0 END) * 5.0, 1.0) * 0.3
+         + (CASE WHEN (CASE WHEN len(toks) > 0
+                       THEN CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         AS quality
+  FROM base
+),
+filt AS (
+  SELECT doc_id, n_chars,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+  FROM m WHERE quality >= 0.65 AND lang = 'en'
+),
+kept AS (
+  SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM filt
+  ) WHERE rn = 1
+),
+h AS (
+  SELECT doc_id, n_chars,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 16 AS INT) AS shard
+  FROM kept
+),
+t AS (
+  SELECT doc_id, n_chars, shard,
+         SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id) AS csum
+  FROM h
+)
+SELECT shard, CAST(floor((csum - 1) / 2048.0) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bin_chars
+FROM t GROUP BY 1, 2
+""",
+)
+def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    c = F.col("text")
+    filt = docs.filter((text.quality_score(c) >= 0.65) & (F.col("lang") == "en"))
+    w = Window.partitionBy(text.fingerprint(c)).orderBy("doc_id")
+    kept = (
+        filt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars")
+    )
+    packed = sampling.pack_sequences(kept, "doc_id", "n_chars", budget=2048, n_shards=16)
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bin_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic training-shard shuffle — md5(id) is both the
 # pseudo-random permutation key and the shard assignment, so the
 # shuffled order is identical on any cluster size (the property a
@@ -5086,6 +5167,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "tfidf_top_terms",
     "unigram_rarity_score",
     "s12_jsonl_roundtrip",
+    "training_corpus_e2e",
     # -- previously-confirmed queries fill the remaining window slots --
     "j5_asof_join",
     "j6_range_join_counts",

@@ -780,3 +780,39 @@ def test_aqe_splits_skewed_join_partition(spark):
         F.count("*").alias("n"), F.sum("w").alias("sw"), F.sum("v").alias("sv")
     ).collect()[0]
     assert (got["n"], got["sw"], got["sv"]) == (base["n"], base["sw"], base["sv"])
+
+
+def test_media_parsers_never_raise_on_fuzzed_bytes():
+    """The corrupt-blob contract, fuzzed: parse_image_dims / parse_wav /
+    parse_mp4 must return tuples (never raise) on arbitrary bytes —
+    including adversarial inputs built from real signatures with
+    corrupted interiors, truncations, and huge declared sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    real = [
+        mm.make_png(5, 4, seed=1),
+        mm.make_jpeg_header(100, 50),
+        mm.make_wav(64, sample_rate=8000, seed=2),
+        mm.make_mp4(1500, timescale=600),
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=256), st.integers(0, 3), st.integers(0, 200))
+    def fuzz(junk, pick, cut):
+        base = real[pick]
+        candidates = [
+            junk,
+            base[:cut],                      # truncation
+            base[:8] + junk,                 # real signature, junk body
+            junk + base,                     # junk prefix
+            base[: len(base) // 2] + junk + base[len(base) // 2 :],  # corrupted interior
+        ]
+        for payload in candidates:
+            assert len(mm.parse_image_dims(payload)) == 3
+            assert len(mm.parse_wav(payload)) == 4
+            assert len(mm.parse_mp4(payload)) == 3
+
+    fuzz()
