@@ -93,6 +93,10 @@ OPTIONAL = [
     "unigram_rarity_score",
     "training_corpus_e2e",
     "s12_jsonl_roundtrip",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q21_waiting_supplier",
 ]
 
 

@@ -3105,6 +3105,296 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q6 — forecast revenue change: pure scan-side filter + single exact
+# aggregate; the whole plan is one pushed-predicate scan.
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6)) * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    filt = li.filter(
+        (d >= F.lit("1994-01-01"))
+        & (d < F.lit("1995-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(14,6)") * F.col("l_discount").cast(
+        "decimal(8,6)"
+    )
+    return filt.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 (adapted: the fixture lacks commit/receipt dates — "late" is a
+# ship >60 days after order) — priority check via EXISTS: left-semi
+# join with a non-equi component, orders scanned once.
+# ---------------------------------------------------------------------------
+@register(
+    "q4_priority_check",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    o = o.filter((d >= F.lit("1996-01-01")) & (d < F.lit("1996-04-01")))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate.cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 60)),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# Q8 (adapted: PROMO parts, EUROPE market) — national market share:
+# two broadcast dimension chains (customer->nation->region and
+# supplier->nation) around one fact join; share = conditional exact
+# sum / exact sum, one division per year.
+# ---------------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    oracle="""
+WITH base AS (
+  SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(14,6)) * CAST(1 - l.l_discount AS DECIMAL(8,6)) AS v,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN v ELSE CAST(0 AS DECIMAL(23,12)) END) AS DECIMAL(38,6)) AS DOUBLE)
+         / CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share
+FROM base GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date").between("1995-01-01", "1996-12-31")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), "n_regionkey")
+    v = F.col("l_extendedprice").cast("decimal(14,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,6)")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("o_year"),
+            v.alias("v"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("v")).otherwise(
+            F.lit(0).cast("decimal(23,12)")
+        )
+    ).cast("decimal(38,6)").cast("double")
+    den = F.sum("v").cast("decimal(38,6)").cast("double")
+    return base.groupBy("o_year").agg((num / den).alias("mkt_share"))
+
+
+# ---------------------------------------------------------------------------
+# Q13 (adapted: priority filter stands in for the comment NOT LIKE) —
+# customer order-count distribution: left outer join preserving
+# order-less customers, then a second aggregation over the counts.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q21 (adapted: no receipt/commit dates — the "blocking" supplier is
+# the order's unique latest shipper) — suppliers who kept F-status
+# multi-supplier orders waiting: one semi-join (another supplier
+# exists) and one anti-join (no other supplier shipped later),
+# composed on the same orderkey equi-key.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON l1.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND CAST(l3.l_shipdate AS DATE) > CAST(l1.l_shipdate AS DATE)
+  )
+GROUP BY s.s_name
+""",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    l1 = li.alias("l1").join(o, F.col("l1.l_orderkey") == o.o_orderkey, "leftsemi")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    ).alias("l2")
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("sd3"),
+    ).alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("k2"))
+            & (F.col("l1.l_suppkey") != F.col("sk2")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("k3"))
+            & (F.col("l1.l_suppkey") != F.col("sk3"))
+            & (F.col("sd3").cast("date") > F.col("l1.l_shipdate").cast("date")),
+            "leftanti",
+        )
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "leftsemi")
+    )
+    return waiting.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
+# ---------------------------------------------------------------------------
+# Q22 (adapted: cntrycode = c_custkey % 7 — the fixture has no phone
+# column) — dormant high-balance customers: scalar-anchor average
+# (collected 1-row aggregate, inlined as a literal), anti-join against
+# orders placed since the dormancy cutoff (every fixture customer has
+# SOME order, so plain q22 dormancy would be vacuous).
+# ---------------------------------------------------------------------------
+@register(
+    "q22_dormant_customers",
+    oracle="""
+WITH pool AS (
+  SELECT c_custkey, c_acctbal, CAST(c_custkey % 7 AS BIGINT) AS cntrycode
+  FROM customer WHERE c_custkey % 7 IN (1, 3, 5)
+),
+avg_bal AS (
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         / COUNT(*) AS a
+  FROM pool WHERE c_acctbal > 0.0
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE) AS totacctbal
+FROM pool, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pool.c_custkey
+                  AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+GROUP BY cntrycode
+""",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    pool = c.filter((F.col("c_custkey") % 7).isin(1, 3, 5)).withColumn(
+        "cntrycode", (F.col("c_custkey") % 7).cast("bigint")
+    )
+    # scalar anchor: the average is one number; inline it as a literal
+    # (the same exact-sum/count division as the oracle) instead of a
+    # cross join the planner would have to carry
+    row = (
+        pool.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(27,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("s"),
+            F.count("*").alias("n"),
+        )
+        .first()
+    )
+    avg_bal = row["s"] / row["n"]
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    dormant = pool.filter(F.col("c_acctbal") > avg_bal).join(
+        o, pool.c_custkey == o.o_custkey, "leftanti"
+    )
+    return dormant.groupBy("cntrycode").agg(
+        F.count("*").alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,6)"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream join: watermarked interval self-join of the event
 # stream (probe x trailing quotes), driven with availableNow. The
 # oracle is the equivalent batch theta-join — streaming state
@@ -5168,6 +5458,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "unigram_rarity_score",
     "s12_jsonl_roundtrip",
     "training_corpus_e2e",
+    "q6_forecast_revenue",
+    "q4_priority_check",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
     # -- previously-confirmed queries fill the remaining window slots --
     "j5_asof_join",
     "j6_range_join_counts",
