@@ -18,11 +18,17 @@ Real vs stubbed (container has no PIL/librosa):
   **Video container metadata is real**: :func:`parse_mp4` walks actual
   ISO-BMFF boxes (mvhd v0/v1, trak) for duration/timescale/tracks;
   :func:`make_mp4` emits size-consistent fixtures.
-* **Stubbed**: pixel-level feature vectors (``_decode_image_stub``,
-  md5-seeded floats), lossy-codec audio (mp3/ogg → null stats), and
-  video frame extraction (``sample_video_frames`` payload slices — a
-  real codec is not in this container) — clearly separated so swapping
-  in a real decoder is a one-function change.
+  **PNG pixel decode is real too**: :func:`decode_png_gray` runs the
+  full pipeline for 8-bit grayscale — chunk walk → zlib inflate →
+  per-scanline defilter (all five PNG filter types) → numpy array —
+  and :func:`extract_image_pixel_stats` reduces it to integer-exact
+  stats batch-wise.
+* **Stubbed**: pixel decode for lossy codecs (JPEG entropy decode,
+  mp3/ogg audio — codecs not in this container → null stats), the
+  legacy md5 feature stub (``_decode_image_stub``, kept for the
+  documented stub gate), and video frame extraction
+  (``sample_video_frames`` payload slices) — clearly separated so
+  swapping in a real codec is a one-function change.
 """
 
 from __future__ import annotations
@@ -127,13 +133,16 @@ def parse_image_dims(payload: bytes | None) -> tuple[str | None, int | None, int
     return (None, None, None)
 
 
-def make_png(width: int, height: int, seed: int = 0) -> bytes:
+def make_png(width: int, height: int, seed: int = 0, filter_type: int = 0) -> bytes:
     """Build a REAL, fully valid grayscale PNG (fixture/test helper).
 
     Correct signature, IHDR, zlib-compressed filtered scanlines in
     IDAT, CRC on every chunk — decodable by any PNG reader, not just
-    :func:`parse_image_dims`.
-    """
+    :func:`parse_image_dims`. Pixel (x, y) is ``(x*31 + y*17 + seed) %
+    256`` — a formula a SQL oracle replays. ``filter_type`` selects the
+    per-scanline PNG filter (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth)
+    so the decoder's defilter paths can all be exercised; the encoded
+    PIXELS are identical for every filter type."""
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         body = typ + data
@@ -142,16 +151,127 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
-    raw = b"".join(
-        b"\x00" + bytes(((x * 31 + y * 17 + seed) % 256) for x in range(width))
+    rows = [
+        bytes(((x * 31 + y * 17 + seed) % 256) for x in range(width))
         for y in range(height)
-    )
+    ]
+    scanlines = []
+    prev = bytes(width)
+    for row in rows:
+        if filter_type == 0:
+            filtered = row
+        elif filter_type == 1:  # Sub: delta vs left
+            filtered = bytes((row[x] - (row[x - 1] if x else 0)) % 256 for x in range(width))
+        elif filter_type == 2:  # Up: delta vs above
+            filtered = bytes((row[x] - prev[x]) % 256 for x in range(width))
+        elif filter_type == 3:  # Average
+            filtered = bytes(
+                (row[x] - ((row[x - 1] if x else 0) + prev[x]) // 2) % 256
+                for x in range(width)
+            )
+        elif filter_type == 4:  # Paeth
+            filtered = bytes(
+                (row[x] - _paeth((row[x - 1] if x else 0), prev[x], (prev[x - 1] if x else 0)))
+                % 256
+                for x in range(width)
+            )
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        scanlines.append(bytes([filter_type]) + filtered)
+        prev = row
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
         + chunk(b"IEND", b"")
     )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/above/upper-left
+    to a + b - c, ties broken left, above, upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_gray(payload: bytes | None):
+    """REAL PNG pixel decode for 8-bit non-interlaced grayscale:
+    chunk walk → concatenated IDAT → zlib inflate → per-scanline
+    defilter (all five PNG filter types) → numpy (height, width) uint8
+    array. Stdlib ``zlib``/``struct`` + numpy only — no PIL.
+
+    Returns None for anything that is not a decodable 8-bit grayscale
+    PNG (other color types/bit depths, interlaced, truncated,
+    corrupt) — the corrupt-blob contract; pixel decode for
+    lossy/other formats needs a codec not in this container.
+    """
+    import numpy as np
+
+    if payload is None or payload[:8] != _PNG_SIG:
+        return None
+    pos, n = 8, len(payload)
+    width = height = None
+    idat = b""
+    try:
+        while pos + 8 <= n:
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + length]
+            if len(body) < length:
+                return None
+            if typ == b"IHDR":
+                if length < 13:
+                    return None
+                width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body[:13]
+                )
+                if depth != 8 or color != 0 or interlace != 0:
+                    return None
+            elif typ == b"IDAT":
+                idat += body
+            elif typ == b"IEND":
+                break
+            pos += 12 + length
+        if not width or not height or not idat:
+            return None
+        raw = zlib.decompress(idat)
+    except Exception:
+        return None
+    stride = width + 1
+    if len(raw) < stride * height:
+        return None
+    out = np.zeros((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.int32)
+    for y in range(height):
+        line = raw[y * stride : (y + 1) * stride]
+        ftype, data = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int32)
+        if ftype == 0:
+            row = data
+        elif ftype == 2:
+            row = (data + prev) % 256
+        elif ftype in (1, 3, 4):
+            # left-dependent filters are inherently sequential per line
+            row = np.zeros(width, dtype=np.int32)
+            left = 0
+            for x in range(width):
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + int(prev[x])) // 2
+                else:
+                    pred = _paeth(left, int(prev[x]), int(prev[x - 1]) if x else 0)
+                left = (int(data[x]) + pred) % 256
+                row[x] = left
+        else:
+            return None
+        out[y] = row
+        prev = row
+    return out
 
 
 def make_jpeg_header(width: int, height: int) -> bytes:
@@ -280,6 +400,58 @@ def sample_video_frames(
                 for i in range(n):
                     rows.append((mid, i, i * every_ms, digest))
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_ts_ms", "frame_payload"])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def extract_image_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Batch-wise REAL pixel statistics over a binary column: each
+    payload is pixel-decoded with :func:`decode_png_gray` (zlib inflate
+    + full defilter) and reduced to integer-exact stats — (id, n_px,
+    mean_px, min_px, max_px, b0..b3 quartile-histogram counts). The
+    mean is an integer sum with ONE double division, so a SQL oracle
+    matches bit-for-bit. Non-decodable payloads yield null rows.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("n_px", T.LongType(), True),
+            T.StructField("mean_px", T.DoubleType(), True),
+            T.StructField("min_px", T.IntegerType(), True),
+            T.StructField("max_px", T.IntegerType(), True),
+            T.StructField("b0", T.LongType(), True),
+            T.StructField("b1", T.LongType(), True),
+            T.StructField("b2", T.LongType(), True),
+            T.StructField("b3", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "n_px", "mean_px", "min_px", "max_px", "b0", "b1", "b2", "b3"]
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_png_gray(payload)
+                if px is None or px.size == 0:
+                    rows.append((mid, None, None, None, None, None, None, None, None))
+                    continue
+                flat = px.astype(np.int64).ravel()
+                hist = [int(((flat >= lo) & (flat < lo + 64)).sum()) for lo in (0, 64, 128, 192)]
+                rows.append(
+                    (
+                        mid,
+                        int(flat.size),
+                        int(flat.sum()) / float(flat.size),
+                        int(flat.min()),
+                        int(flat.max()),
+                        *hist,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 

@@ -1585,6 +1585,80 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal REAL pixel decode: full PNG pipeline on-executor — zlib
+# inflate + all-five-filters defilter (operators/multimodal.py
+# decode_png_gray) — reduced to integer-exact stats. Fixture PNGs are
+# generated with varying filter types (None/Sub/Up/Average/Paeth) but
+# identical pixel FORMULA, so the oracle replays the pixels from the
+# formula: a hash match proves the decoder inverted every filter
+# correctly. JPEG-header and corrupt payloads yield null rows.
+# ---------------------------------------------------------------------------
+@register(
+    "mm_image_pixel_stats",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, CAST((doc_id % 29) + 1 AS BIGINT) AS w, CAST((doc_id % 13) + 1 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (tx.x * 31 + ty.y * 17 + d.doc_id) % 256 AS p
+  FROM dims d, range(0, 29) tx(x), range(0, 13) ty(y)
+  WHERE tx.x < d.w AND ty.y < d.h
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_px,
+         CAST(SUM(p) AS DOUBLE) / COUNT(*) AS mean_px,
+         CAST(MIN(p) AS INT) AS min_px, CAST(MAX(p) AS INT) AS max_px,
+         SUM(CASE WHEN p < 64 THEN 1 ELSE 0 END) AS b0,
+         SUM(CASE WHEN p >= 64 AND p < 128 THEN 1 ELSE 0 END) AS b1,
+         SUM(CASE WHEN p >= 128 AND p < 192 THEN 1 ELSE 0 END) AS b2,
+         SUM(CASE WHEN p >= 192 THEN 1 ELSE 0 END) AS b3
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id, n_px, mean_px, min_px, max_px, b0, b1, b2, b3 FROM stats
+UNION ALL
+SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM documents WHERE doc_id % 3 <> 0
+""",
+)
+def mm_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                kind = did % 3
+                if kind == 0:
+                    # filter type cycles through all five PNG filters;
+                    # the decoded pixels must be identical regardless
+                    payloads.append(
+                        multimodal.make_png(
+                            int(did % 29) + 1,
+                            int(did % 13) + 1,
+                            seed=int(did),
+                            filter_type=int(did // 3) % 5,
+                        )
+                    )
+                elif kind == 1:  # header-only JPEG: no pixel data
+                    payloads.append(
+                        multimodal.make_jpeg_header(int(did % 40) + 16, int(did % 25) + 16)
+                    )
+                else:  # corrupt
+                    payloads.append((text or "x").encode("utf-8"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    return multimodal.extract_image_pixel_stats(media, payload_col="payload", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal feature-vector plumbing: binary payload -> Arrow-batched
 # mapInPandas. The pixel-decode kernel is a deterministic STUB
 # (md5-seeded bytes — real PIL decode is not in this container), so the
@@ -5449,6 +5523,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- round-4 additions / semantics changed this round (need fresh rows) --
     "f5_fiscal_period_slice",
     "mm_image_features",
+    "mm_image_pixel_stats",
     "mm_audio_features",
     "mm_video_meta",
     "mdx_template_backfill",

@@ -816,3 +816,40 @@ def test_media_parsers_never_raise_on_fuzzed_bytes():
             assert len(mm.parse_mp4(payload)) == 3
 
     fuzz()
+
+
+def test_png_pixel_decode_inverts_all_filters():
+    """decode_png_gray must invert every PNG scanline filter
+    (None/Sub/Up/Average/Paeth) to the identical true pixels, and
+    return None (never raise) for non-PNG, truncated, unsupported
+    color types, and corrupt-deflate payloads."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    expect = np.array(
+        [[(x * 31 + y * 17 + 9) % 256 for x in range(23)] for y in range(11)], dtype=np.uint8
+    )
+    for ft in range(5):
+        px = mm.decode_png_gray(mm.make_png(23, 11, seed=9, filter_type=ft))
+        assert px is not None and (px == expect).all(), f"filter {ft}"
+
+    assert mm.decode_png_gray(b"junk") is None
+    assert mm.decode_png_gray(None) is None
+    assert mm.decode_png_gray(mm.make_jpeg_header(4, 4)) is None
+    png = mm.make_png(6, 3, seed=1)
+    assert mm.decode_png_gray(png[:30]) is None  # truncated
+    # RGB color type (2) is out of scope for the gray decoder -> None
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    rgb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
+    assert mm.decode_png_gray(rgb) is None
+    # corrupt deflate stream inside a well-formed chunk -> None
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", b"\xde\xad\xbe\xef") + chunk(b"IEND", b""))
+    assert mm.decode_png_gray(bad) is None
