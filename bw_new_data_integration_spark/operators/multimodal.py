@@ -404,15 +404,174 @@ def sample_video_frames(
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
+def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Build a REAL GIF87a grayscale image (fixture/test helper):
+    logical screen descriptor, 256-entry gray palette, image
+    descriptor, and an LZW-compressed (spec-correct, with clear codes)
+    pixel stream. Pixel (x, y) is the same ``(x*31 + y*17 + seed) %
+    256`` formula as :func:`make_png`, so one SQL oracle covers both."""
+    pixels = [
+        (x * 31 + y * 17 + seed) % 256 for y in range(height) for x in range(width)
+    ]
+    # LZW encode, 8-bit min code size (codes start at 9 bits)
+    min_code = 8
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_bits: list[tuple[int, int]] = [(clear, min_code + 1)]
+    table = {(c,): c for c in range(256)}
+    next_code = eoi + 1
+    code_size = min_code + 1
+    buf: tuple[int, ...] = ()
+    for p in pixels:
+        cand = buf + (p,)
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], code_size))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:  # table full: emit clear, reset
+            out_bits.append((clear, code_size))
+            table = {(c,): c for c in range(256)}
+            next_code = eoi + 1
+            code_size = min_code + 1
+        buf = (p,)
+    if buf:
+        out_bits.append((table[buf], code_size))
+    out_bits.append((eoi, code_size))
+    # pack LSB-first
+    acc = n_acc = 0
+    data = bytearray()
+    for code, width_bits in out_bits:
+        acc |= code << n_acc
+        n_acc += width_bits
+        while n_acc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        data.append(acc & 0xFF)
+    # sub-blocks of <=255 bytes
+    blocks = b"".join(
+        bytes([len(data[i : i + 255])]) + bytes(data[i : i + 255])
+        for i in range(0, len(data), 255)
+    )
+    palette = bytes(v for c in range(256) for v in (c, c, c))
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # global 256-color table
+        + palette
+        + b","
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)  # image descriptor
+        + bytes([min_code])
+        + blocks
+        + b"\x00;"
+    )
+
+
+def decode_gif_gray(payload: bytes | None):
+    """REAL GIF pixel decode: header + palette walk, then a full LZW
+    decoder (variable code width, clear/EOI codes, table resets) over
+    the sub-block stream; palette-mapped to grayscale via the red
+    channel. Stdlib-only + numpy. Returns None for non-GIF,
+    interlaced, local-palette-less corrupt, or truncated payloads —
+    the corrupt-blob contract."""
+    import numpy as np
+
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        pos = 6
+        width, height, flags, _bg, _ar = struct.unpack("<HHBBB", payload[pos : pos + 7])
+        pos += 7
+        palette = None
+        if flags & 0x80:
+            n_colors = 2 << (flags & 0x07)
+            palette = payload[pos : pos + 3 * n_colors]
+            pos += 3 * n_colors
+        # skip extensions to the image descriptor
+        while pos < len(payload) and payload[pos] == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        if pos >= len(payload) or payload[pos] != 0x2C:
+            return None
+        _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        if iflags & 0x40:  # interlaced: out of scope
+            return None
+        if iflags & 0x80:
+            n_colors = 2 << (iflags & 0x07)
+            palette = payload[pos : pos + 3 * n_colors]
+            pos += 3 * n_colors
+        if palette is None:
+            return None
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            bl = payload[pos]
+            data += payload[pos + 1 : pos + 1 + bl]
+            pos += 1 + bl
+        # LZW decode (LSB-first variable-width codes)
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        code_size = min_code + 1
+        table: list[bytes] = [bytes([c]) for c in range(1 << min_code)] + [b"", b""]
+        acc = n_acc = di = 0
+        prev: bytes | None = None
+        out = bytearray()
+        while True:
+            while n_acc < code_size:
+                if di >= len(data):
+                    return None  # ran out before EOI
+                acc |= data[di] << n_acc
+                di += 1
+                n_acc += 8
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            n_acc -= code_size
+            if code == clear:
+                table = [bytes([c]) for c in range(1 << min_code)] + [b"", b""]
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+        if len(out) < width * height:
+            return None
+        idx = np.frombuffer(bytes(out[: width * height]), dtype=np.uint8)
+        gray = np.frombuffer(palette, dtype=np.uint8)[::3]  # red channel
+        return gray[idx].reshape(height, width)
+    except (struct.error, IndexError):
+        return None
+
+
 def extract_image_pixel_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
     """Batch-wise REAL pixel statistics over a binary column: each
-    payload is pixel-decoded with :func:`decode_png_gray` (zlib inflate
-    + full defilter) and reduced to integer-exact stats — (id, n_px,
-    mean_px, min_px, max_px, b0..b3 quartile-histogram counts). The
-    mean is an integer sum with ONE double division, so a SQL oracle
-    matches bit-for-bit. Non-decodable payloads yield null rows.
+    payload is pixel-decoded — PNG via :func:`decode_png_gray` (zlib
+    inflate + full defilter), GIF via :func:`decode_gif_gray` (full
+    LZW) — and reduced to integer-exact stats: (id, n_px, mean_px,
+    min_px, max_px, b0..b3 quartile-histogram counts). The mean is an
+    integer sum with ONE double division, so a SQL oracle matches
+    bit-for-bit. Non-decodable payloads yield null rows.
     """
     import numpy as np
 
@@ -436,6 +595,8 @@ def extract_image_pixel_stats(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 px = decode_png_gray(payload)
+                if px is None:
+                    px = decode_gif_gray(payload)
                 if px is None or px.size == 0:
                     rows.append((mid, None, None, None, None, None, None, None, None))
                     continue

@@ -1585,20 +1585,21 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal REAL pixel decode: full PNG pipeline on-executor — zlib
-# inflate + all-five-filters defilter (operators/multimodal.py
-# decode_png_gray) — reduced to integer-exact stats. Fixture PNGs are
-# generated with varying filter types (None/Sub/Up/Average/Paeth) but
-# identical pixel FORMULA, so the oracle replays the pixels from the
-# formula: a hash match proves the decoder inverted every filter
-# correctly. JPEG-header and corrupt payloads yield null rows.
+# Multimodal REAL pixel decode: full PNG pipeline (zlib inflate +
+# all-five-filters defilter, decode_png_gray) AND full GIF pipeline
+# (variable-width LZW with clear/EOI and table resets,
+# decode_gif_gray) on-executor, reduced to integer-exact stats. PNG
+# fixtures cycle through every scanline filter; GIF fixtures share the
+# same pixel FORMULA, so one oracle replays both: a hash match proves
+# the PNG filter inversions AND the LZW decode. JPEG-header (no
+# entropy decoder in-container) and corrupt payloads yield null rows.
 # ---------------------------------------------------------------------------
 @register(
     "mm_image_pixel_stats",
     oracle="""
 WITH dims AS (
   SELECT doc_id, CAST((doc_id % 29) + 1 AS BIGINT) AS w, CAST((doc_id % 13) + 1 AS BIGINT) AS h
-  FROM documents WHERE doc_id % 3 = 0
+  FROM documents WHERE doc_id % 4 IN (0, 1)
 ),
 px AS (
   SELECT d.doc_id, d.w, d.h,
@@ -1620,7 +1621,7 @@ SELECT doc_id, n_px, mean_px, min_px, max_px, b0, b1, b2, b3 FROM stats
 UNION ALL
 SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS INT), CAST(NULL AS INT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-FROM documents WHERE doc_id % 3 <> 0
+FROM documents WHERE doc_id % 4 IN (2, 3)
 """,
 )
 def mm_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1634,19 +1635,17 @@ def mm_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             payloads = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                kind = did % 3
+                kind = did % 4
+                w, h = int(did % 29) + 1, int(did % 13) + 1
                 if kind == 0:
                     # filter type cycles through all five PNG filters;
                     # the decoded pixels must be identical regardless
                     payloads.append(
-                        multimodal.make_png(
-                            int(did % 29) + 1,
-                            int(did % 13) + 1,
-                            seed=int(did),
-                            filter_type=int(did // 3) % 5,
-                        )
+                        multimodal.make_png(w, h, seed=int(did), filter_type=int(did // 4) % 5)
                     )
-                elif kind == 1:  # header-only JPEG: no pixel data
+                elif kind == 1:  # real GIF, same pixel formula: LZW path
+                    payloads.append(multimodal.make_gif(w, h, seed=int(did)))
+                elif kind == 2:  # header-only JPEG: no pixel data
                     payloads.append(
                         multimodal.make_jpeg_header(int(did % 40) + 16, int(did % 25) + 16)
                     )

@@ -797,10 +797,11 @@ def test_media_parsers_never_raise_on_fuzzed_bytes():
         mm.make_jpeg_header(100, 50),
         mm.make_wav(64, sample_rate=8000, seed=2),
         mm.make_mp4(1500, timescale=600),
+        mm.make_gif(6, 5, seed=3),
     ]
 
     @settings(max_examples=300, deadline=None)
-    @given(st.binary(min_size=0, max_size=256), st.integers(0, 3), st.integers(0, 200))
+    @given(st.binary(min_size=0, max_size=256), st.integers(0, 4), st.integers(0, 200))
     def fuzz(junk, pick, cut):
         base = real[pick]
         candidates = [
@@ -814,6 +815,10 @@ def test_media_parsers_never_raise_on_fuzzed_bytes():
             assert len(mm.parse_image_dims(payload)) == 3
             assert len(mm.parse_wav(payload)) == 4
             assert len(mm.parse_mp4(payload)) == 3
+            r = mm.decode_png_gray(payload)
+            assert r is None or r.ndim == 2
+            r = mm.decode_gif_gray(payload)
+            assert r is None or r.ndim == 2
 
     fuzz()
 
@@ -853,3 +858,39 @@ def test_png_pixel_decode_inverts_all_filters():
     bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
            + chunk(b"IDAT", b"\xde\xad\xbe\xef") + chunk(b"IEND", b""))
     assert mm.decode_png_gray(bad) is None
+
+
+def test_gif_lzw_roundtrip_and_corrupt_contract():
+    """make_gif produces spec-shaped GIF87a streams (multi-sub-block,
+    variable LZW code width, table reset past 4096 codes) that
+    decode_gif_gray inverts to the exact pixel formula; corrupt,
+    truncated, and interlaced inputs return None, never raise."""
+    import struct
+
+    import numpy as np
+
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    for (w, h, s) in [(1, 1, 0), (23, 11, 9), (200, 150, 77)]:
+        gif = mm.make_gif(w, h, seed=s)
+        px = mm.decode_gif_gray(gif)
+        expect = np.array(
+            [[(x * 31 + y * 17 + s) % 256 for x in range(w)] for y in range(h)], dtype=np.uint8
+        )
+        assert px is not None and (px == expect).all(), (w, h, s)
+        assert mm.parse_image_dims(gif) == ("gif", w, h)
+
+    gif = mm.make_gif(10, 10, seed=1)
+    assert mm.decode_gif_gray(b"junk") is None
+    assert mm.decode_gif_gray(None) is None
+    assert mm.decode_gif_gray(gif[:25]) is None
+    # interlace flag set -> out of scope -> None. The image descriptor
+    # sits after header(6) + LSD(7) + 256-entry palette(768) — don't
+    # search for b"," (0x2C is also palette gray 44).
+    img_desc = 6 + 7 + 768
+    assert gif[img_desc] == 0x2C
+    flagged = bytearray(gif)
+    flagged[img_desc + 9] |= 0x40
+    assert mm.decode_gif_gray(bytes(flagged)) is None
+    # truncated LZW stream (EOI never arrives) -> None
+    assert mm.decode_gif_gray(gif[:-10]) is None
