@@ -894,3 +894,73 @@ def test_gif_lzw_roundtrip_and_corrupt_contract():
     assert mm.decode_gif_gray(bytes(flagged)) is None
     # truncated LZW stream (EOI never arrives) -> None
     assert mm.decode_gif_gray(gif[:-10]) is None
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Spark's runtime bloom-filter join pruning — the selective dim
+    filter's key set becomes a bloom filter applied on the fact side
+    BEFORE the join shuffle. At 100 TB the default size thresholds
+    engage it automatically; here they're lowered to fire on fixture
+    sizes. Values must match the un-filtered plan exactly."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    li = q.registry()  # noqa: F841 - force registry import parity with other tests
+    from bw_new_data_integration_spark import queries as qq
+
+    lineitem = qq._t(spark, SF_SMALL, "lineitem")
+    orders = qq._t(spark, SF_SMALL, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan, plan[:1500]
+        got = {r["o_orderstatus"]: r["n"] for r in j.collect()}
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    base = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    assert got == {r["o_orderstatus"]: r["n"] for r in base.collect()}
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: joining a month-partitioned fact to a
+    filtered dimension must inject a DynamicPruning subquery into the
+    fact scan's partition filters — only the dimension's surviving
+    months are read. The other 100 TB scan lever next to static
+    pruning and bloom filters."""
+    fact_dir = str(tmp_path / "fact")
+    spark.range(0, 3000).select(
+        (F.col("id") % 12 + 1).cast("int").alias("month"),
+        F.col("id").alias("v"),
+    ).write.partitionBy("month").parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [(m, "keep" if m <= 2 else "drop") for m in range(1, 13)], "month int, tag string"
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        fact = spark.read.parquet(fact_dir)
+        j = fact.join(dim.filter(F.col("tag") == "keep"), "month")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:1500]
+        assert j.count() == 500  # months 1-2 only: 250 rows each
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
