@@ -18,17 +18,21 @@ Real vs stubbed (container has no PIL/librosa):
   **Video container metadata is real**: :func:`parse_mp4` walks actual
   ISO-BMFF boxes (mvhd v0/v1, trak) for duration/timescale/tracks;
   :func:`make_mp4` emits size-consistent fixtures.
-  **PNG pixel decode is real too**: :func:`decode_png_gray` runs the
-  full pipeline for 8-bit grayscale — chunk walk → zlib inflate →
-  per-scanline defilter (all five PNG filter types) → numpy array —
-  and :func:`extract_image_pixel_stats` reduces it to integer-exact
-  stats batch-wise.
-* **Stubbed**: pixel decode for lossy codecs (JPEG entropy decode,
-  mp3/ogg audio — codecs not in this container → null stats), the
-  legacy md5 feature stub (``_decode_image_stub``, kept for the
-  documented stub gate), and video frame extraction
-  (``sample_video_frames`` payload slices) — clearly separated so
-  swapping in a real codec is a one-function change.
+  **Pixel decode is real for all three image formats**:
+  :func:`decode_png_gray` (zlib inflate + all-five-filters defilter),
+  :func:`decode_gif_gray` (full variable-width LZW), and
+  :func:`decode_jpeg_gray` (baseline entropy decode: canonical Huffman
+  from DHT, DC prediction, AC run-length, dequant, 8×8 IDCT) — each
+  grayscale, stdlib + numpy only, with matching fixture encoders
+  (:func:`make_png` / :func:`make_gif` / :func:`make_jpeg`).
+  :func:`extract_image_pixel_stats` reduces any of them to
+  integer-exact stats batch-wise.
+* **Stubbed**: lossy AUDIO codecs (mp3/ogg → null stats), color/
+  progressive JPEG (baseline grayscale only), the legacy md5 feature
+  stub (``_decode_image_stub``, kept for the documented stub gate),
+  and video frame extraction (``sample_video_frames`` payload
+  slices) — clearly separated so swapping in a full codec is a
+  one-function change.
 """
 
 from __future__ import annotations
@@ -404,6 +408,287 @@ def sample_video_frames(
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c *= np.sqrt(2 / 8)
+    c[0] = np.sqrt(1 / 8)
+    return c
+
+
+def _bit_size(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """Build a REAL baseline JPEG (grayscale, fixture/test helper):
+    level shift → 8×8 orthonormal FDCT → unit quantization → zigzag →
+    DC-differential + AC run-length symbols → canonical Huffman
+    (tables are *generated* and embedded in DHT, as the format
+    requires — a decoder must read them, not assume Annex K) → MSB
+    bit-packing with 0xFF byte stuffing. Pixel (x, y) is the shared
+    ``(x*31 + y*17 + seed) % 256`` formula. Lossy only through
+    coefficient rounding: the decode round-trip error is a few levels
+    at most (pinned by tests), since the quantization table is all
+    ones."""
+    import numpy as np
+
+    C = _dct_matrix()
+    img = np.fromfunction(
+        lambda y, x: (x * 31 + y * 17 + seed) % 256, (height, width), dtype=np.int64
+    ).astype(np.float64)
+    bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+    padded = np.pad(img, ((0, bh - height), (0, bw - width)), mode="edge")
+
+    # forward DCT + quantize(1) every block, gather symbols
+    dc_syms: list[tuple[int, int]] = []  # (category, value)
+    ac_syms: list[list[tuple[int, int, int]]] = []  # per block: (rs, size, value)
+    prev_dc = 0
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coef = np.rint(C @ block @ C.T).astype(np.int64)
+            zz = coef.ravel()[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            dc_syms.append((_bit_size(diff), diff))
+            run = 0
+            acs: list[tuple[int, int, int]] = []
+            for v in zz[1:]:
+                v = int(v)
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    acs.append((0xF0, 0, 0))  # ZRL
+                    run -= 16
+                acs.append(((run << 4) | _bit_size(v), _bit_size(v), v))
+                run = 0
+            if run:
+                acs.append((0x00, 0, 0))  # EOB
+            ac_syms.append(acs)
+
+    # canonical fixed-length Huffman tables over the symbols actually
+    # used (valid per the format: DHT carries them; <=2^L - 1 codes)
+    def build_table(symbols: list[int], length: int):
+        symbols = sorted(set(symbols))
+        assert len(symbols) <= (1 << length) - 1
+        bits = [0] * 17
+        bits[length] = len(symbols)
+        codes = {s: (i, length) for i, s in enumerate(symbols)}
+        return bits, symbols, codes
+
+    dc_bits, dc_vals, dc_codes = build_table([c for c, _ in dc_syms], 8)
+    ac_used = [rs for blk in ac_syms for rs, _, _ in blk]
+    ac_bits, ac_vals, ac_codes = build_table(ac_used or [0x00], 8)
+
+    out_bits: list[tuple[int, int]] = []  # (value, nbits) MSB-first
+
+    def put(v: int, n: int) -> None:
+        if n:
+            out_bits.append((v & ((1 << n) - 1), n))
+
+    def put_amplitude(v: int, size: int) -> None:
+        if size:
+            put(v if v > 0 else v + (1 << size) - 1, size)
+
+    for (cat, diff), acs in zip(dc_syms, ac_syms):
+        code, n = dc_codes[cat]
+        put(code, n)
+        put_amplitude(diff, cat)
+        for rs, size, v in acs:
+            code, n = ac_codes[rs]
+            put(code, n)
+            put_amplitude(v, size)
+
+    acc = nacc = 0
+    data = bytearray()
+    for v, n in out_bits:
+        acc = (acc << n) | v
+        nacc += n
+        while nacc >= 8:
+            b = (acc >> (nacc - 8)) & 0xFF
+            data.append(b)
+            if b == 0xFF:
+                data.append(0x00)  # byte stuffing
+            nacc -= 8
+    if nacc:
+        b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        data.append(b)
+        if b == 0xFF:
+            data.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dht = seg(0xC4, b"\x00" + bytes(dc_bits[1:]) + bytes(dc_vals)) + seg(
+        0xC4, b"\x10" + bytes(ac_bits[1:]) + bytes(ac_vals)
+    )
+    sos = seg(0xDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(data) + b"\xff\xd9"
+
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def decode_jpeg_gray(payload: bytes | None):
+    """REAL baseline JPEG pixel decode (grayscale, 1 component, no
+    restart markers): segment walk → DQT/DHT canonical-Huffman table
+    build → entropy decode (MSB bit reader with 0xFF00 unstuffing, DC
+    prediction, AC run-length/EOB/ZRL) → dequantize → 8×8 IDCT →
+    level shift → crop. Stdlib ``struct`` + numpy only.
+
+    Returns None for progressive/color/multi-component/corrupt
+    payloads — the corrupt-blob contract."""
+    import numpy as np
+
+    if payload is None or payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        pos, n = 2, len(payload)
+        qtables: dict[int, list[int]] = {}
+        htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        width = height = None
+        comp_q = 0
+        data_start = None
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                break
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0x0F
+                    if pq != 0:
+                        return None  # 16-bit tables unsupported
+                    qtables[tq] = list(body[i + 1 : i + 65])
+                    i += 65
+            elif marker == 0xC4:
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    bits = list(body[i + 1 : i + 17])
+                    nv = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + nv])
+                    # canonical code assignment
+                    table: dict[tuple[int, int], int] = {}
+                    code = 0
+                    k = 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            table[(length, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    htables[(tc, th)] = table
+                    i += 17 + nv
+            elif marker == 0xC0:
+                _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+                if ncomp != 1:
+                    return None
+                comp_q = body[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types
+            elif marker == 0xDA:
+                dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+                data_start = pos + 2 + seglen
+                break
+            pos += 2 + seglen
+        if data_start is None or width is None or not qtables:
+            return None
+        dc_table = htables.get((0, dc_id))
+        ac_table = htables.get((1, ac_id))
+        q = np.array(qtables.get(comp_q, qtables[0]), dtype=np.float64)
+        if dc_table is None or ac_table is None:
+            return None
+
+        # entropy data: unstuff 0xFF00, stop at next marker
+        raw = bytearray()
+        i = data_start
+        while i < n:
+            b = payload[i]
+            if b == 0xFF:
+                if i + 1 < n and payload[i + 1] == 0x00:
+                    raw.append(0xFF)
+                    i += 2
+                    continue
+                break  # a real marker (EOI) ends the scan
+            raw.append(b)
+            i += 1
+
+        bitpos = 0
+        total_bits = len(raw) * 8
+
+        def read_bit() -> int:
+            nonlocal bitpos
+            if bitpos >= total_bits:
+                raise IndexError
+            b = (raw[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return b
+
+        def read_huff(table: dict[tuple[int, int], int]) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                if (length, code) in table:
+                    return table[(length, code)]
+            raise IndexError
+
+        def read_amplitude(size: int) -> int:
+            if size == 0:
+                return 0
+            v = 0
+            for _ in range(size):
+                v = (v << 1) | read_bit()
+            if v < (1 << (size - 1)):
+                v -= (1 << size) - 1
+            return v
+
+        C = _dct_matrix()
+        bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+        out = np.zeros((bh, bw), dtype=np.float64)
+        prev_dc = 0
+        inv_zz = np.argsort(_ZIGZAG)
+        for by in range(0, bh, 8):
+            for bx in range(0, bw, 8):
+                zz = np.zeros(64, dtype=np.float64)
+                cat = read_huff(dc_table)
+                prev_dc += read_amplitude(cat)
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    rs = read_huff(ac_table)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        return None
+                    zz[k] = read_amplitude(rs & 0x0F)
+                    k += 1
+                coef = (zz * q)[inv_zz].reshape(8, 8)
+                out[by : by + 8, bx : bx + 8] = C.T @ coef @ C + 128.0
+        return np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
+    except (struct.error, IndexError, KeyError):
+        return None
+
+
 def make_gif(width: int, height: int, seed: int = 0) -> bytes:
     """Build a REAL GIF87a grayscale image (fixture/test helper):
     logical screen descriptor, 256-entry gray palette, image
@@ -597,6 +882,8 @@ def extract_image_pixel_stats(
                 px = decode_png_gray(payload)
                 if px is None:
                     px = decode_gif_gray(payload)
+                if px is None:
+                    px = decode_jpeg_gray(payload)
                 if px is None or px.size == 0:
                     rows.append((mid, None, None, None, None, None, None, None, None))
                     continue

@@ -1658,6 +1658,57 @@ def mm_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Baseline JPEG codec round-trip gate: make_jpeg encodes REAL entropy
+# streams (FDCT -> unit quantization -> generated canonical Huffman in
+# DHT -> bit-packing with 0xFF stuffing); decode_jpeg_gray decodes
+# them. JPEG is lossy through coefficient rounding, so the gate pins
+# exact dimensions + an error BOUND vs the pixel formula (max 2
+# levels), the same discipline as the sketch gates — the oracle states
+# the contract, Spark proves the decode satisfies it.
+# ---------------------------------------------------------------------------
+@register(
+    "mm_jpeg_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST((doc_id % 29) + 1 AS INT) AS w_px,
+       CAST((doc_id % 13) + 1 AS INT) AS h_px,
+       CAST(((doc_id % 29) + 1) * ((doc_id % 13) + 1) AS BIGINT) AS n_px,
+       TRUE AS within_tolerance
+FROM documents
+""",
+)
+def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                w, h = int(did % 29) + 1, int(did % 13) + 1
+                px = multimodal.decode_jpeg_gray(multimodal.make_jpeg(w, h, seed=int(did)))
+                if px is None:
+                    rows.append((did, None, None, None, False))
+                    continue
+                expect = np.fromfunction(
+                    lambda y, x: (x * 31 + y * 17 + int(did)) % 256, (h, w), dtype=np.int64
+                )
+                err = int(np.abs(px.astype(np.int64) - expect).max())
+                rows.append((did, px.shape[1], px.shape[0], px.size, err <= 2))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "w_px", "h_px", "n_px", "within_tolerance"]
+            )
+
+    return docs.mapInPandas(
+        gen, "doc_id bigint, w_px int, h_px int, n_px bigint, within_tolerance boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal feature-vector plumbing: binary payload -> Arrow-batched
 # mapInPandas. The pixel-decode kernel is a deterministic STUB
 # (md5-seeded bytes — real PIL decode is not in this container), so the
@@ -5523,6 +5574,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "f5_fiscal_period_slice",
     "mm_image_features",
     "mm_image_pixel_stats",
+    "mm_jpeg_roundtrip",
     "mm_audio_features",
     "mm_video_meta",
     "mdx_template_backfill",

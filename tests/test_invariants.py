@@ -798,10 +798,11 @@ def test_media_parsers_never_raise_on_fuzzed_bytes():
         mm.make_wav(64, sample_rate=8000, seed=2),
         mm.make_mp4(1500, timescale=600),
         mm.make_gif(6, 5, seed=3),
+        mm.make_jpeg(6, 5, seed=4),
     ]
 
     @settings(max_examples=300, deadline=None)
-    @given(st.binary(min_size=0, max_size=256), st.integers(0, 4), st.integers(0, 200))
+    @given(st.binary(min_size=0, max_size=256), st.integers(0, 5), st.integers(0, 200))
     def fuzz(junk, pick, cut):
         base = real[pick]
         candidates = [
@@ -818,6 +819,8 @@ def test_media_parsers_never_raise_on_fuzzed_bytes():
             r = mm.decode_png_gray(payload)
             assert r is None or r.ndim == 2
             r = mm.decode_gif_gray(payload)
+            assert r is None or r.ndim == 2
+            r = mm.decode_jpeg_gray(payload)
             assert r is None or r.ndim == 2
 
     fuzz()
@@ -964,3 +967,33 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         assert j.count() == 500  # months 1-2 only: 250 rows each
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+
+
+def test_jpeg_baseline_codec_roundtrip_and_contract():
+    """The baseline JPEG codec: encode (FDCT, unit quantization,
+    generated canonical Huffman, 0xFF stuffing) then decode must land
+    within 1 level of the true pixels at every size class (sub-block,
+    aligned, padded edges); corrupt/truncated/header-only payloads
+    return None, never raise."""
+    import numpy as np
+
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    for (w, h, s) in [(1, 1, 5), (8, 8, 0), (23, 11, 9), (64, 40, 3)]:
+        jpg = mm.make_jpeg(w, h, seed=s)
+        px = mm.decode_jpeg_gray(jpg)
+        expect = np.array(
+            [[(x * 31 + y * 17 + s) % 256 for x in range(w)] for y in range(h)], dtype=np.int64
+        )
+        assert px is not None and px.shape == (h, w)
+        assert np.abs(px.astype(np.int64) - expect).max() <= 1, (w, h, s)
+        assert mm.parse_image_dims(jpg) == ("jpeg", w, h)
+
+    assert mm.decode_jpeg_gray(b"junk") is None
+    assert mm.decode_jpeg_gray(None) is None
+    assert mm.decode_jpeg_gray(mm.make_jpeg_header(10, 10)) is None  # no scan data
+    assert mm.decode_jpeg_gray(mm.make_jpeg(16, 16, 1)[:40]) is None  # truncated
+    # progressive frame marker (SOF2) -> unsupported -> None
+    jpg = bytearray(mm.make_jpeg(8, 8, 2))
+    jpg[jpg.index(b"\xff\xc0", 2) + 1] = 0xC2
+    assert mm.decode_jpeg_gray(bytes(jpg)) is None
