@@ -97,6 +97,7 @@ OPTIONAL = [
     "q8_market_share",
     "q13_order_count_distribution",
     "q21_waiting_supplier",
+    "mm_image_pixel_stats",
 ]
 
 
