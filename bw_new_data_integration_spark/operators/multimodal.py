@@ -61,6 +61,12 @@ MEDIA_META_SCHEMA = T.StructType(
 
 IMAGE_FEATURE_DIM = 16
 
+#: Hard ceiling on pixels any in-repo decoder will materialize per
+#: payload (~64 MPix, i.e. a 64 MB grayscale buffer). Headers declaring
+#: more are treated as corrupt — a decoder must never let one hostile
+#: blob balloon an executor's memory.
+MAX_DECODE_PIXELS = 1 << 26
+
 
 def _decode_image_stub(payload: bytes) -> list[float]:
     """Deterministic fake 'decoded features': md5-seeded floats.
@@ -105,6 +111,11 @@ def parse_image_dims(payload: bytes | None) -> tuple[str | None, int | None, int
     if payload[:8] == _PNG_SIG:
         if len(payload) >= 24 and payload[12:16] == b"IHDR":
             w, h = struct.unpack(">II", payload[16:24])
+            # the PNG spec caps dimensions at 2^31-1; a header past that
+            # (or zero) is corrupt — null dims, and downstream Int32
+            # columns stay safe
+            if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+                return ("png", None, None)
             return ("png", w, h)
         return ("png", None, None)
     if payload[:2] == b"\xff\xd8":
@@ -243,10 +254,16 @@ def decode_png_gray(payload: bytes | None):
             pos += 12 + length
         if not width or not height or not idat:
             return None
-        raw = zlib.decompress(idat)
+        if width * height > MAX_DECODE_PIXELS:
+            return None  # absurd declared dims: don't even allocate
+        stride = width + 1
+        # bounded inflate: cap output at the pixel buffer size so a
+        # hostile high-ratio deflate stream (decompression bomb) cannot
+        # balloon executor memory — the corrupt-blob contract
+        d = zlib.decompressobj()
+        raw = d.decompress(idat, stride * height)
     except Exception:
         return None
-    stride = width + 1
     if len(raw) < stride * height:
         return None
     out = np.zeros((height, width), dtype=np.uint8)
@@ -574,6 +591,8 @@ def decode_jpeg_gray(payload: bytes | None):
                     pq, tq = body[i] >> 4, body[i] & 0x0F
                     if pq != 0:
                         return None  # 16-bit tables unsupported
+                    if len(body) < i + 65:
+                        return None  # truncated table: not 64 entries
                     qtables[tq] = list(body[i + 1 : i + 65])
                     i += 65
             elif marker == 0xC4:
@@ -598,6 +617,8 @@ def decode_jpeg_gray(payload: bytes | None):
             elif marker == 0xC0:
                 _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
                 if ncomp != 1:
+                    return None
+                if width * height == 0 or width * height > MAX_DECODE_PIXELS:
                     return None
                 comp_q = body[8]
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -685,7 +706,7 @@ def decode_jpeg_gray(payload: bytes | None):
                 coef = (zz * q)[inv_zz].reshape(8, 8)
                 out[by : by + 8, bx : bx + 8] = C.T @ coef @ C + 128.0
         return np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
-    except (struct.error, IndexError, KeyError):
+    except (struct.error, IndexError, KeyError, ValueError):
         return None
 
 
@@ -795,6 +816,10 @@ def decode_gif_gray(payload: bytes | None):
             return None
         min_code = payload[pos]
         pos += 1
+        if not 2 <= min_code <= 8:  # spec range; beyond it the root
+            return None  # table would need codes > 255
+        if iw * ih == 0 or iw * ih > MAX_DECODE_PIXELS:
+            return None
         data = bytearray()
         while pos < len(payload) and payload[pos] != 0:
             bl = payload[pos]
@@ -838,11 +863,13 @@ def decode_gif_gray(payload: bytes | None):
             prev = entry
             if len(table) >= (1 << code_size) and code_size < 12:
                 code_size += 1
-        if len(out) < width * height:
+        # the image DESCRIPTOR's dims govern the pixel stream layout —
+        # the logical screen can legally differ (offsets/partial images)
+        if len(out) < iw * ih:
             return None
-        idx = np.frombuffer(bytes(out[: width * height]), dtype=np.uint8)
+        idx = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)
         gray = np.frombuffer(palette, dtype=np.uint8)[::3]  # red channel
-        return gray[idx].reshape(height, width)
+        return gray[idx].reshape(ih, iw)
     except (struct.error, IndexError):
         return None
 
@@ -1078,6 +1105,8 @@ def parse_wav(
         if cid == b"fmt " and len(body) >= 16:
             audio_fmt, channels, rate, _br, _align, bits = struct.unpack("<HHIIHH", body[:16])
             if audio_fmt != 1:  # only uncompressed PCM is decodable here
+                return (None, None, None, None)
+            if rate == 0 or channels == 0:  # corrupt header, not a rate
                 return (None, None, None, None)
         elif cid == b"data":
             data = body

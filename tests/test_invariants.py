@@ -997,3 +997,63 @@ def test_jpeg_baseline_codec_roundtrip_and_contract():
     jpg = bytearray(mm.make_jpeg(8, 8, 2))
     jpg[jpg.index(b"\xff\xc0", 2) + 1] = 0xC2
     assert mm.decode_jpeg_gray(bytes(jpg)) is None
+
+
+def test_media_decoders_survive_targeted_corruption():
+    """Regression pins for the review findings: corruptions that sit
+    BEHIND well-formed headers (where blind fuzzing can't reach) must
+    yield None/null, not a task-killing exception — truncated JPEG DQT,
+    WAV rate=0, GIF LZW min-code >8, PNG dims past Int32/pixel caps,
+    zlib bombs, and GIFs whose image dims differ from the screen."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    # 1. JPEG with truncated DQT (fewer than 64 entries)
+    jpg = mm.make_jpeg(8, 8, seed=1)
+    dqt_at = jpg.index(b"\xff\xdb")
+    short = jpg[:dqt_at] + struct.pack(">BBH", 0xFF, 0xDB, 2 + 11) + jpg[dqt_at + 4 : dqt_at + 4 + 11] + jpg[dqt_at + 4 + 65 :]
+    assert mm.decode_jpeg_gray(short) is None
+
+    # 2. PCM WAV declaring sample_rate=0: parse -> Nones, features -> null row
+    wav = bytearray(mm.make_wav(32, sample_rate=8000, seed=1))
+    wav[24:28] = struct.pack("<I", 0)
+    assert mm.parse_wav(bytes(wav)) == (None, None, None, None)
+
+    # 3. GIF with LZW minimum code size > 8
+    gif = bytearray(mm.make_gif(4, 3, seed=1))
+    min_code_at = 6 + 7 + 768 + 10
+    assert gif[min_code_at] == 8
+    gif[min_code_at] = 12
+    assert mm.decode_gif_gray(bytes(gif)) is None
+
+    # 4. PNG IHDR declaring dims past the Int32 / pixel caps
+    def png_chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    huge = (b"\x89PNG\r\n\x1a\n"
+            + png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4_000_000_000, 5, 8, 0, 0, 0, 0))
+            + png_chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + png_chunk(b"IEND", b""))
+    assert mm.parse_image_dims(huge) == ("png", None, None)
+    assert mm.decode_png_gray(huge) is None
+
+    # 5. zlib bomb behind a small-dims IHDR: bounded inflate, no blow-up
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + png_chunk(b"IDAT", zlib.compress(b"\x00" * 50_000_000, 9))
+            + png_chunk(b"IEND", b""))
+    px = mm.decode_png_gray(bomb)  # inflates only 4*(4+1) bytes
+    assert px is None or px.shape == (4, 4)
+
+    # 6. GIF whose image-descriptor dims differ from the logical screen:
+    # the pixel stream follows the DESCRIPTOR layout
+    gif2 = bytearray(mm.make_gif(20, 5, seed=3))
+    gif2[6:8] = struct.pack("<H", 10)  # lie about the screen: 10x10
+    gif2[8:10] = struct.pack("<H", 10)
+    px = mm.decode_gif_gray(bytes(gif2))
+    expect = np.array([[(x * 31 + y * 17 + 3) % 256 for x in range(20)] for y in range(5)], dtype=np.uint8)
+    assert px is not None and px.shape == (5, 20) and (px == expect).all()
