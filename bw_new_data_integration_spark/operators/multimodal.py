@@ -1084,19 +1084,60 @@ def make_wav(n_samples: int, sample_rate: int = AUDIO_SAMPLE_RATE, seed: int = 0
     )
 
 
+#: WAV format tags this module can decode: linear PCM and G.711 µ-law.
+WAV_FMT_PCM = 1
+WAV_FMT_MULAW = 7
+
+
+def make_wav_ulaw(n_samples: int, sample_rate: int = AUDIO_SAMPLE_RATE, seed: int = 0) -> bytes:
+    """Build a REAL G.711 µ-law WAV (fmt tag 7, 8 bits/sample, mono):
+    the data bytes are µ-law CODES ``(seed*31 + i*17) % 256`` — a
+    formula a SQL oracle replays through the same expansion
+    arithmetic as :func:`mulaw_expand`."""
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    codes = ((seed * 31 + i * 17) % 256).astype(np.uint8)
+    data = codes.tobytes()
+    fmt = struct.pack("<HHIIHH", WAV_FMT_MULAW, 1, sample_rate, sample_rate, 1, 8)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def parse_wav(
     payload: bytes | None,
 ) -> tuple[int | None, int | None, int | None, bytes | None]:
     """Parse ``(sample_rate, channels, bits, pcm_bytes)`` from real WAV
     bytes — stdlib-only RIFF chunk walk, no soundfile/librosa.
+    (Four-tuple kept for compatibility; :func:`parse_wav_fmt` also
+    returns the format tag, needed to tell µ-law from 8-bit PCM.)
 
-    Non-WAV, truncated, or compressed (non-PCM) payloads return all
-    Nones instead of raising — at 100 TB a corrupt blob must not kill
-    the task (same contract as :func:`parse_image_dims`)."""
+    Non-WAV, truncated, or compressed (non-PCM/µ-law) payloads return
+    all Nones instead of raising — at 100 TB a corrupt blob must not
+    kill the task (same contract as :func:`parse_image_dims`)."""
+    return parse_wav_fmt(payload)[:4]
+
+
+def parse_wav_fmt(
+    payload: bytes | None,
+) -> tuple[int | None, int | None, int | None, bytes | None, int | None]:
+    """:func:`parse_wav` plus the WAV format tag as a fifth element:
+    ``(rate, channels, bits, data, audio_fmt)``."""
+    bad = (None, None, None, None, None)
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        return (None, None, None, None)
+        return bad
     pos, n = 12, len(payload)
-    rate = channels = bits = None
+    rate = channels = bits = audio_fmt = None
     data: bytes | None = None
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
@@ -1104,32 +1145,49 @@ def parse_wav(
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             audio_fmt, channels, rate, _br, _align, bits = struct.unpack("<HHIIHH", body[:16])
-            if audio_fmt != 1:  # only uncompressed PCM is decodable here
-                return (None, None, None, None)
+            if audio_fmt not in (WAV_FMT_PCM, WAV_FMT_MULAW):
+                return bad  # other codecs are out of scope
             if rate == 0 or channels == 0:  # corrupt header, not a rate
-                return (None, None, None, None)
+                return bad
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
-        return (None, None, None, None)
-    return (rate, channels, bits, data)
+        return bad
+    return (rate, channels, bits, data, audio_fmt)
+
+
+def mulaw_expand(codes):
+    """G.711 µ-law byte → linear 16-bit expansion (ITU-T G.711 table
+    semantics, computed): complement, split sign/exponent/mantissa,
+    ``((mantissa << 3) + 0x84) << exponent) - 0x84``, apply sign.
+    Vectorized over a numpy uint8 array; exactly replayable in SQL
+    with integer shifts."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int64) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign != 0, -magnitude, magnitude)
 
 
 def extract_audio_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
     """Per-clip audio features via Arrow-batched mapInPandas — REAL
-    decode for PCM WAV payloads, stdlib + numpy only.
+    decode for PCM and G.711 µ-law WAV payloads, stdlib + numpy only.
 
     Output: (id, sample_rate, duration_ms, amp_mean, amp_peak).
     Duration comes from the actual fmt/data chunks; amplitude stats
-    from the actual int16 samples (``np.frombuffer``), normalized to
-    [0, 1]: ``amp_mean = sum(|s|) / (n * 32768)`` (integer sum, so the
-    single double division is oracle-exact), ``amp_peak = max(|s|) /
-    32768``. Unknown/corrupt/compressed payloads yield null stats, not
-    task failures. (Lossy formats — mp3/ogg — would need a codec not
-    in this container and fall into the null path.)
+    from the actual linear samples (int16 PCM directly, µ-law bytes
+    through :func:`mulaw_expand`), normalized to [0, 1]:
+    ``amp_mean = sum(|s|) / (n * 32768)`` (integer sum, so the single
+    double division is oracle-exact), ``amp_peak = max(|s|) / 32768``.
+    Unknown/corrupt/compressed payloads yield null stats, not task
+    failures. (mp3/ogg would need a codec not in this container and
+    fall into the null path.)
     """
     import numpy as np
 
@@ -1147,17 +1205,22 @@ def extract_audio_features(
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                rate, channels, bits, data = parse_wav(payload)
-                if rate is None or bits != 16 or not data:
+                rate, channels, bits, data, fmt = parse_wav_fmt(payload)
+                if fmt == WAV_FMT_PCM and bits == 16 and data:
+                    samples = np.frombuffer(
+                        data[: len(data) - (len(data) % 2)], dtype="<i2"
+                    ).astype(np.int64)
+                elif fmt == WAV_FMT_MULAW and bits == 8 and data:
+                    samples = mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+                else:
                     rows.append((mid, None, None, None, None))
                     continue
-                samples = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
                 n_frames = len(samples) // max(channels or 1, 1)
                 if len(samples) == 0:
                     rows.append((mid, rate, 0, None, None))
                     continue
-                sum_abs = int(np.abs(samples.astype(np.int64)).sum())
-                max_abs = int(np.abs(samples.astype(np.int64)).max())
+                sum_abs = int(np.abs(samples).sum())
+                max_abs = int(np.abs(samples).max())
                 rows.append(
                     (
                         mid,

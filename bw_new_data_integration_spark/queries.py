@@ -2539,17 +2539,31 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_audio_features",
     oracle="""
 WITH params AS (
-  SELECT doc_id, (doc_id % 977) + 100 AS n
+  SELECT doc_id, (doc_id % 977) + 100 AS n, CAST(doc_id % 4 AS INT) AS kind
   FROM documents WHERE doc_id % 4 <> 3
 ),
-stats AS (
+pcm AS (
   SELECT p.doc_id, p.n,
          SUM(abs(((p.doc_id * 31 + t.i * 17) % 65536) - 32768)) AS sum_abs,
          MAX(abs(((p.doc_id * 31 + t.i * 17) % 65536) - 32768)) AS max_abs
   FROM params p, range(0, 1077) t(i)
-  WHERE t.i < p.n
+  WHERE t.i < p.n AND p.kind <> 1
   GROUP BY p.doc_id, p.n
-)
+),
+ulaw AS (
+  -- G.711 expansion of code c: u = 255-c; mag = (u%16*8+132)*2^((u//16)%8)-132
+  SELECT p.doc_id, p.n,
+         SUM(((255 - ((p.doc_id * 31 + t.i * 17) % 256)) % 16 * 8 + 132)
+             * CAST(power(2, ((255 - ((p.doc_id * 31 + t.i * 17) % 256)) // 16) % 8) AS BIGINT)
+             - 132) AS sum_abs,
+         MAX(((255 - ((p.doc_id * 31 + t.i * 17) % 256)) % 16 * 8 + 132)
+             * CAST(power(2, ((255 - ((p.doc_id * 31 + t.i * 17) % 256)) // 16) % 8) AS BIGINT)
+             - 132) AS max_abs
+  FROM params p, range(0, 1077) t(i)
+  WHERE t.i < p.n AND p.kind = 1
+  GROUP BY p.doc_id, p.n
+),
+stats AS (SELECT * FROM pcm UNION ALL SELECT * FROM ulaw)
 SELECT doc_id, CAST(16000 AS INT) AS sample_rate,
        CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
        CAST(sum_abs AS DOUBLE) / (n * 32768.0) AS amp_mean,
@@ -2571,10 +2585,13 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             payloads = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
+                n = int(did % 977) + 100
                 if did % 4 == 3:  # corrupt: not audio at all
                     payloads.append((text or "x").encode("utf-8"))
-                else:
-                    payloads.append(multimodal.make_wav(int(did % 977) + 100, seed=int(did)))
+                elif did % 4 == 1:  # G.711 µ-law arm
+                    payloads.append(multimodal.make_wav_ulaw(n, seed=int(did)))
+                else:  # linear 16-bit PCM arm
+                    payloads.append(multimodal.make_wav(n, seed=int(did)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.mapInPandas(gen, "doc_id bigint, payload binary")
@@ -3724,6 +3741,46 @@ def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(active, c.c_custkey == active.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O9 — the full ranking-function family over one window (row_number,
+# rank, dense_rank, percent_rank, cume_dist, ntile, lag/lead), with a
+# deterministic total order (ties broken by orderkey) so every engine
+# agrees bit-for-bit. percent_rank/cume_dist are rational (rank-1)/
+# (n-1) and rank/n divisions — single exact divisions of integers.
+# ---------------------------------------------------------------------------
+@register(
+    "o9_rank_family",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       lag(o_orderkey, 1) OVER w AS prev_order,
+       lead(o_orderkey, 1) OVER w AS next_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def o9_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
     )
 
 
@@ -5590,6 +5647,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q13_order_count_distribution",
     "q21_waiting_supplier",
     "q22_dormant_customers",
+    "o9_rank_family",
     # -- previously-confirmed queries fill the remaining window slots --
     "j5_asof_join",
     "j6_range_join_counts",

@@ -1057,3 +1057,29 @@ def test_media_decoders_survive_targeted_corruption():
     px = mm.decode_gif_gray(bytes(gif2))
     expect = np.array([[(x * 31 + y * 17 + 3) % 256 for x in range(20)] for y in range(5)], dtype=np.uint8)
     assert px is not None and px.shape == (5, 20) and (px == expect).all()
+
+
+def test_mulaw_expansion_spec_points_and_gate_arm():
+    """G.711 µ-law expansion endpoints (ITU-T G.711): code 0xFF is
+    silence (0), code 0x00 is the negative extreme (-32124), 0x80 the
+    positive extreme (+32124); magnitudes are symmetric in the sign
+    bit. make_wav_ulaw payloads decode through extract's real path."""
+    import numpy as np
+
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    codes = np.arange(256, dtype=np.uint8)
+    lin = mm.mulaw_expand(codes)
+    assert lin[0xFF] == 0
+    assert lin[0x00] == -32124
+    assert lin[0x80] == 32124
+    # sign symmetry: code c and c^0x80 have equal magnitude
+    assert (np.abs(lin[: 128]) == np.abs(lin[128:])).all()
+    # monotonic decreasing magnitude within the negative half
+    mags = np.abs(lin[:128])
+    assert (np.diff(mags) <= 0).all()
+
+    w = mm.make_wav_ulaw(64, sample_rate=8000, seed=3)
+    rate, channels, bits, data, fmt = mm.parse_wav_fmt(w)
+    assert (rate, channels, bits, fmt) == (8000, 1, 8, mm.WAV_FMT_MULAW)
+    assert len(data) == 64
