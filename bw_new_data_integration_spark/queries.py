@@ -3246,6 +3246,110 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S13 — gzip-compressed text-shard scan: the standard wire format for
+# crawl/document dumps. Spark decompresses .gz line-files natively in
+# the scan (one task per file — gzip is unsplittable, which is why
+# shard COUNT is the parallelism knob at 100 TB; noted in the gate).
+# The shard is staged from documents, so the oracle recomputes from
+# the clean table.
+# ---------------------------------------------------------------------------
+@register(
+    "s13_gzip_text",
+    oracle="""
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(octet_length(encode(text)) + 1 + length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+FROM documents
+""",
+)
+def s13_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage documents as TSV lines in .gz shards (4 files — the shard
+    count IS the read parallelism for unsplittable gzip), read them
+    back with spark.read.text, and aggregate over the parsed lines."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="bw_gz_src_") + "/docs_gz"
+    (
+        docs.select(F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias("value"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(path)
+    )
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.split("value", "\t", 2).getItem(0).cast("bigint").alias("doc_id"),
+        F.length(F.encode(F.col("value"), "UTF-8")).alias("n_bytes"),
+    )
+    return parsed.agg(
+        F.count("*").alias("n_lines"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).cast("bigint").alias("n_even"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — per-store daily sales trend: least-squares slope computed from
+# EXACT decimal sums (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — one double
+# division, so both engines agree bit-for-bit where built-in
+# regr_slope (covariance/variance in floating point) would not. x is
+# days since epoch, y the day's sales total.
+# ---------------------------------------------------------------------------
+@register(
+    "a10_sales_trend_per_store",
+    oracle="""
+WITH daily AS (
+  SELECT l_suppkey AS store, date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS x,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS y
+  FROM lineitem GROUP BY 1, 2
+),
+s AS (
+  SELECT store, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS DECIMAL(38,6)) AS sy,
+         CAST(SUM(x * y) AS DECIMAL(38,6)) AS sxy
+  FROM daily GROUP BY store
+)
+SELECT store, n,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope
+FROM s
+""",
+)
+def a10_sales_trend_per_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.col("l_suppkey").alias("store"),
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1990-01-01").cast("date")).alias("x"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+            .cast("decimal(38,6)")
+            .alias("y")
+        )
+    )
+    s = daily.groupBy("store").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("bigint") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,6)").alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom != 0,
+        (F.col("n") * F.col("sxy").cast("double") - F.col("sx") * F.col("sy").cast("double"))
+        / denom.cast("double"),
+    )
+    return s.select("store", "n", slope.alias("slope"))
+
+
+# ---------------------------------------------------------------------------
 # Q6 — forecast revenue change: pure scan-side filter + single exact
 # aggregate; the whole plan is one pushed-predicate scan.
 # ---------------------------------------------------------------------------
@@ -5648,6 +5752,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q21_waiting_supplier",
     "q22_dormant_customers",
     "o9_rank_family",
+    "s13_gzip_text",
+    "a10_sales_trend_per_store",
     # -- previously-confirmed queries fill the remaining window slots --
     "j5_asof_join",
     "j6_range_join_counts",
