@@ -104,6 +104,15 @@ def main(argv=None) -> int:
         help="fiscal-year anchor MM-DD (13-4 calendar start; default from pipeline spec, else 01-01)",
     )
     ap.add_argument("--length", choices=["1wk", "2wk"], help="trailing-window slicer (F6)")
+    ap.add_argument(
+        "--backfill-years",
+        type=int,
+        nargs="+",
+        help="multi-year backfill: run the pipeline once per 13-4 fiscal "
+        "period of each listed year (the reference's period-at-a-time "
+        "discipline — one bounded slice per run, idempotent upserts into "
+        "the same target; backfill_sales_channel_by_period.sh)",
+    )
     ap.add_argument("--sf-dir", default=catalog.DEFAULT_SF_DIR)
     ap.add_argument("--target-root", default="/tmp/bw_targets")
     ap.add_argument("--dry-run", action="store_true")
@@ -113,8 +122,15 @@ def main(argv=None) -> int:
     spark = get_spark(app_name="pipeline_runner")
     names = list(specs) if args.query == "all" else [args.query]
     for name in names:
-        result = run_one(spark, specs, name, args)
-        print(result)
+        if args.backfill_years:
+            for fy in args.backfill_years:
+                for fp in range(1, 14):
+                    args.fy, args.fp = fy, fp
+                    result = run_one(spark, specs, name, args)
+                    print({"fy": fy, "fp": fp, **result})
+        else:
+            result = run_one(spark, specs, name, args)
+            print(result)
     return 0
 
 

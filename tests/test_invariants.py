@@ -1083,3 +1083,45 @@ def test_mulaw_expansion_spec_points_and_gate_arm():
     rate, channels, bits, data, fmt = mm.parse_wav_fmt(w)
     assert (rate, channels, bits, fmt) == (8000, 1, 8, mm.WAV_FMT_MULAW)
     assert len(data) == 64
+
+
+def test_multi_year_backfill_equals_full_fy_run(spark, tmp_path):
+    """--backfill-years runs one bounded slice per 13-4 period (the
+    reference's period-at-a-time backfill discipline); 13 idempotent
+    period upserts must converge to exactly the single full-FY run."""
+    import argparse
+
+    from bw_new_data_integration_spark import runner
+    from bw_new_data_integration_spark import catalog
+    from bw_new_data_integration_spark.plans import pipeline as plans
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    specs = plans.load_pipelines(runner.DEFAULT_PIPELINES)
+    name = "sales_channel"
+
+    def mkargs(root):
+        return argparse.Namespace(
+            fy=None, fp=None, length=None, fy_start=None,
+            sf_dir=SF_SMALL, target_root=str(root),
+            dry_run=False, print_plan=False,
+        )
+
+    # period-at-a-time: 13 slices of FY1997
+    a = mkargs(tmp_path / "by_period")
+    for fp in range(1, 14):
+        a.fy, a.fp = 1997, fp
+        runner.run_one(spark, specs, name, a)
+    # one full-FY run
+    b = mkargs(tmp_path / "full_fy")
+    b.fy = 1997
+    runner.run_one(spark, specs, name, b)
+
+    key = specs[name].mapping.alternate_key
+    ta = ParquetKeyedTable(str(tmp_path / "by_period" / specs[name].mapping.table), [key])
+    tb = ParquetKeyedTable(str(tmp_path / "full_fy" / specs[name].mapping.table), [key])
+    # compare by column name (physical column ORDER may differ between
+    # the upsert-created tables) and ignore the per-run audit timestamp
+    cols = sorted(set(ta.read(spark).columns) - {"last_refreshed"})
+    ra = sorted(map(tuple, ta.read(spark).select(*cols).collect()))
+    rb = sorted(map(tuple, tb.read(spark).select(*cols).collect()))
+    assert ra == rb and len(ra) > 0
