@@ -3640,6 +3640,373 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q2 (adapted: the fixture has no partsupp — observed lineitem
+# part×supplier pairs ARE the catalog, and "supply cost" is the exact
+# per-pair revenue total) — minimum-cost supplier per part in a
+# region: a correlated-min subquery re-expressed as agg + min-per-key
+# + equality join back, all dims broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,6))) AS DECIMAL(38,6)) AS cost
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+mn AS (SELECT l_partkey AS mk, MIN(cost) AS mincost FROM ps GROUP BY l_partkey)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+       CAST(ps.cost AS DOUBLE) AS supply_cost
+FROM ps
+JOIN mn ON ps.l_partkey = mn.mk AND ps.cost = mn.mincost
+JOIN part p ON ps.l_partkey = p.p_partkey AND p.p_size = 25
+JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "leftsemi")
+        .select("s_suppkey")
+    )
+    ps = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey, "leftsemi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(14,6)"))
+            .cast("decimal(38,6)")
+            .alias("cost")
+        )
+    )
+    mn = ps.groupBy(F.col("l_partkey").alias("mk")).agg(F.min("cost").alias("mincost"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 25).select("p_partkey")
+    return (
+        ps.join(mn, (ps.l_partkey == mn.mk) & (ps.cost == mn.mincost))
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 (adapted: no partsupp supply cost — unit cost proxied as 60% of
+# p_retailprice, exact decimal) — product-type profit by supplier
+# nation and order year: the widest dimension chain in the family
+# (lineitem->orders + part + supplier->nation), revenue and cost
+# accumulated as SEPARATE exact sums and differenced once per group.
+# ---------------------------------------------------------------------------
+@register(
+    "q9_product_type_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,6))
+                     * CAST(1 - l.l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE)
+       - CAST(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(14,6))
+                       * CAST(l.l_quantity AS DECIMAL(14,6))
+                       * CAST(0.6 AS DECIMAL(2,1))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS sum_profit
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%bolt%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY nation, o_year
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(14,6)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,6)")
+    cost = (
+        F.col("p_retailprice").cast("decimal(14,6)")
+        * F.col("l_quantity").cast("decimal(14,6)")
+        * F.lit(0.6).cast("decimal(2,1)")
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("o_year"),
+            revenue.alias("rev"),
+            cost.alias("cost"),
+        )
+    )
+    return base.groupBy("nation", "o_year").agg(
+        (
+            F.sum("rev").cast("decimal(38,6)").cast("double")
+            - F.sum("cost").cast("decimal(38,6)").cast("double")
+        ).alias("sum_profit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 (adapted: no partsupp availqty — a part's "stock value" is the
+# exact revenue total its NATION_1 suppliers shipped) — important
+# stock: grouped exact sums gated by a scalar-anchor fraction of the
+# grand total (collected once, inlined as a literal, q22 discipline).
+# ---------------------------------------------------------------------------
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH ps AS (
+  SELECT l.l_partkey,
+         CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,6))) AS DECIMAL(38,6)) AS DOUBLE) AS value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_1'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, value FROM ps
+WHERE value > (SELECT SUM(CAST(value AS DECIMAL(27,6)))::DECIMAL(38,6)::DOUBLE * 0.001 FROM ps)
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1").select("n_nationkey")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "leftsemi").select(
+        "s_suppkey"
+    )
+    ps = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey, "leftsemi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(14,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("value")
+        )
+    )
+    # scalar anchor: the grand total is one number; the threshold is
+    # computed the same way on both engines (exact decimal sum of the
+    # per-part doubles -> double, * 0.001 in IEEE double)
+    total = ps.agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("decimal(38,6)").cast("double").alias("t")
+    ).first()["t"]
+    # SUM over zero rows is NULL — the threshold only gates rows that
+    # exist, so an empty relation's anchor can be anything finite
+    total = 0.0 if total is None else total
+    return ps.filter(F.col("value") > total * 0.001).select("l_partkey", "value")
+
+
+# ---------------------------------------------------------------------------
+# Q12 (adapted: no shipmode/commit/receipt dates — "late" is shipdate
+# > orderdate + 60 days and the mode axis is l_linestatus) — priority
+# mix of late shipments: the conditional-CASE-sum pair over one fact
+# join, integer outputs.
+# ---------------------------------------------------------------------------
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+SELECT l.l_linestatus AS ship_class,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+  AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY ship_class
+""",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    sd = F.col("l_shipdate").cast("date")
+    li = li.filter((sd >= F.lit("1996-01-01")) & (sd < F.lit("1997-01-01")))
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        sd > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy(F.col("l_linestatus").alias("ship_class")).agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 (adapted filters only) — top supplier by quarterly revenue: the
+# view-then-max-equality shape; the max is a scalar anchor collected
+# as an exact DECIMAL and matched by decimal equality (bit-stable —
+# no double compare in the gate).
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,6))
+                  * CAST(1 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS total_rev
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(rev.total_rev AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate").cast("date")
+    rev = (
+        li.filter((sd >= F.lit("1996-01-01")) & (sd < F.lit("1996-04-01")))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,6)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+            )
+            .cast("decimal(38,6)")
+            .alias("total_rev")
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("m")).first()["m"]
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.filter(F.col("total_rev") == F.lit(top))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 (adapted: the part-supplier relation is the DISTINCT observed
+# lineitem pairs; "complaint" suppliers are those with negative
+# account balance) — supplier counts per part profile: NOT-IN
+# anti-join + exclusion predicates + count-distinct over the pair
+# relation.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT ps.l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON ps.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(complaints), ps.l_suppkey == complaints.s_suppkey, "leftanti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 (adapted: no partsupp availqty — a supplier "holds excess
+# stock" of a part when their 1996 shipped quantity exceeds half that
+# part's 1996 total) — part-promotion candidates in one nation:
+# nested-IN composition re-expressed as exact-sum aggs + threshold
+# join + two semi-joins.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_part_promotion",
+    oracle="""
+WITH sq AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(14,6))) AS DECIMAL(38,6)) AS supp_qty
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+tq AS (SELECT l_partkey AS tk, SUM(supp_qty) AS total_qty FROM sq GROUP BY l_partkey)
+SELECT DISTINCT s.s_name
+FROM sq
+JOIN tq ON sq.l_partkey = tq.tk
+JOIN part p ON sq.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+JOIN supplier s ON sq.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
+WHERE CAST(sq.supp_qty AS DOUBLE) > CAST(tq.total_qty AS DOUBLE) * 0.5
+""",
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate").cast("date")
+    sq = (
+        li.filter((sd >= F.lit("1996-01-01")) & (sd < F.lit("1997-01-01")))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(14,6)"))
+            .cast("decimal(38,6)")
+            .alias("supp_qty")
+        )
+    )
+    tq = sq.groupBy(F.col("l_partkey").alias("tk")).agg(F.sum("supp_qty").alias("total_qty"))
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5").select("n_nationkey")
+    return (
+        sq.join(tq, sq.l_partkey == tq.tk)
+        .filter(
+            F.col("supp_qty").cast("double") > F.col("total_qty").cast("double") * F.lit(0.5)
+        )
+        .join(F.broadcast(p), sq.l_partkey == p.p_partkey, "leftsemi")
+        .join(F.broadcast(s), sq.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "leftsemi")
+        .select("s_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream join: watermarked interval self-join of the event
 # stream (probe x trailing quotes), driven with availableNow. The
 # oracle is the equivalent batch theta-join — streaming state
@@ -5754,6 +6121,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "o9_rank_family",
     "s13_gzip_text",
     "a10_sales_trend_per_store",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_part_promotion",
     # -- previously-confirmed queries fill the remaining window slots --
     "j5_asof_join",
     "j6_range_join_counts",
