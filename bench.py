@@ -98,6 +98,11 @@ OPTIONAL = [
     "q13_order_count_distribution",
     "q21_waiting_supplier",
     "mm_image_pixel_stats",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_counts",
+    "q20_part_promotion",
 ]
 
 
