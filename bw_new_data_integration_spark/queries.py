@@ -3771,8 +3771,12 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q11 (adapted: no partsupp availqty — a part's "stock value" is the
 # exact revenue total its NATION_1 suppliers shipped) — important
-# stock: grouped exact sums gated by a scalar-anchor fraction of the
-# grand total (collected once, inlined as a literal, q22 discipline).
+# stock: grouped exact sums gated by a scalar-anchor threshold
+# (collected once, inlined as a literal, q22 discipline). TPC-H's
+# fraction is 0.0001/SF — scale-dependent; here the threshold is
+# 2.5x the per-part mean, which keeps the same selectivity at every
+# SF (a fixed fraction of the grand total empties out as the part
+# count grows).
 # ---------------------------------------------------------------------------
 @register(
     "q11_important_stock",
@@ -3786,7 +3790,8 @@ WITH ps AS (
   GROUP BY l.l_partkey
 )
 SELECT l_partkey, value FROM ps
-WHERE value > (SELECT SUM(CAST(value AS DECIMAL(27,6)))::DECIMAL(38,6)::DOUBLE * 0.001 FROM ps)
+WHERE value > (SELECT SUM(CAST(value AS DECIMAL(27,6)))::DECIMAL(38,6)::DOUBLE
+                      / COUNT(*) * 2.5 FROM ps)
 """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3806,16 +3811,18 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value")
         )
     )
-    # scalar anchor: the grand total is one number; the threshold is
-    # computed the same way on both engines (exact decimal sum of the
-    # per-part doubles -> double, * 0.001 in IEEE double)
-    total = ps.agg(
-        F.sum(F.col("value").cast("decimal(27,6)")).cast("decimal(38,6)").cast("double").alias("t")
-    ).first()["t"]
+    # scalar anchor: total and count are two numbers; the threshold is
+    # computed with the SAME operand order on both engines (exact
+    # decimal sum of the per-part doubles -> double, / count, * 2.5 —
+    # each step IEEE double)
+    row = ps.agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("decimal(38,6)").cast("double").alias("t"),
+        F.count("*").alias("n"),
+    ).first()
     # SUM over zero rows is NULL — the threshold only gates rows that
     # exist, so an empty relation's anchor can be anything finite
-    total = 0.0 if total is None else total
-    return ps.filter(F.col("value") > total * 0.001).select("l_partkey", "value")
+    threshold = 0.0 if row["t"] is None else row["t"] / row["n"] * 2.5
+    return ps.filter(F.col("value") > threshold).select("l_partkey", "value")
 
 
 # ---------------------------------------------------------------------------
