@@ -103,6 +103,7 @@ OPTIONAL = [
     "q12_late_shipment_priority",
     "q16_supplier_part_counts",
     "q20_part_promotion",
+    "mm_video_frames",
 ]
 
 

@@ -27,12 +27,16 @@ Real vs stubbed (container has no PIL/librosa):
   (:func:`make_png` / :func:`make_gif` / :func:`make_jpeg`).
   :func:`extract_image_pixel_stats` reduces any of them to
   integer-exact stats batch-wise.
+  **Video frame extraction is real for YUV4MPEG2**:
+  :func:`iter_y4m_frames` / :func:`sample_y4m_frames` decode actual
+  raw YUV planes from real y4m streams (:func:`make_y4m` emits
+  ffmpeg-consumable fixtures) with presentation-time sampling.
 * **Stubbed**: lossy AUDIO codecs (mp3/ogg → null stats), color/
   progressive JPEG (baseline grayscale only), the legacy md5 feature
   stub (``_decode_image_stub``, kept for the documented stub gate),
-  and video frame extraction (``sample_video_frames`` payload
-  slices) — clearly separated so swapping in a full codec is a
-  one-function change.
+  and COMPRESSED-video frame extraction (``sample_video_frames``
+  payload slices — no codec in this container) — clearly separated so
+  swapping in a full codec is a one-function change.
 """
 
 from __future__ import annotations
@@ -1233,5 +1237,187 @@ def extract_audio_features(
             yield pd.DataFrame(
                 rows, columns=[id_col, "sample_rate", "duration_ms", "amp_mean", "amp_peak"]
             )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL video frame extraction: YUV4MPEG2 (.y4m) — the standard
+# uncompressed interchange format (ffmpeg/x264 reference input).
+# Unlike the compressed-codec stub above, every byte here is decoded
+# for real: the header grammar is plain ASCII tokens and each frame is
+# raw planar YUV, so stdlib parsing yields actual pixels.
+# ---------------------------------------------------------------------------
+
+#: Chroma subsampling -> bytes per frame given (w, h) luma dims.
+_Y4M_CHROMA_FRAME_BYTES = {
+    "420": lambda w, h: w * h + 2 * ((w // 2) * (h // 2)),
+    "422": lambda w, h: w * h + 2 * ((w // 2) * h),
+    "444": lambda w, h: 3 * w * h,
+    "mono": lambda w, h: w * h,
+}
+
+
+def _y4m_chroma_key(tag: str) -> str | None:
+    if tag == "mono":
+        return "mono"
+    for k in ("420", "422", "444"):
+        if tag.startswith(k):
+            return k
+    return None
+
+
+def parse_y4m_header(
+    payload: bytes | None,
+) -> tuple[int, int, int, int, str, int] | None:
+    """Parse a REAL YUV4MPEG2 stream header: returns
+    ``(width, height, fps_num, fps_den, chroma, data_offset)`` or None
+    for anything malformed (corrupt-blob contract — never raises).
+
+    Grammar (y4m spec): one ASCII line ``YUV4MPEG2 W<w> H<h> F<n>:<d>
+    [Ip] [A<x>:<y>] [C<chroma>]\\n`` followed by frames. Missing C
+    defaults to 420jpeg per the spec.
+    """
+    if payload is None or len(payload) < 10 or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n", 0, 512)
+    if nl < 0:
+        return None
+    w = h = num = den = None
+    chroma = "420"
+    try:
+        for tok in payload[9:nl].decode("ascii").split():
+            if tok[:1] == "W":
+                w = int(tok[1:])
+            elif tok[:1] == "H":
+                h = int(tok[1:])
+            elif tok[:1] == "F":
+                num, den = (int(x) for x in tok[1:].split(":"))
+            elif tok[:1] == "C":
+                chroma = _y4m_chroma_key(tok[1:])  # type: ignore[assignment]
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not w or not h or not num or not den or w < 0 or h < 0 or chroma is None:
+        return None
+    if w * h > MAX_DECODE_PIXELS:  # decompression-bomb guard, same as images
+        return None
+    return (w, h, num, den, chroma, nl + 1)
+
+
+def iter_y4m_frames(payload: bytes | None):
+    """Yield ``(frame_idx, frame_ts_ms, y_plane_bytes)`` from a real
+    y4m stream — actual decoded luma, not a digest. Stops at the first
+    malformed frame header or truncated frame (salvages the valid
+    prefix, the standard recovery for interrupted captures); a payload
+    with a bad STREAM header yields nothing.
+    """
+    hdr = parse_y4m_header(payload)
+    if hdr is None:
+        return
+    w, h, num, den, chroma, pos = hdr
+    frame_bytes = _Y4M_CHROMA_FRAME_BYTES[chroma](w, h)
+    luma = w * h
+    idx = 0
+    assert payload is not None
+    n = len(payload)
+    while pos < n:
+        nl = payload.find(b"\n", pos, pos + 256)
+        if nl < 0 or payload[pos : pos + 5] != b"FRAME":
+            return
+        data_start = nl + 1
+        if data_start + frame_bytes > n:
+            return
+        yield (idx, idx * 1000 * den // num, payload[data_start : data_start + luma])
+        pos = data_start + frame_bytes
+        idx += 1
+
+
+def make_y4m(
+    width: int,
+    height: int,
+    n_frames: int,
+    fps: tuple[int, int] = (25, 1),
+    seed: int = 0,
+    chroma: str = "420jpeg",
+) -> bytes:
+    """Build a REAL, fully valid YUV4MPEG2 stream (fixture/test
+    helper) any y4m consumer (ffmpeg, mplayer) accepts. Frame *i*'s
+    luma plane is two-level — first half ``c_i``, second half
+    ``c_i + 1`` with ``c_i = (seed*31 + i*7) % 255`` — so its exact
+    integer sum is ``c_i*n + (n - n//2)``: a SQL oracle replays it,
+    and any plane-offset bug in a decoder shifts the sum. Chroma
+    planes use distinct constants (``c_i+83``, ``c_i+167`` mod 256) so
+    reads that stray into U/V are detected too.
+    """
+    key = _y4m_chroma_key(chroma.lstrip("C"))
+    if key is None:
+        raise ValueError(f"unsupported chroma {chroma!r}")
+    header = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n"
+    out = [header.encode("ascii")]
+    n = width * height
+    cb = _Y4M_CHROMA_FRAME_BYTES[key](width, height) - n
+    for i in range(n_frames):
+        c = (seed * 31 + i * 7) % 255
+        y = bytes([c]) * (n // 2) + bytes([c + 1]) * (n - n // 2)
+        u_v = (
+            bytes([(c + 83) % 256]) * (cb // 2) + bytes([(c + 167) % 256]) * (cb - cb // 2)
+            if cb
+            else b""
+        )
+        out.append(b"FRAME\n" + y + u_v)
+    return b"".join(out)
+
+
+def sample_y4m_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+) -> DataFrame:
+    """REAL frame sampling over a y4m binary column: decode actual
+    luma planes batch-wise (Arrow in, Arrow out — bytes never leave
+    the executor), keep one frame per ``every_ms`` of presentation
+    time, and emit integer-exact luma statistics per kept frame:
+    ``(id, frame_idx, frame_ts_ms, width, height, luma_sum,
+    n_pixels)``. Corrupt / non-y4m payloads contribute zero rows
+    (frame-level explode contract — same shape as
+    :func:`sample_video_frames`, with the decode real instead of
+    stubbed).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_ts_ms", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("luma_sum", T.LongType(), False),
+            T.StructField("n_pixels", T.LongType(), False),
+        ]
+    )
+    cols = [id_col, "frame_idx", "frame_ts_ms", "width", "height", "luma_sum", "n_pixels"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                hdr = parse_y4m_header(payload)
+                if hdr is None:
+                    continue
+                w, h = hdr[0], hdr[1]
+                kept, next_ts = 0, 0
+                for idx, ts_ms, y in iter_y4m_frames(payload):
+                    if ts_ms < next_ts:
+                        continue
+                    luma_sum = int(np.frombuffer(y, dtype=np.uint8).sum(dtype=np.int64))
+                    rows.append((mid, idx, ts_ms, w, h, luma_sum, len(y)))
+                    kept += 1
+                    next_ts = ts_ms + every_ms
+                    if kept >= max_frames:
+                        break
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

@@ -1735,11 +1735,13 @@ def mm_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal frame sampling: one row per sampled frame, frame count
-# driven by payload size (mapInPandas explode contract).
+# Multimodal frame sampling, STUB contract (compressed codecs): one
+# row per sampled frame, frame count driven by payload size
+# (mapInPandas explode contract). The REAL frame decode for
+# uncompressed video lives in mm_video_frames (y4m).
 # ---------------------------------------------------------------------------
 @register(
-    "mm_video_frames",
+    "mm_video_frames_stub",
     oracle="""
 SELECT doc_id,
        CAST(least(8, greatest(1, octet_length(encode(text)) // 64)) AS BIGINT) AS n_frames,
@@ -1747,7 +1749,7 @@ SELECT doc_id,
 FROM documents
 """,
 )
-def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_video_frames_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.operators import multimodal
 
     docs = _t(spark, sf_dir, "documents")
@@ -2653,6 +2655,74 @@ def mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(gen, "doc_id bigint, payload binary")
     return multimodal.extract_video_meta(media, payload_col="payload", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal video REAL frame extraction: actual YUV4MPEG2 streams
+# (the standard uncompressed interchange format — ffmpeg's reference
+# input) built on-executor by make_y4m, decoded frame-by-frame by
+# sample_y4m_frames (operators/multimodal.py iter_y4m_frames walks the
+# real header grammar and raw YUV planes). every_ms=80 over 25fps
+# keeps frames 0 and 2 — presentation-time sampling, not index
+# striding. The luma planes are two-level so the oracle's integer
+# formula (c*n + n/2) only matches if the decoder finds the exact
+# plane offsets; corrupt payloads contribute zero rows (frame-level
+# explode contract). Compressed video codecs remain the documented
+# stub; frame extraction itself is now REAL.
+# ---------------------------------------------------------------------------
+@register(
+    "mm_video_frames",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         16 + (doc_id % 5) * 8 AS w,
+         16 + (doc_id % 3) * 8 AS h,
+         1 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 6 <> 5
+),
+fr AS (
+  SELECT p.doc_id, p.w, p.h, t.i
+  FROM p, UNNEST([0, 2]) AS t(i)
+  WHERE t.i < p.nf
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 40 AS BIGINT) AS frame_ts_ms,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(((doc_id * 31 + i * 7) % 255) * (w * h) + (w * h) // 2 AS BIGINT) AS luma_sum,
+       CAST(w * h AS BIGINT) AS n_pixels
+FROM fr
+""",
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if did % 6 == 5:  # corrupt: not a video stream
+                    payloads.append((text or "x").encode("utf-8"))
+                else:
+                    payloads.append(
+                        multimodal.make_y4m(
+                            16 + int(did % 5) * 8,
+                            16 + int(did % 3) * 8,
+                            1 + int(did % 4),
+                            seed=int(did),
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    return multimodal.sample_y4m_frames(
+        media, payload_col="payload", id_col="doc_id", every_ms=80
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6112,6 +6182,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "mm_jpeg_roundtrip",
     "mm_audio_features",
     "mm_video_meta",
+    "mm_video_frames",
+    "mm_video_frames_stub",
     "mdx_template_backfill",
     "late_data_repair",
     "dedup_lsh_candidates_capped",

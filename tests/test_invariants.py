@@ -799,10 +799,11 @@ def test_media_parsers_never_raise_on_fuzzed_bytes():
         mm.make_mp4(1500, timescale=600),
         mm.make_gif(6, 5, seed=3),
         mm.make_jpeg(6, 5, seed=4),
+        mm.make_y4m(4, 4, 2, seed=5),
     ]
 
     @settings(max_examples=300, deadline=None)
-    @given(st.binary(min_size=0, max_size=256), st.integers(0, 5), st.integers(0, 200))
+    @given(st.binary(min_size=0, max_size=256), st.integers(0, 6), st.integers(0, 200))
     def fuzz(junk, pick, cut):
         base = real[pick]
         candidates = [
@@ -822,8 +823,56 @@ def test_media_parsers_never_raise_on_fuzzed_bytes():
             assert r is None or r.ndim == 2
             r = mm.decode_jpeg_gray(payload)
             assert r is None or r.ndim == 2
+            hdr = mm.parse_y4m_header(payload)
+            assert hdr is None or len(hdr) == 6
+            for f in mm.iter_y4m_frames(payload):
+                assert len(f) == 3
 
     fuzz()
+
+
+def test_y4m_real_frame_decode_and_sampling():
+    """Y4M decode is REAL: exact two-level luma planes come back
+    byte-for-byte for every chroma mode; sampling is by presentation
+    time (frame period from the F tag), truncation salvages the valid
+    prefix, and a decompression-bomb header is rejected."""
+    import numpy as np
+
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    # exact pixels, all chroma modes (chroma size changes frame stride)
+    for chroma in ("420jpeg", "422", "444", "mono"):
+        b = mm.make_y4m(8, 6, 3, seed=9, chroma=chroma)
+        frames = list(mm.iter_y4m_frames(b))
+        assert [f[0] for f in frames] == [0, 1, 2]
+        for i, ts, y in frames:
+            c = (9 * 31 + i * 7) % 255
+            expect = bytes([c]) * 24 + bytes([c + 1]) * 24
+            assert y == expect and ts == i * 40
+
+    # presentation-time sampling at 30000:1001 fps (NTSC): frame period
+    # floor-divides to 33ms, so every_ms=100 keeps ts 0,100,200 ->
+    # frames 0,4(133ms>=100? no: ts_i = i*1000*1001//30000 = i*33)
+    b = mm.make_y4m(4, 4, 10, fps=(30000, 1001), seed=1)
+    ts = [f[1] for f in mm.iter_y4m_frames(b)]
+    assert ts == [i * 1000 * 1001 // 30000 for i in range(10)]
+
+    # truncation mid-frame salvages the complete prefix frames
+    b = mm.make_y4m(8, 8, 4, seed=2)
+    assert [f[0] for f in mm.iter_y4m_frames(b[:-5])] == [0, 1, 2]
+
+    # bomb guard: header declaring > MAX_DECODE_PIXELS is corrupt
+    bomb = b"YUV4MPEG2 W100000 H100000 F25:1 Ip A1:1 C420jpeg\n"
+    assert mm.parse_y4m_header(bomb) is None
+    # missing mandatory tokens / zero dims are corrupt, not crashes
+    assert mm.parse_y4m_header(b"YUV4MPEG2 W0 H4 F25:1\n") is None
+    assert mm.parse_y4m_header(b"YUV4MPEG2 H4 F25:1\n") is None
+    assert mm.parse_y4m_header(b"YUV4MPEG2 W4 H4 F0:1\n") is None
+    # luma_sum invariant the oracle relies on: c*n + n//2
+    b = mm.make_y4m(16, 16, 1, seed=77)
+    _, _, y = next(iter(mm.iter_y4m_frames(b)))
+    c = (77 * 31) % 255
+    assert int(np.frombuffer(y, np.uint8).sum(dtype=np.int64)) == c * 256 + 128
 
 
 def test_png_pixel_decode_inverts_all_filters():
