@@ -104,6 +104,7 @@ OPTIONAL = [
     "q16_supplier_part_counts",
     "q20_part_promotion",
     "mm_video_frames",
+    "mm_jpeg_color_roundtrip",
 ]
 
 

@@ -21,18 +21,22 @@ Real vs stubbed (container has no PIL/librosa):
   **Pixel decode is real for all three image formats**:
   :func:`decode_png_gray` (zlib inflate + all-five-filters defilter),
   :func:`decode_gif_gray` (full variable-width LZW), and
-  :func:`decode_jpeg_gray` (baseline entropy decode: canonical Huffman
-  from DHT, DC prediction, AC run-length, dequant, 8×8 IDCT) — each
-  grayscale, stdlib + numpy only, with matching fixture encoders
-  (:func:`make_png` / :func:`make_gif` / :func:`make_jpeg`).
+  :func:`decode_jpeg_gray` / :func:`decode_jpeg_ycbcr` (baseline
+  entropy decode: canonical Huffman from DHT, per-component DC
+  prediction, AC run-length, dequant, 8×8 IDCT — grayscale AND
+  YCbCr 4:4:4 color with MCU interleave + :func:`ycbcr_to_rgb`),
+  stdlib + numpy only, with matching fixture encoders
+  (:func:`make_png` / :func:`make_gif` / :func:`make_jpeg` /
+  :func:`make_jpeg_color`).
   :func:`extract_image_pixel_stats` reduces any of them to
   integer-exact stats batch-wise.
   **Video frame extraction is real for YUV4MPEG2**:
   :func:`iter_y4m_frames` / :func:`sample_y4m_frames` decode actual
   raw YUV planes from real y4m streams (:func:`make_y4m` emits
   ffmpeg-consumable fixtures) with presentation-time sampling.
-* **Stubbed**: lossy AUDIO codecs (mp3/ogg → null stats), color/
-  progressive JPEG (baseline grayscale only), the legacy md5 feature
+* **Stubbed**: lossy AUDIO codecs (mp3/ogg → null stats),
+  progressive/chroma-subsampled JPEG (baseline 1-comp + 4:4:4 only),
+  the legacy md5 feature
   stub (``_decode_image_stub``, kept for the documented stub gate),
   and COMPRESSED-video frame extraction (``sample_video_frames``
   payload slices — no codec in this container) — clearly separated so
@@ -553,6 +557,129 @@ def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + bytes(data) + b"\xff\xd9"
 
 
+def make_jpeg_color(width: int, height: int, seed: int = 0) -> bytes:
+    """Build a REAL baseline COLOR JPEG (YCbCr 4:4:4 interleaved,
+    fixture/test helper): three planes through the same FDCT → unit
+    quantization → canonical-Huffman pipeline as :func:`make_jpeg`,
+    with the standard two-table-set layout (luma tables th=0 for
+    component 1, chroma tables th=1 shared by components 2 and 3) and
+    MCU-interleaved entropy data. Channel *ch* pixel (x, y) is
+    ``(x*31 + y*17 + seed + 85*ch) % 256`` — the shared formula with a
+    per-channel offset, so one SQL oracle covers all three planes."""
+    import numpy as np
+
+    C = _dct_matrix()
+    bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+    # per component: list of per-block (dc symbol, ac symbol list)
+    comp_blocks: list[list[tuple[tuple[int, int], list[tuple[int, int, int]]]]] = []
+    for ch in range(3):
+        img = np.fromfunction(
+            lambda y, x: (x * 31 + y * 17 + seed + 85 * ch) % 256,
+            (height, width),
+            dtype=np.int64,
+        ).astype(np.float64)
+        padded = np.pad(img, ((0, bh - height), (0, bw - width)), mode="edge")
+        blocks = []
+        prev_dc = 0
+        for by in range(0, bh, 8):
+            for bx in range(0, bw, 8):
+                block = padded[by : by + 8, bx : bx + 8] - 128.0
+                coef = np.rint(C @ block @ C.T).astype(np.int64)
+                zz = coef.ravel()[_ZIGZAG]
+                diff = int(zz[0]) - prev_dc
+                prev_dc = int(zz[0])
+                run = 0
+                acs: list[tuple[int, int, int]] = []
+                for v in zz[1:]:
+                    v = int(v)
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        acs.append((0xF0, 0, 0))  # ZRL
+                        run -= 16
+                    acs.append(((run << 4) | _bit_size(v), _bit_size(v), v))
+                    run = 0
+                if run:
+                    acs.append((0x00, 0, 0))  # EOB
+                blocks.append(((_bit_size(diff), diff), acs))
+        comp_blocks.append(blocks)
+
+    def build_table(symbols: list[int], length: int):
+        symbols = sorted(set(symbols))
+        assert len(symbols) <= (1 << length) - 1
+        bits = [0] * 17
+        bits[length] = len(symbols)
+        codes = {s: (i, length) for i, s in enumerate(symbols)}
+        return bits, symbols, codes
+
+    # luma tables from component 0, chroma tables from components 1+2
+    sets = []
+    for comp_ids in ([0], [1, 2]):
+        dc_used = [dc[0] for c in comp_ids for dc, _ in comp_blocks[c]]
+        ac_used = [rs for c in comp_ids for _, acs in comp_blocks[c] for rs, _, _ in acs]
+        sets.append((build_table(dc_used, 8), build_table(ac_used or [0x00], 8)))
+
+    out_bits: list[tuple[int, int]] = []
+
+    def put(v: int, n: int) -> None:
+        if n:
+            out_bits.append((v & ((1 << n) - 1), n))
+
+    def put_amplitude(v: int, size: int) -> None:
+        if size:
+            put(v if v > 0 else v + (1 << size) - 1, size)
+
+    n_blocks = len(comp_blocks[0])
+    for bi in range(n_blocks):  # MCU-interleaved: Y, Cb, Cr per block index
+        for ch in range(3):
+            (_, _, dc_codes), (_, _, ac_codes) = sets[0 if ch == 0 else 1]
+            (cat, diff), acs = comp_blocks[ch][bi]
+            code, nb = dc_codes[cat]
+            put(code, nb)
+            put_amplitude(diff, cat)
+            for rs, size, v in acs:
+                code, nb = ac_codes[rs]
+                put(code, nb)
+                put_amplitude(v, size)
+
+    acc = nacc = 0
+    data = bytearray()
+    for v, nb in out_bits:
+        acc = (acc << nb) | v
+        nacc += nb
+        while nacc >= 8:
+            b = (acc >> (nacc - 8)) & 0xFF
+            data.append(b)
+            if b == 0xFF:
+                data.append(0x00)  # byte stuffing
+            nacc -= 8
+    if nacc:
+        b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        data.append(b)
+        if b == 0xFF:
+            data.append(0x00)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64)) + seg(0xDB, b"\x01" + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x11\x00"  # Y: sampling 1x1, quant table 0
+        + b"\x02\x11\x01"  # Cb: quant table 1
+        + b"\x03\x11\x01",  # Cr: quant table 1
+    )
+    dht = b"".join(
+        seg(0xC4, bytes([tc << 4 | th]) + bytes(bits[1:]) + bytes(vals))
+        for th, ((dc_bits_, dc_vals_, _), (ac_bits_, ac_vals_, _)) in enumerate(sets)
+        for tc, (bits, vals) in ((0, (dc_bits_, dc_vals_)), (1, (ac_bits_, ac_vals_)))
+    )
+    sos = seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(data) + b"\xff\xd9"
+
+
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -562,13 +689,52 @@ _ZIGZAG = [
 
 
 def decode_jpeg_gray(payload: bytes | None):
-    """REAL baseline JPEG pixel decode (grayscale, 1 component, no
-    restart markers): segment walk → DQT/DHT canonical-Huffman table
-    build → entropy decode (MSB bit reader with 0xFF00 unstuffing, DC
-    prediction, AC run-length/EOB/ZRL) → dequantize → 8×8 IDCT →
-    level shift → crop. Stdlib ``struct`` + numpy only.
+    """REAL baseline JPEG pixel decode, grayscale arm: returns the
+    (h, w) uint8 plane for 1-component baseline payloads, None for
+    everything else (including color — use :func:`decode_jpeg_ycbcr`
+    for 3-component). See :func:`_decode_jpeg_planes` for the actual
+    codec."""
+    planes = _decode_jpeg_planes(payload)
+    if planes is None or planes.shape[2] != 1:
+        return None
+    return planes[:, :, 0]
 
-    Returns None for progressive/color/multi-component/corrupt
+
+def decode_jpeg_ycbcr(payload: bytes | None):
+    """REAL baseline COLOR JPEG pixel decode (YCbCr 4:4:4,
+    interleaved): returns the (h, w, 3) uint8 array in YCbCr domain —
+    exactly what the entropy decode + dequant + IDCT recover, before
+    any color-space conversion (apply :func:`ycbcr_to_rgb` for RGB).
+    None for non-color/subsampled/corrupt payloads."""
+    planes = _decode_jpeg_planes(payload)
+    if planes is None or planes.shape[2] != 3:
+        return None
+    return planes
+
+
+def ycbcr_to_rgb(ycbcr):
+    """JFIF full-range BT.601 YCbCr -> RGB (uint8 in, uint8 out):
+    R = Y + 1.402(Cr-128), G = Y - 0.344136(Cb-128) - 0.714136(Cr-128),
+    B = Y + 1.772(Cb-128), rounded then clipped."""
+    import numpy as np
+
+    y = ycbcr[..., 0].astype(np.float64)
+    cb = ycbcr[..., 1].astype(np.float64) - 128.0
+    cr = ycbcr[..., 2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg_planes(payload: bytes | None):
+    """REAL baseline JPEG pixel decode (1-component grayscale or
+    3-component YCbCr 4:4:4 interleaved, no restart markers): segment
+    walk → DQT/DHT canonical-Huffman table build → entropy decode (MSB
+    bit reader with 0xFF00 unstuffing, per-component DC prediction, AC
+    run-length/EOB/ZRL, MCU-interleaved components) → dequantize → 8×8
+    IDCT → level shift → crop. Stdlib ``struct`` + numpy only. Returns
+    (h, w, ncomp) uint8 or None for progressive/subsampled/corrupt
     payloads — the corrupt-blob contract."""
     import numpy as np
 
@@ -579,7 +745,8 @@ def decode_jpeg_gray(payload: bytes | None):
         qtables: dict[int, list[int]] = {}
         htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
         width = height = None
-        comp_q = 0
+        sof_comps: list[tuple[int, int]] = []  # (component id, tq) in SOF order
+        scan_tables: list[tuple[int, int, int]] = []  # (cid, dc_id, ac_id) in scan order
         data_start = None
         while pos + 4 <= n:
             if payload[pos] != 0xFF:
@@ -620,25 +787,44 @@ def decode_jpeg_gray(payload: bytes | None):
                     i += 17 + nv
             elif marker == 0xC0:
                 _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-                if ncomp != 1:
+                if ncomp not in (1, 3):
                     return None
-                if width * height == 0 or width * height > MAX_DECODE_PIXELS:
+                if width * height == 0 or width * height * ncomp > MAX_DECODE_PIXELS:
                     return None
-                comp_q = body[8]
+                for ci in range(ncomp):
+                    cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                    if sampling != 0x11:
+                        return None  # subsampled (4:2:0/4:2:2) unsupported
+                    sof_comps.append((cid, tq))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline frame types
             elif marker == 0xDA:
-                dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+                ns = body[0]
+                if ns != len(sof_comps):
+                    return None  # multi-scan not supported
+                for si in range(ns):
+                    cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                    scan_tables.append((cs, tabs >> 4, tabs & 0x0F))
                 data_start = pos + 2 + seglen
                 break
             pos += 2 + seglen
-        if data_start is None or width is None or not qtables:
+        if data_start is None or width is None or not qtables or not scan_tables:
             return None
-        dc_table = htables.get((0, dc_id))
-        ac_table = htables.get((1, ac_id))
-        q = np.array(qtables.get(comp_q, qtables[0]), dtype=np.float64)
-        if dc_table is None or ac_table is None:
-            return None
+        # resolve per-scan-component tables; scan components reference
+        # SOF components by id
+        sof_by_id = dict(sof_comps)
+        comps = []
+        for cid, dc_id, ac_id in scan_tables:
+            if cid not in sof_by_id:
+                return None
+            dc_table = htables.get((0, dc_id))
+            ac_table = htables.get((1, ac_id))
+            if dc_table is None or ac_table is None:
+                return None
+            tq = sof_by_id[cid]
+            if tq not in qtables:
+                return None
+            comps.append((dc_table, ac_table, np.array(qtables[tq], dtype=np.float64)))
 
         # entropy data: unstuff 0xFF00, stop at next marker
         raw = bytearray()
@@ -685,30 +871,33 @@ def decode_jpeg_gray(payload: bytes | None):
 
         C = _dct_matrix()
         bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
-        out = np.zeros((bh, bw), dtype=np.float64)
-        prev_dc = 0
+        out = np.zeros((bh, bw, len(comps)), dtype=np.float64)
+        prev_dc = [0] * len(comps)
         inv_zz = np.argsort(_ZIGZAG)
         for by in range(0, bh, 8):
             for bx in range(0, bw, 8):
-                zz = np.zeros(64, dtype=np.float64)
-                cat = read_huff(dc_table)
-                prev_dc += read_amplitude(cat)
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    rs = read_huff(ac_table)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        return None
-                    zz[k] = read_amplitude(rs & 0x0F)
-                    k += 1
-                coef = (zz * q)[inv_zz].reshape(8, 8)
-                out[by : by + 8, bx : bx + 8] = C.T @ coef @ C + 128.0
+                # one MCU: one 8x8 block per component, interleaved in
+                # scan order (4:4:4 / grayscale — all sampling 1x1)
+                for ci, (dc_table, ac_table, q) in enumerate(comps):
+                    zz = np.zeros(64, dtype=np.float64)
+                    cat = read_huff(dc_table)
+                    prev_dc[ci] += read_amplitude(cat)
+                    zz[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        rs = read_huff(ac_table)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            return None
+                        zz[k] = read_amplitude(rs & 0x0F)
+                        k += 1
+                    coef = (zz * q)[inv_zz].reshape(8, 8)
+                    out[by : by + 8, bx : bx + 8, ci] = C.T @ coef @ C + 128.0
         return np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
     except (struct.error, IndexError, KeyError, ValueError):
         return None

@@ -1709,6 +1709,64 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Baseline COLOR JPEG codec round-trip gate: make_jpeg_color encodes
+# real YCbCr 4:4:4 MCU-interleaved entropy streams with the standard
+# two-table-set layout (luma th=0, chroma th=1); decode_jpeg_ycbcr
+# decodes all three planes with per-component DC prediction. Same
+# error-bound discipline as the grayscale gate (<=2 levels per channel
+# vs the per-channel pixel formula); exact dimensions pinned.
+# ---------------------------------------------------------------------------
+@register(
+    "mm_jpeg_color_roundtrip",
+    oracle="""
+SELECT doc_id,
+       CAST((doc_id % 29) + 1 AS INT) AS w_px,
+       CAST((doc_id % 13) + 1 AS INT) AS h_px,
+       CAST(((doc_id % 29) + 1) * ((doc_id % 13) + 1) * 3 AS BIGINT) AS n_vals,
+       TRUE AS within_tolerance
+FROM documents
+""",
+)
+def mm_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                w, h = int(did % 29) + 1, int(did % 13) + 1
+                px = multimodal.decode_jpeg_ycbcr(
+                    multimodal.make_jpeg_color(w, h, seed=int(did))
+                )
+                if px is None:
+                    rows.append((did, None, None, None, False))
+                    continue
+                err = 0
+                for ch in range(3):
+                    expect = np.fromfunction(
+                        lambda y, x: (x * 31 + y * 17 + int(did) + 85 * ch) % 256,
+                        (h, w),
+                        dtype=np.int64,
+                    )
+                    err = max(
+                        err, int(np.abs(px[:, :, ch].astype(np.int64) - expect).max())
+                    )
+                rows.append((did, px.shape[1], px.shape[0], px.size, err <= 2))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "w_px", "h_px", "n_vals", "within_tolerance"]
+            )
+
+    return docs.mapInPandas(
+        gen, "doc_id bigint, w_px int, h_px int, n_vals bigint, within_tolerance boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal feature-vector plumbing: binary payload -> Arrow-batched
 # mapInPandas. The pixel-decode kernel is a deterministic STUB
 # (md5-seeded bytes — real PIL decode is not in this container), so the
@@ -6180,6 +6238,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "mm_image_features",
     "mm_image_pixel_stats",
     "mm_jpeg_roundtrip",
+    "mm_jpeg_color_roundtrip",
     "mm_audio_features",
     "mm_video_meta",
     "mm_video_frames",

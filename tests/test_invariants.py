@@ -800,10 +800,11 @@ def test_media_parsers_never_raise_on_fuzzed_bytes():
         mm.make_gif(6, 5, seed=3),
         mm.make_jpeg(6, 5, seed=4),
         mm.make_y4m(4, 4, 2, seed=5),
+        mm.make_jpeg_color(5, 4, seed=6),
     ]
 
     @settings(max_examples=300, deadline=None)
-    @given(st.binary(min_size=0, max_size=256), st.integers(0, 6), st.integers(0, 200))
+    @given(st.binary(min_size=0, max_size=256), st.integers(0, 7), st.integers(0, 200))
     def fuzz(junk, pick, cut):
         base = real[pick]
         candidates = [
@@ -827,8 +828,55 @@ def test_media_parsers_never_raise_on_fuzzed_bytes():
             assert hdr is None or len(hdr) == 6
             for f in mm.iter_y4m_frames(payload):
                 assert len(f) == 3
+            r = mm.decode_jpeg_ycbcr(payload)
+            assert r is None or r.ndim == 3
 
     fuzz()
+
+
+def test_color_jpeg_roundtrip_and_rejections():
+    """Baseline color JPEG: YCbCr 4:4:4 MCU-interleaved round-trip
+    within 2 levels per channel; gray/color decoders reject each
+    other's payloads; malformed color structure (bad scan component
+    id, subsampled SOF, scan-count mismatch) returns None; JFIF
+    BT.601 conversion hits its spec points."""
+    import numpy as np
+
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    for (w, h, seed) in [(5, 4, 1), (29, 13, 42), (1, 1, 3), (16, 16, 0)]:
+        b = mm.make_jpeg_color(w, h, seed=seed)
+        px = mm.decode_jpeg_ycbcr(b)
+        assert px is not None and px.shape == (h, w, 3)
+        for ch in range(3):
+            expect = np.fromfunction(
+                lambda y, x: (x * 31 + y * 17 + seed + 85 * ch) % 256, (h, w), dtype=np.int64
+            )
+            assert int(np.abs(px[:, :, ch].astype(np.int64) - expect).max()) <= 2
+
+    color, gray = mm.make_jpeg_color(6, 5), mm.make_jpeg(6, 5)
+    assert mm.decode_jpeg_gray(color) is None
+    assert mm.decode_jpeg_ycbcr(gray) is None
+    assert mm.decode_jpeg_gray(gray) is not None
+
+    # targeted structural corruption: each must be None, never raise
+    def patch(payload: bytes, find: bytes, repl: bytes) -> bytes:
+        i = payload.index(find)
+        return payload[:i] + repl + payload[i + len(find) :]
+
+    # SOS references component id 9 (not in SOF)
+    assert mm.decode_jpeg_ycbcr(patch(color, b"\x03\x01\x00\x02\x11", b"\x03\x09\x00\x02\x11")) is None
+    # SOF declares 4:2:0 sampling for Y (0x22)
+    assert mm.decode_jpeg_ycbcr(patch(color, b"\x01\x11\x00\x02\x11\x01", b"\x01\x22\x00\x02\x11\x01")) is None
+    # scan component count disagrees with SOF
+    assert mm.decode_jpeg_ycbcr(patch(color, b"\x03\x01\x00\x02\x11", b"\x02\x01\x00\x02\x11")) is None
+
+    # JFIF BT.601 spec points: neutral chroma is gray; full Cr lifts R
+    neutral = np.array([[[100, 128, 128]]], dtype=np.uint8)
+    assert (mm.ycbcr_to_rgb(neutral)[0, 0] == [100, 100, 100]).all()
+    red = np.array([[[76, 85, 255]]], dtype=np.uint8)  # ~pure red in YCbCr
+    r, g, b2 = (int(v) for v in mm.ycbcr_to_rgb(red)[0, 0])
+    assert r >= 250 and g <= 5 and b2 <= 5
 
 
 def test_y4m_real_frame_decode_and_sampling():
