@@ -41,7 +41,7 @@ OPTIONAL = [
     "dedup_exact_docs",
     "dedup_lsh_candidates",
     "dedup_pipeline_e2e",
-    "ann_brute_topk",
+    "ann_brute_topk_exact_baseline",
     "ann_lsh_topk",
     "text_quality",
     "pipeline_daily_sales",

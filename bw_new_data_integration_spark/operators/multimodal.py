@@ -146,12 +146,16 @@ def parse_image_dims(payload: bytes | None) -> tuple[str | None, int | None, int
             if marker in _JPEG_SOF:
                 if i + 9 <= n:
                     h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    if w <= 0 or h <= 0:  # zero SOF dims are corrupt
+                        return ("jpeg", None, None)
                     return ("jpeg", w, h)
                 return ("jpeg", None, None)
             i += 2 + seglen
         return ("jpeg", None, None)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
+        if w <= 0 or h <= 0:  # zero logical-screen descriptor is corrupt
+            return ("gif", None, None)
         return ("gif", w, h)
     return (None, None, None)
 
@@ -1486,7 +1490,17 @@ def parse_y4m_header(
                 chroma = _y4m_chroma_key(tok[1:])  # type: ignore[assignment]
     except (ValueError, UnicodeDecodeError):
         return None
-    if not w or not h or not num or not den or w < 0 or h < 0 or chroma is None:
+    if (
+        w is None
+        or h is None
+        or num is None
+        or den is None
+        or w <= 0
+        or h <= 0
+        or num <= 0
+        or den <= 0
+        or chroma is None
+    ):
         return None
     if w * h > MAX_DECODE_PIXELS:  # decompression-bomb guard, same as images
         return None

@@ -66,6 +66,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, sf_dir, name)
 
 
+def _collect_capped(df: DataFrame, cap: int, what: str) -> list:
+    """Driver-side collect with a hard row cap for FIXTURE SEEDING only
+    (synthesizing an in-memory OData server / Excel workbook from a
+    parquet table). Fails loud instead of OOM-ing the driver if someone
+    points a fixture query at a high SF: collect(cap+1) bounds driver
+    memory to cap+1 rows even in the failure case."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what}: fixture-seeding collect exceeds cap ({cap} rows) — "
+            "this query synthesizes a driver-side fixture and is bench-SF "
+            "only; run it at sf<=0.1 or raise the cap deliberately"
+        )
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # A1 — grouped multi-measure aggregate (the cube's core query shape).
 # Reference: 47-measure Store×Date MDX, modules/mdx_queries.py:91-170.
@@ -994,7 +1010,7 @@ def dedup_lsh_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram Jaccard similarity (threshold 0.5, all-pairs mode).
 # ---------------------------------------------------------------------------
 @register(
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_exact_baseline",
     oracle=_SHINGLE_SQL
     + """,
 dsh AS (SELECT DISTINCT doc_id, s FROM sh),
@@ -1012,7 +1028,11 @@ JOIN sizes sb ON inter.b_id = sb.doc_id
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
 """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT BASELINE (test-scale only): pair-less all-pairs n-gram
+    Jaccard — quadratic in corpus size; the scale path is the
+    LSH-candidate-restricted verifier (dedup_lsh_candidates* +
+    ngram_jaccard with candidate pairs)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard(docs, threshold=0.5)
 
@@ -1071,7 +1091,7 @@ _COS_SQL = (
 
 
 @register(
-    "dedup_embedding_near_dups",
+    "dedup_embedding_near_dups_exact_baseline",
     oracle=f"""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        CAST({_COS_SQL} AS DOUBLE) AS cos_sim
@@ -1079,7 +1099,10 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE CAST({_COS_SQL} AS DOUBLE) >= 0.3
 """,
 )
-def dedup_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_near_dups_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT BASELINE (test-scale only): all-pairs cosine join —
+    quadratic; the scale path is dedup_embedding_near_dups_lsh
+    (sign-LSH bucketed)."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dups(emb, threshold=0.3, dim=64)
 
@@ -1088,7 +1111,7 @@ def dedup_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN: brute-force cosine top-k (exact baseline).
 # ---------------------------------------------------------------------------
 @register(
-    "ann_brute_topk",
+    "ann_brute_topk_exact_baseline",
     oracle=f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
 scored AS (
@@ -1104,7 +1127,10 @@ ranked AS (
 SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 10
 """,
 )
-def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_brute_topk_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT BASELINE: brute-force cosine top-k (bounded query set
+    broadcast against the full corpus). Recall ground truth for the
+    scale paths ann_lsh_topk / ann_lsh_multiprobe / ann_ivf_topk."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.brute_force_topk(emb, qs, k=10, dim=64)
@@ -1767,57 +1793,12 @@ def mm_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal feature-vector plumbing: binary payload -> Arrow-batched
-# mapInPandas. The pixel-decode kernel is a deterministic STUB
-# (md5-seeded bytes — real PIL decode is not in this container), so the
-# oracle can replay it: feature i = byte i of md5(payload) / 255.
-# Payloads are the documents' utf-8 bytes.
-# ---------------------------------------------------------------------------
-@register(
-    "mm_image_features_stub",
-    oracle="""
-SELECT doc_id, CAST(t.r AS BIGINT) AS feat_idx,
-       (('0x' || substr(md5(text), CAST(t.r * 2 + 1 AS INT), 2))::INT) / 255.0 AS feat_val
-FROM documents, range(0, 16) t(r)
-""",
-)
-def mm_image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bw_new_data_integration_spark.operators import multimodal
-
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    feats = multimodal.extract_image_features(media, payload_col="payload", id_col="doc_id")
-    return feats.select(
-        "doc_id", F.posexplode("features").alias("feat_idx", "feat_val")
-    ).select("doc_id", F.col("feat_idx").cast("bigint").alias("feat_idx"), "feat_val")
-
-
-# ---------------------------------------------------------------------------
-# Multimodal frame sampling, STUB contract (compressed codecs): one
-# row per sampled frame, frame count driven by payload size
-# (mapInPandas explode contract). The REAL frame decode for
-# uncompressed video lives in mm_video_frames (y4m).
-# ---------------------------------------------------------------------------
-@register(
-    "mm_video_frames_stub",
-    oracle="""
-SELECT doc_id,
-       CAST(least(8, greatest(1, octet_length(encode(text)) // 64)) AS BIGINT) AS n_frames,
-       CAST((least(8, greatest(1, octet_length(encode(text)) // 64)) - 1) * 1000 AS BIGINT) AS max_ts_ms
-FROM documents
-""",
-)
-def mm_video_frames_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bw_new_data_integration_spark.operators import multimodal
-
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    frames = multimodal.sample_video_frames(media, payload_col="payload", id_col="doc_id")
-    return frames.groupBy("doc_id").agg(
-        F.count("*").alias("n_frames"), F.max("frame_ts_ms").alias("max_ts_ms")
-    )
-
-
+# (Removed round 5: the mm_image_features_stub / mm_video_frames_stub
+# registry twins — never driver-sampled, superseded by the gated REAL
+# decoders mm_image_features / mm_video_frames. The operator-level stub
+# seams extract_image_features / sample_video_frames stay in
+# operators/multimodal.py as the documented compressed-codec plumbing
+# and are pytest-covered in tests/test_invariants.py.)
 # ---------------------------------------------------------------------------
 # Structured Streaming: watermarked tumbling-window counts driven to
 # completion with an availableNow trigger — the batch-equivalent
@@ -5412,7 +5393,10 @@ def s9_odata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.sources.odata_testing import InMemoryODataServer
 
     c = _t(spark, sf_dir, "customer")
-    records = [r.asDict() for r in c.orderBy("c_custkey").collect()]
+    records = [
+        r.asDict()
+        for r in _collect_capped(c.orderBy("c_custkey"), 200_000, "s9_odata_scan")
+    ]
     server = InMemoryODataServer(records)
     schema = T.StructType(
         [
@@ -5477,15 +5461,15 @@ def s8_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.sources import files
 
     sup = _t(spark, sf_dir, "supplier")
-    rows = (
+    rows = _collect_capped(
         sup.select(
             F.col("s_suppkey").cast("string").alias("k"),
             "s_name",
             F.col("s_nationkey").cast("string").alias("n"),
             F.col("s_acctbal").cast("decimal(13,2)").cast("string").alias("b"),
-        )
-        .orderBy(F.col("s_suppkey"))
-        .collect()
+        ).orderBy(F.col("s_suppkey")),
+        200_000,
+        "s8_excel_roundtrip",
     )
     fd, path = tempfile.mkstemp(suffix=".xlsx", prefix="bw_s8_")
     _os.close(fd)
@@ -6225,6 +6209,10 @@ def o7_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verified by tools/drive_contract.py and tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY = [
+    # -- round-5: renamed exact baselines need fresh rows under new names --
+    "ann_brute_topk_exact_baseline",
+    "dedup_embedding_near_dups_exact_baseline",
+    "dedup_ngram_jaccard_exact_baseline",
     # -- round-4 slots 1-7: the 7 queries that fell past round-3's window --
     "streaming_interval_join_outer",
     "streaming_rate_source",
@@ -6242,7 +6230,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "mm_audio_features",
     "mm_video_meta",
     "mm_video_frames",
-    "mm_video_frames_stub",
     "mdx_template_backfill",
     "late_data_repair",
     "dedup_lsh_candidates_capped",

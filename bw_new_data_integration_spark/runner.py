@@ -118,6 +118,11 @@ def main(argv=None) -> int:
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--print-plan", action="store_true")
     args = ap.parse_args(argv)
+    if args.backfill_years and (args.fy or args.fp or args.length):
+        ap.error(
+            "--backfill-years drives --fy/--fp itself and ignores --length; "
+            "combining them is ambiguous — drop the conflicting flags"
+        )
 
     spark = get_spark(app_name="pipeline_runner")
     names = list(specs) if args.query == "all" else [args.query]

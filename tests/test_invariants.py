@@ -511,6 +511,62 @@ def test_parse_image_dims_real_headers():
     assert mm.parse_image_dims(png[:15]) == ("png", None, None)  # truncated
     truncated_jpeg = b"\xff\xd8\xff\xe0\x00\x08\x00\x00\x00\x00\x00\x00"  # no SOF
     assert mm.parse_image_dims(truncated_jpeg) == ("jpeg", None, None)
+    # zero dims are corrupt in EVERY format arm, not just PNG: a GIF
+    # zero logical-screen descriptor and a zero-dim JPEG SOF both null
+    # out rather than leaking (fmt, 0, 0) into downstream columns
+    zero_gif = b"GIF89a" + struct.pack("<HH", 0, 34) + b"\x00" * 6
+    assert mm.parse_image_dims(zero_gif) == ("gif", None, None)
+    zero_jpg = bytearray(mm.make_jpeg_header(640, 480))
+    sof = bytes(zero_jpg).find(b"\xff\xc0")
+    zero_jpg[sof + 5 : sof + 9] = struct.pack(">HH", 0, 640)  # height=0
+    assert mm.parse_image_dims(bytes(zero_jpg)) == ("jpeg", None, None)
+
+
+def test_parse_y4m_header_rejects_nonpositive_fps():
+    """F-25:1 / F25:-1 / F0:1 headers are corrupt, not 'negative
+    timestamps later': parse_y4m_header nulls the whole stream so
+    iter/sample_y4m_frames follow the corrupt-blob zero-rows contract."""
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    good = mm.make_y4m(4, 4, 2)
+    assert mm.parse_y4m_header(good) is not None
+    for bad_f in (b"F-25:1", b"F25:-1", b"F0:1", b"F25:0"):
+        bad = good.replace(b"F25:1", bad_f)
+        assert bad != good  # the fixture really contains F25:1
+        assert mm.parse_y4m_header(bad) is None
+        assert list(mm.iter_y4m_frames(bad)) == []
+
+
+def test_compressed_codec_stub_seams(spark):
+    """The operator-level stub seams for codecs we don't ship a real
+    decoder for (extract_image_features / sample_video_frames) keep the
+    REAL Spark contract — Arrow-batched mapInPandas, schema, explode
+    shape, determinism — with only the decode kernel stubbed. These
+    replaced the never-sampled *_stub registry twins in round 5."""
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, b"x" * 40), (2, b"y" * 300)], "media_id long, payload binary"
+    )
+    feats = mm.extract_image_features(media).collect()
+    assert {r["media_id"] for r in feats} == {1, 2}
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic: same payload -> same vector
+    again = mm.extract_image_features(media).collect()
+    assert sorted(map(repr, feats)) == sorted(map(repr, again))
+
+    frames = mm.sample_video_frames(media, every_ms=500).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 1  # 40 bytes // 64 -> floor 0 -> min 1 frame
+    assert len(by_id[2]) == 4  # 300 // 64 = 4 frames
+    assert [r["frame_ts_ms"] for r in sorted(by_id[2], key=lambda r: r["frame_idx"])] == [
+        0,
+        500,
+        1000,
+        1500,
+    ]
 
 
 def test_extract_image_meta_mixed_batch(spark):

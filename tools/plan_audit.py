@@ -33,15 +33,15 @@ SF = "/root/testdata/sf0.001"
 ALLOW: dict[str, dict[str, str]] = {
     # documented brute-force correctness baselines; each has a bucketed
     # LSH/IVF scale twin registered alongside
-    "dedup_embedding_near_dups": {
+    "dedup_embedding_near_dups_exact_baseline": {
         "CartesianProduct": "all-pairs baseline; scale path = dedup_embedding_near_dups_lsh",
         "BroadcastNestedLoopJoin": "same",
     },
-    "ann_brute_topk": {
+    "ann_brute_topk_exact_baseline": {
         "BroadcastNestedLoopJoin": "bounded query set broadcast against corpus; scale paths = ann_lsh_topk / ann_ivf_topk",
         "CartesianProduct": "same",
     },
-    "dedup_ngram_jaccard": {
+    "dedup_ngram_jaccard_exact_baseline": {
         "BroadcastNestedLoopJoin": "candidate-restricted verify; candidates broadcast",
         "CartesianProduct": "test-only all-pairs mode",
     },
