@@ -50,6 +50,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as _np  # pandas already hard-depends on numpy
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -437,14 +438,159 @@ def sample_video_frames(
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
+_DCT_CACHE = None
+
+
 def _dct_matrix():
+    global _DCT_CACHE
+    if _DCT_CACHE is None:
+        import numpy as np
+
+        x = np.arange(8)
+        c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+        c *= np.sqrt(2 / 8)
+        c[0] = np.sqrt(1 / 8)
+        _DCT_CACHE = c
+    return _DCT_CACHE
+
+
+def _formula_planes_zigzag(width: int, height: int, seed: int, nchan: int):
+    """Vectorized fixture-image FDCT front end shared by the encoders:
+    generates the ``(x*31 + y*17 + seed + 85*ch) % 256`` plane(s) with
+    edge padding to 8×8 block multiples (index clipping ≡ np.pad edge
+    mode), runs ONE batched orthonormal FDCT over every block of every
+    channel, and returns (nblocks*nchan, 64) int64 zigzag coefficients
+    in EMISSION order (MCU-interleaved: block-major, channel-minor) —
+    byte-for-byte the same symbol stream the per-block loop produced."""
     import numpy as np
 
-    x = np.arange(8)
-    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
-    c *= np.sqrt(2 / 8)
-    c[0] = np.sqrt(1 / 8)
-    return c
+    C = _dct_matrix()
+    bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+    ys = np.minimum(np.arange(bh), height - 1)[None, :, None]
+    xs = np.minimum(np.arange(bw), width - 1)[None, None, :]
+    chs = np.arange(nchan)[:, None, None]
+    planes = ((xs * 31 + ys * 17 + seed + 85 * chs) % 256).astype(np.float64)
+    nby, nbx = bh // 8, bw // 8
+    # (nchan, nby, 8, nbx, 8) -> (nby, nbx, nchan, 8, 8): MCU-interleaved
+    blocks = planes.reshape(nchan, nby, 8, nbx, 8).transpose(1, 3, 0, 2, 4)
+    coef = np.rint(C @ (blocks - 128.0) @ C.T)
+    return coef.reshape(-1, 64)[:, _ZIGZAG_ARR].astype(np.int64)
+
+
+def _jpeg_entropy_encode(zz, comp_of_block, set_of_comp, nsets):
+    """Vectorized baseline-JPEG entropy encode (shared by
+    :func:`make_jpeg` / :func:`make_jpeg_color`).
+
+    ``zz``: (nb, 64) int64 zigzag coefficients in EMISSION order;
+    ``comp_of_block``: per-row component index; ``set_of_comp``:
+    component -> Huffman table-set index (luma/chroma). Returns
+    ``(sets, data)`` with ``sets[i] = (dc_bits, dc_vals, ac_bits,
+    ac_vals)`` for the DHT segments and ``data`` the stuffed
+    entropy-coded bytes. The whole pipeline — per-component DC
+    prediction, AC run-length with ZRL/EOB, canonical fixed-length-8
+    code assignment, MSB bit packing with 1-padding and 0xFF00
+    stuffing — runs as numpy array ops; output is byte-identical to
+    the former per-symbol Python loop (verified at swap-in)."""
+    import numpy as np
+
+    nb = zz.shape[0]
+    comp_of_block = np.asarray(comp_of_block)
+    set_of_block = np.asarray(set_of_comp)[comp_of_block]
+
+    def bit_sizes(v):  # vectorized _bit_size: frexp exponent of |v|
+        return np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
+
+    # DC: sequential prediction per component (emission order preserves
+    # each component's scan order)
+    dc_diff = np.empty(nb, np.int64)
+    for c in range(int(comp_of_block.max()) + 1 if nb else 0):
+        rows = np.flatnonzero(comp_of_block == c)
+        dc_diff[rows] = np.diff(zz[rows, 0], prepend=0)
+    dc_cat = bit_sizes(dc_diff)
+
+    # AC: run-length over zz[:,1:], rows flattened row-major
+    ac = zz[:, 1:]
+    nz_r, nz_c = np.nonzero(ac)
+    nnz = len(nz_r)
+    prev_c = np.empty(nnz, np.int64)
+    if nnz:
+        prev_c[0] = -1
+        prev_c[1:] = np.where(nz_r[1:] == nz_r[:-1], nz_c[:-1], -1)
+    run = nz_c - prev_c - 1
+    zrl_n = run >> 4  # ZRL expansions for runs > 15
+    ac_val = ac[nz_r, nz_c]
+    ac_size = bit_sizes(ac_val)
+    ac_sym = ((run & 15) << 4) | ac_size
+    last_c = np.full(nb, -1, np.int64)
+    last_c[nz_r] = nz_c  # last write per row = its final nonzero
+    eob_rows = np.flatnonzero(last_c != 62)  # trailing zeros -> EOB
+
+    # emission order via per-symbol sort keys: row*1000 + position
+    # (DC=0; ZRL j of the nonzero at col c -> 1+8c+j, its AC -> 1+8c+7;
+    # EOB=600 — ZRL fan-out <= 3 so slots never collide)
+    n_zrl = int(zrl_n.sum())
+    if n_zrl:
+        starts = np.cumsum(zrl_n) - zrl_n
+        j = np.arange(n_zrl) - np.repeat(starts, zrl_n)
+        zrl_key = np.repeat(nz_r, zrl_n) * 1000 + 1 + np.repeat(nz_c, zrl_n) * 8 + j
+    else:
+        zrl_key = np.empty(0, np.int64)
+    n_eob = len(eob_rows)
+    zeros_tail = np.zeros(n_zrl + n_eob, np.int64)
+    keys = np.concatenate(
+        [
+            np.arange(nb, dtype=np.int64) * 1000,
+            nz_r * 1000 + 1 + nz_c * 8 + 7,
+            zrl_key,
+            eob_rows * 1000 + 600,
+        ]
+    )
+    syms = np.concatenate(
+        [dc_cat, ac_sym, np.full(n_zrl, 0xF0, np.int64), np.zeros(n_eob, np.int64)]
+    )
+    sizes = np.concatenate([dc_cat, ac_size, zeros_tail])
+    amps = np.concatenate([dc_diff, ac_val, zeros_tail])
+    is_dc = np.zeros(len(keys), bool)
+    is_dc[:nb] = True
+    order = np.argsort(keys)
+    syms, sizes, amps, is_dc = syms[order], sizes[order], amps[order], is_dc[order]
+    set_idx = set_of_block[keys[order] // 1000]
+
+    # canonical fixed-length-8 tables over the symbols actually used
+    # (valid per the format: DHT carries them; <= 255 codes)
+    sets = []
+    dc_code_arr = np.zeros((nsets, 256), np.int64)
+    ac_code_arr = np.zeros((nsets, 256), np.int64)
+    for s in range(nsets):
+        m = set_idx == s
+        dc_vals = np.unique(syms[m & is_dc]).tolist()
+        ac_u = syms[m & ~is_dc]
+        ac_vals = np.unique(ac_u).tolist() if len(ac_u) else [0x00]
+        assert len(dc_vals) <= 255 and len(ac_vals) <= 255
+        dc_bits, ac_bits = [0] * 17, [0] * 17
+        dc_bits[8], ac_bits[8] = len(dc_vals), len(ac_vals)
+        dc_code_arr[s, dc_vals] = np.arange(len(dc_vals))
+        ac_code_arr[s, ac_vals] = np.arange(len(ac_vals))
+        sets.append((dc_bits, dc_vals, ac_bits, ac_vals))
+    code_val = np.where(is_dc, dc_code_arr[set_idx, syms], ac_code_arr[set_idx, syms])
+
+    # amplitudes: one's-complement negatives, then MSB-first packing of
+    # interleaved (code, 8) / (amplitude, size) emissions
+    amp_enc = np.where(amps > 0, amps, amps + (1 << sizes) - 1)
+    amp_enc = np.where(sizes > 0, amp_enc, 0)
+    n = len(syms)
+    vals2 = np.empty((n, 2), np.int64)
+    vals2[:, 0], vals2[:, 1] = code_val, amp_enc
+    nbits2 = np.empty((n, 2), np.int64)
+    nbits2[:, 0], nbits2[:, 1] = 8, sizes
+    flat_vals, flat_nbits = vals2.reshape(-1), nbits2.reshape(-1)
+    bitmat = ((flat_vals[:, None] >> np.arange(15, -1, -1)) & 1).astype(np.uint8)
+    flat_bits = bitmat[np.arange(16) >= (16 - flat_nbits[:, None])]
+    pad = (-len(flat_bits)) % 8
+    if pad:  # pad the final byte with 1-bits, as the spec suggests
+        flat_bits = np.concatenate([flat_bits, np.ones(pad, np.uint8)])
+    data = np.packbits(flat_bits).tobytes().replace(b"\xff", b"\xff\x00")
+    return sets, data
 
 
 def _bit_size(v: int) -> int:
@@ -461,93 +607,14 @@ def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
     ``(x*31 + y*17 + seed) % 256`` formula. Lossy only through
     coefficient rounding: the decode round-trip error is a few levels
     at most (pinned by tests), since the quantization table is all
-    ones."""
+    ones. FDCT + entropy coding run fully vectorized
+    (:func:`_formula_planes_zigzag` / :func:`_jpeg_entropy_encode`);
+    the byte stream is identical to the former per-symbol loop."""
     import numpy as np
 
-    C = _dct_matrix()
-    img = np.fromfunction(
-        lambda y, x: (x * 31 + y * 17 + seed) % 256, (height, width), dtype=np.int64
-    ).astype(np.float64)
-    bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
-    padded = np.pad(img, ((0, bh - height), (0, bw - width)), mode="edge")
-
-    # forward DCT + quantize(1) every block, gather symbols
-    dc_syms: list[tuple[int, int]] = []  # (category, value)
-    ac_syms: list[list[tuple[int, int, int]]] = []  # per block: (rs, size, value)
-    prev_dc = 0
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
-            coef = np.rint(C @ block @ C.T).astype(np.int64)
-            zz = coef.ravel()[_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            dc_syms.append((_bit_size(diff), diff))
-            run = 0
-            acs: list[tuple[int, int, int]] = []
-            for v in zz[1:]:
-                v = int(v)
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    acs.append((0xF0, 0, 0))  # ZRL
-                    run -= 16
-                acs.append(((run << 4) | _bit_size(v), _bit_size(v), v))
-                run = 0
-            if run:
-                acs.append((0x00, 0, 0))  # EOB
-            ac_syms.append(acs)
-
-    # canonical fixed-length Huffman tables over the symbols actually
-    # used (valid per the format: DHT carries them; <=2^L - 1 codes)
-    def build_table(symbols: list[int], length: int):
-        symbols = sorted(set(symbols))
-        assert len(symbols) <= (1 << length) - 1
-        bits = [0] * 17
-        bits[length] = len(symbols)
-        codes = {s: (i, length) for i, s in enumerate(symbols)}
-        return bits, symbols, codes
-
-    dc_bits, dc_vals, dc_codes = build_table([c for c, _ in dc_syms], 8)
-    ac_used = [rs for blk in ac_syms for rs, _, _ in blk]
-    ac_bits, ac_vals, ac_codes = build_table(ac_used or [0x00], 8)
-
-    out_bits: list[tuple[int, int]] = []  # (value, nbits) MSB-first
-
-    def put(v: int, n: int) -> None:
-        if n:
-            out_bits.append((v & ((1 << n) - 1), n))
-
-    def put_amplitude(v: int, size: int) -> None:
-        if size:
-            put(v if v > 0 else v + (1 << size) - 1, size)
-
-    for (cat, diff), acs in zip(dc_syms, ac_syms):
-        code, n = dc_codes[cat]
-        put(code, n)
-        put_amplitude(diff, cat)
-        for rs, size, v in acs:
-            code, n = ac_codes[rs]
-            put(code, n)
-            put_amplitude(v, size)
-
-    acc = nacc = 0
-    data = bytearray()
-    for v, n in out_bits:
-        acc = (acc << n) | v
-        nacc += n
-        while nacc >= 8:
-            b = (acc >> (nacc - 8)) & 0xFF
-            data.append(b)
-            if b == 0xFF:
-                data.append(0x00)  # byte stuffing
-            nacc -= 8
-    if nacc:
-        b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
-        data.append(b)
-        if b == 0xFF:
-            data.append(0x00)
+    zz = _formula_planes_zigzag(width, height, seed, 1)
+    sets, data = _jpeg_entropy_encode(zz, np.zeros(len(zz), np.int64), [0], 1)
+    dc_bits, dc_vals, ac_bits, ac_vals = sets[0]
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -558,7 +625,7 @@ def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
         0xC4, b"\x10" + bytes(ac_bits[1:]) + bytes(ac_vals)
     )
     sos = seg(0xDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(data) + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
 
 
 def make_jpeg_color(width: int, height: int, seed: int = 0) -> bytes:
@@ -569,100 +636,18 @@ def make_jpeg_color(width: int, height: int, seed: int = 0) -> bytes:
     component 1, chroma tables th=1 shared by components 2 and 3) and
     MCU-interleaved entropy data. Channel *ch* pixel (x, y) is
     ``(x*31 + y*17 + seed + 85*ch) % 256`` — the shared formula with a
-    per-channel offset, so one SQL oracle covers all three planes."""
+    per-channel offset, so one SQL oracle covers all three planes.
+    FDCT + entropy coding run fully vectorized across all blocks of
+    all three components (:func:`_formula_planes_zigzag` emits the
+    MCU-interleaved zigzag rows, :func:`_jpeg_entropy_encode` the
+    standard two-table-set stream — luma th=0 from component 1,
+    chroma th=1 shared by 2 and 3); byte-identical to the former
+    per-symbol loop."""
     import numpy as np
 
-    C = _dct_matrix()
-    bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
-    # per component: list of per-block (dc symbol, ac symbol list)
-    comp_blocks: list[list[tuple[tuple[int, int], list[tuple[int, int, int]]]]] = []
-    for ch in range(3):
-        img = np.fromfunction(
-            lambda y, x: (x * 31 + y * 17 + seed + 85 * ch) % 256,
-            (height, width),
-            dtype=np.int64,
-        ).astype(np.float64)
-        padded = np.pad(img, ((0, bh - height), (0, bw - width)), mode="edge")
-        blocks = []
-        prev_dc = 0
-        for by in range(0, bh, 8):
-            for bx in range(0, bw, 8):
-                block = padded[by : by + 8, bx : bx + 8] - 128.0
-                coef = np.rint(C @ block @ C.T).astype(np.int64)
-                zz = coef.ravel()[_ZIGZAG]
-                diff = int(zz[0]) - prev_dc
-                prev_dc = int(zz[0])
-                run = 0
-                acs: list[tuple[int, int, int]] = []
-                for v in zz[1:]:
-                    v = int(v)
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        acs.append((0xF0, 0, 0))  # ZRL
-                        run -= 16
-                    acs.append(((run << 4) | _bit_size(v), _bit_size(v), v))
-                    run = 0
-                if run:
-                    acs.append((0x00, 0, 0))  # EOB
-                blocks.append(((_bit_size(diff), diff), acs))
-        comp_blocks.append(blocks)
-
-    def build_table(symbols: list[int], length: int):
-        symbols = sorted(set(symbols))
-        assert len(symbols) <= (1 << length) - 1
-        bits = [0] * 17
-        bits[length] = len(symbols)
-        codes = {s: (i, length) for i, s in enumerate(symbols)}
-        return bits, symbols, codes
-
-    # luma tables from component 0, chroma tables from components 1+2
-    sets = []
-    for comp_ids in ([0], [1, 2]):
-        dc_used = [dc[0] for c in comp_ids for dc, _ in comp_blocks[c]]
-        ac_used = [rs for c in comp_ids for _, acs in comp_blocks[c] for rs, _, _ in acs]
-        sets.append((build_table(dc_used, 8), build_table(ac_used or [0x00], 8)))
-
-    out_bits: list[tuple[int, int]] = []
-
-    def put(v: int, n: int) -> None:
-        if n:
-            out_bits.append((v & ((1 << n) - 1), n))
-
-    def put_amplitude(v: int, size: int) -> None:
-        if size:
-            put(v if v > 0 else v + (1 << size) - 1, size)
-
-    n_blocks = len(comp_blocks[0])
-    for bi in range(n_blocks):  # MCU-interleaved: Y, Cb, Cr per block index
-        for ch in range(3):
-            (_, _, dc_codes), (_, _, ac_codes) = sets[0 if ch == 0 else 1]
-            (cat, diff), acs = comp_blocks[ch][bi]
-            code, nb = dc_codes[cat]
-            put(code, nb)
-            put_amplitude(diff, cat)
-            for rs, size, v in acs:
-                code, nb = ac_codes[rs]
-                put(code, nb)
-                put_amplitude(v, size)
-
-    acc = nacc = 0
-    data = bytearray()
-    for v, nb in out_bits:
-        acc = (acc << nb) | v
-        nacc += nb
-        while nacc >= 8:
-            b = (acc >> (nacc - 8)) & 0xFF
-            data.append(b)
-            if b == 0xFF:
-                data.append(0x00)  # byte stuffing
-            nacc -= 8
-    if nacc:
-        b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
-        data.append(b)
-        if b == 0xFF:
-            data.append(0x00)
+    zz = _formula_planes_zigzag(width, height, seed, 3)
+    comp = np.tile(np.arange(3), len(zz) // 3)
+    sets, data = _jpeg_entropy_encode(zz, comp, [0, 1, 1], 2)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -677,11 +662,11 @@ def make_jpeg_color(width: int, height: int, seed: int = 0) -> bytes:
     )
     dht = b"".join(
         seg(0xC4, bytes([tc << 4 | th]) + bytes(bits[1:]) + bytes(vals))
-        for th, ((dc_bits_, dc_vals_, _), (ac_bits_, ac_vals_, _)) in enumerate(sets)
+        for th, (dc_bits_, dc_vals_, ac_bits_, ac_vals_) in enumerate(sets)
         for tc, (bits, vals) in ((0, (dc_bits_, dc_vals_)), (1, (ac_bits_, ac_vals_)))
     )
     sos = seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(data) + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
 
 
 _ZIGZAG = [
@@ -690,6 +675,8 @@ _ZIGZAG = [
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
+_ZIGZAG_ARR = _np.array(_ZIGZAG)
+_INV_ZIGZAG_ARR = _np.argsort(_ZIGZAG_ARR)
 
 
 def decode_jpeg_gray(payload: bytes | None):
@@ -844,64 +831,144 @@ def _decode_jpeg_planes(payload: bytes | None):
             raw.append(b)
             i += 1
 
-        bitpos = 0
         total_bits = len(raw) * 8
+        # 3 padding bytes so the 24-bit window read below never indexes
+        # past the buffer; bounds vs total_bits still gate consumption,
+        # so padding bits can never be silently decoded
+        raw_b = bytes(raw) + b"\x00\x00\x00"
 
-        def read_bit() -> int:
-            nonlocal bitpos
-            if bitpos >= total_bits:
-                raise IndexError
-            b = (raw[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
-            bitpos += 1
-            return b
+        # 256-entry LUTs for codes of length <= 8: one O(1) lookup per
+        # symbol instead of one dict probe per BIT. Longer codes (legal
+        # baseline, just not what our encoder emits) fall back to the
+        # bit-by-bit walk below.
+        def build_lut(table):
+            lut_sym, lut_len = [0] * 256, [0] * 256
+            for (length, code), sym in table.items():
+                if length <= 8:
+                    base = code << (8 - length)
+                    for j in range(base, base + (1 << (8 - length))):
+                        lut_sym[j] = sym
+                        lut_len[j] = length
+            return lut_sym, lut_len
 
-        def read_huff(table: dict[tuple[int, int], int]) -> int:
-            code = 0
-            for length in range(1, 17):
-                code = (code << 1) | read_bit()
+        lut_cache: dict[int, tuple[list[int], list[int]]] = {}
+
+        def lut_of(table):
+            got = lut_cache.get(id(table))
+            if got is None:
+                got = lut_cache[id(table)] = build_lut(table)
+            return got
+
+        comp_dec = [
+            (lut_of(dc_table), dc_table, lut_of(ac_table), ac_table)
+            for dc_table, ac_table, _q in comps
+        ]
+
+        def read_slow(code8: int, table, p: int):
+            # codes of length 9..16: extend the failed 8-bit prefix one
+            # bit at a time (prefix-free codes — at most one can match)
+            code = code8
+            for length in range(9, 17):
+                if p + length > total_bits:
+                    raise IndexError
+                bp = p + length - 1
+                code = (code << 1) | ((raw_b[bp >> 3] >> (7 - (bp & 7))) & 1)
                 if (length, code) in table:
-                    return table[(length, code)]
+                    return table[(length, code)], length
             raise IndexError
-
-        def read_amplitude(size: int) -> int:
-            if size == 0:
-                return 0
-            v = 0
-            for _ in range(size):
-                v = (v << 1) | read_bit()
-            if v < (1 << (size - 1)):
-                v -= (1 << size) - 1
-            return v
 
         C = _dct_matrix()
         bh, bw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
-        out = np.zeros((bh, bw, len(comps)), dtype=np.float64)
-        prev_dc = [0] * len(comps)
-        inv_zz = np.argsort(_ZIGZAG)
-        for by in range(0, bh, 8):
-            for bx in range(0, bw, 8):
-                # one MCU: one 8x8 block per component, interleaved in
-                # scan order (4:4:4 / grayscale — all sampling 1x1)
-                for ci, (dc_table, ac_table, q) in enumerate(comps):
-                    zz = np.zeros(64, dtype=np.float64)
-                    cat = read_huff(dc_table)
-                    prev_dc[ci] += read_amplitude(cat)
-                    zz[0] = prev_dc[ci]
-                    k = 1
-                    while k < 64:
-                        rs = read_huff(ac_table)
-                        if rs == 0x00:  # EOB
+        nby, nbx = bh // 8, bw // 8
+        n_mcus = nby * nbx
+        ncomp = len(comps)
+        coefs = np.zeros((n_mcus, ncomp, 64), dtype=np.float64)
+        prev_dc = [0] * ncomp
+        p = 0  # bit position
+        for mi in range(n_mcus):
+            for ci in range(ncomp):
+                (dc_sym, dc_len), dc_table, (ac_sym, ac_len), ac_table = comp_dec[ci]
+                row = coefs[mi, ci]
+                k = 0  # 0 decodes the DC symbol, then ACs to 63
+                while k < 64:
+                    # one 24-bit window serves both the (<=8-bit fast
+                    # path) Huffman code and its <=15-bit amplitude
+                    byte, sh = p >> 3, p & 7
+                    w24 = (
+                        (raw_b[byte] << 16) | (raw_b[byte + 1] << 8) | raw_b[byte + 2]
+                    )
+                    pre = (w24 >> (16 - sh)) & 0xFF
+                    if k == 0:
+                        length = dc_len[pre]
+                        if length:
+                            sym = dc_sym[pre]
+                        else:
+                            sym, length = read_slow(pre, dc_table, p)
+                        size = sym
+                    else:
+                        length = ac_len[pre]
+                        if length:
+                            sym = ac_sym[pre]
+                        else:
+                            sym, length = read_slow(pre, ac_table, p)
+                        if sym == 0x00:  # EOB
+                            if p + length > total_bits:
+                                raise IndexError
+                            p += length
                             break
-                        if rs == 0xF0:  # ZRL
+                        if sym == 0xF0:  # ZRL
+                            if p + length > total_bits:
+                                raise IndexError
+                            p += length
                             k += 16
                             continue
-                        k += rs >> 4
+                        k += sym >> 4
                         if k > 63:
                             return None
-                        zz[k] = read_amplitude(rs & 0x0F)
+                        size = sym & 0x0F
+                    if p + length + size > total_bits:
+                        raise IndexError
+                    if size:
+                        if length + size <= 24 - sh:
+                            v = (w24 >> (24 - sh - length - size)) & ((1 << size) - 1)
+                        else:  # slow-path code pushed past the window
+                            ap = p + length
+                            abyte, ash = ap >> 3, ap & 7
+                            v = (
+                                (
+                                    (raw_b[abyte] << 24)
+                                    | (raw_b[abyte + 1] << 16)
+                                    | (raw_b[abyte + 2] << 8)
+                                    | raw_b[abyte + 3]
+                                )
+                                >> (32 - ash - size)
+                            ) & ((1 << size) - 1)
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                    else:
+                        v = 0
+                    p += length + size
+                    if k == 0:
+                        prev_dc[ci] += v
+                        row[0] = prev_dc[ci]
+                        k = 1
+                    else:
+                        row[k] = v
                         k += 1
-                    coef = (zz * q)[inv_zz].reshape(8, 8)
-                    out[by : by + 8, bx : bx + 8, ci] = C.T @ coef @ C + 128.0
+
+        # dequantize + IDCT, batched over every block of every
+        # component in one shot (the per-block matmuls were ~40% of
+        # decode time at fixture sizes)
+        qarr = np.stack([q for _dc, _ac, q in comps])  # (ncomp, 64)
+        coef = (coefs * qarr[None, :, :])[:, :, _INV_ZIGZAG_ARR].reshape(
+            n_mcus, ncomp, 8, 8
+        )
+        spatial = C.T @ coef @ C + 128.0
+        out = (
+            spatial.reshape(nby, nbx, ncomp, 8, 8)
+            .transpose(0, 3, 1, 4, 2)
+            .reshape(bh, bw, ncomp)
+        )
         return np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
     except (struct.error, IndexError, KeyError, ValueError):
         return None

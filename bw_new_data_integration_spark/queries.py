@@ -66,6 +66,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, sf_dir, name)
 
 
+def _fanout(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a CPU-bound mapInPandas input across every core. A
+    small parquet table arrives as ONE scan partition, which would run
+    the Python decode kernels in a single task; the rows-only shuffle
+    is trivial next to the per-row codec work. Same discipline at
+    cluster scale: repartition decode inputs to the executor count."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _collect_capped(df: DataFrame, cap: int, what: str) -> list:
     """Driver-side collect with a hard row cap for FIXTURE SEEDING only
     (synthesizing an in-memory OData server / Excel workbook from a
@@ -1583,7 +1592,7 @@ FROM documents
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     import pandas as pd
 
@@ -1653,7 +1662,7 @@ FROM documents WHERE doc_id % 4 IN (2, 3)
 def mm_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     import pandas as pd
 
@@ -1706,7 +1715,7 @@ FROM documents
 def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id"))
 
     import numpy as np
     import pandas as pd
@@ -1756,7 +1765,7 @@ FROM documents
 def mm_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id"))
 
     import numpy as np
     import pandas as pd
@@ -2618,7 +2627,7 @@ FROM documents WHERE doc_id % 4 = 3
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     import pandas as pd
 
@@ -2672,7 +2681,7 @@ FROM documents WHERE doc_id % 5 = 4
 def mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     import pandas as pd
 
@@ -2737,7 +2746,7 @@ FROM fr
 def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     import pandas as pd
 
