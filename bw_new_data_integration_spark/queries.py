@@ -1327,21 +1327,29 @@ def pipeline_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_clock_in_out",
     oracle="""
 WITH agg AS (
-  SELECT CAST(user_id AS VARCHAR) AS system_user_id,
+  SELECT 'ST' || lpad(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 12 AS VARCHAR), 2, '0')
+           AS store_number,
+         CAST(user_id AS VARCHAR) AS system_user_id,
+         'Employee ' || CAST(user_id AS VARCHAR) AS employee_name,
          strftime(CAST(ts AS DATE), '%Y-%m-%d') AS calendar_date,
          CAST(SUM(CAST(value / 60.0 AS DECIMAL(27,6))) AS DOUBLE) AS total_hours_worked,
          CAST(COUNT(*) AS INT) AS punch_count
   FROM events
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3, 4
 )
-SELECT system_user_id, calendar_date, system_user_id AS store_number,
+SELECT store_number, calendar_date, employee_name, system_user_id,
        total_hours_worked, punch_count,
-       system_user_id || '_' || strftime(CAST(calendar_date AS DATE), '%Y%m%d') || '_'
+       store_number || '_' || strftime(CAST(calendar_date AS DATE), '%Y%m%d') || '_'
+         || replace(replace(employee_name, ' ', '_'), '-', '_') || '_'
          || system_user_id AS business_key
 FROM agg
 """,
 )
 def pipeline_clock_in_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity 4-part labor key (round 5):
+    {store}_{yyyyMMdd}_{employee}_{user} per reference
+    mappings/clock_in_out.yaml:4-5; store/employee derived from the
+    events fixture (see pipelines/pipelines.yaml)."""
     return _pipeline(spark, sf_dir, "clock_in_out")
 
 
@@ -6222,6 +6230,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_brute_topk_exact_baseline",
     "dedup_embedding_near_dups_exact_baseline",
     "dedup_ngram_jaccard_exact_baseline",
+    # -- round-5 semantic change: 4-part labor key (reference parity) --
+    "pipeline_clock_in_out",
     # -- round-4 slots 1-7: the 7 queries that fell past round-3's window --
     "streaming_interval_join_outer",
     "streaming_rate_source",

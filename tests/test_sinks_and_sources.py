@@ -118,6 +118,27 @@ def test_write_batched_counts_and_batching(spark):
     assert stats["batches"] >= 3  # 1000 rows / 400 per batch across 2 partitions
 
 
+def test_write_batched_progress_log_line(caplog):
+    """Per-batch progress observability (reference modules/dataverse.py:
+    213-219): created/updated/errors + ok-rows/sec on the executor log.
+    Unit-tested directly — the executor's Python worker process is
+    outside caplog's reach in a real foreachPartition."""
+    import logging
+    import time as _time
+
+    stats = odata.BatchStats()
+    stats.created, stats.updated, stats.errors, stats.batches = 300, 99, 1, 1
+    with caplog.at_level(logging.INFO, logger="bw_new_data_integration_spark.sources.odata"):
+        odata._log_progress(stats, _time.time() - 2.0)
+    assert len(caplog.records) == 1
+    msg = caplog.records[0].getMessage()
+    assert "batch 1 done: 300 created, 99 updated, 1 errors" in msg
+    assert "ok-rows/sec" in msg
+    # ~399 ok rows over ~2s -> ~200 rows/sec
+    rate = float(msg.split("|")[1].strip().split(" ")[0])
+    assert 150 <= rate <= 250
+
+
 def test_write_batched_skips_keyless_and_prunes_nulls(spark, tmp_path):
     df = spark.createDataFrame(
         [Row(bk="a", v=1), Row(bk=None, v=2), Row(bk="", v=3), Row(bk="b", v=None)]
