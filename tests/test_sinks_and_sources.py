@@ -935,6 +935,116 @@ def test_delta_log_export_after_vacuum_still_opens_with_protocol(spark, tmp_path
     )
 
 
+def test_delta_checkpoint_golden_layout(spark, tmp_path):
+    """Byte-level golden check of the checkpoint parquet against the
+    PUBLISHED Delta protocol layout (PROTOCOL.md 'Checkpoints'), plus
+    an independent spec-derived reader — the external-validation
+    substitute for delta-rs, which is not installable in this
+    container. Everything asserted here comes from the public spec,
+    not from the writer's own replay path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = ParquetKeyedTable(str(tmp_path / "golden"), ["d", "k"], partition_by=["d"])
+    t.overwrite(
+        spark.createDataFrame(
+            [Row(d="2024-01-01", k="a", v=1), Row(d="2024-01-02", k="b", v=2)]
+        )
+    )
+    t.upsert(spark, spark.createDataFrame([Row(d="2024-01-03", k="c", v=3)]))
+    log_dir = t.export_delta_log(spark)
+    cp_path = os.path.join(log_dir, "00000000000000000001.checkpoint.parquet")
+    assert os.path.exists(cp_path)  # %020d naming per spec
+
+    # --- physical arrow schema: field names, types, nesting ---------------
+    sch = pq.read_schema(cp_path)
+    assert set(sch.names) >= {"protocol", "add"}
+    proto_t = sch.field("protocol").type
+    assert pa.types.is_struct(proto_t)
+    assert {f.name: str(f.type) for f in proto_t} == {
+        "minReaderVersion": "int32",
+        "minWriterVersion": "int32",
+    }
+    md_t = sch.field("metaData").type
+    md_fields = {f.name: f.type for f in md_t}
+    assert set(md_fields) == {
+        "id", "format", "schemaString", "partitionColumns", "configuration", "createdTime",
+    }
+    assert pa.types.is_list(md_fields["partitionColumns"])
+    assert pa.types.is_map(md_fields["configuration"])
+    assert pa.types.is_string(md_fields["configuration"].key_type)
+    assert pa.types.is_string(md_fields["configuration"].item_type)
+    fmt_fields = {f.name: f.type for f in md_fields["format"]}
+    assert pa.types.is_string(fmt_fields["provider"])
+    assert pa.types.is_map(fmt_fields["options"])
+    add_t = sch.field("add").type
+    add_fields = {f.name: str(f.type) for f in add_t if not pa.types.is_map(f.type)}
+    assert add_fields == {
+        "path": "string",
+        "size": "int64",
+        "modificationTime": "int64",
+        "dataChange": "bool",
+    }
+    assert pa.types.is_map({f.name: f.type for f in add_t}["partitionValues"])
+
+    # --- row discipline: exactly one non-null action per row --------------
+    tbl = pq.read_table(cp_path).to_pylist()
+    for row in tbl:
+        assert sum(1 for v in row.values() if v is not None) == 1
+    # protocol row first-class and versions per spec floor
+    protos = [r["protocol"] for r in tbl if r["protocol"] is not None]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    # schemaString must itself be valid Spark schema JSON
+    mds = [r["metaData"] for r in tbl if r["metaData"] is not None]
+    assert len(mds) == 1
+    from pyspark.sql.types import StructType
+
+    assert isinstance(StructType.fromJson(json.loads(mds[0]["schemaString"])), StructType)
+    assert mds[0]["partitionColumns"] == ["d"]
+
+    # --- independent minimal reader straight from the spec -----------------
+    # _last_checkpoint names {version, size}; snapshot = checkpoint adds
+    # + replay of any later {version:020d}.json deltas (none here, since
+    # the latest checkpoint IS the latest version)
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        lc = json.load(fh)
+    cp = pq.read_table(
+        os.path.join(log_dir, f"{lc['version']:020d}.checkpoint.parquet")
+    ).to_pylist()
+    assert lc["size"] == len(cp)
+    active = {r["add"]["path"]: r["add"] for r in cp if r["add"] is not None}
+    for v in range(lc["version"] + 1, t.current_version() + 1):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "add" in a:
+                    active[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    active.pop(a["remove"]["path"], None)
+    # spec: paths are percent-encoded, RELATIVE to the table root
+    assert all(not p.startswith(("/", "file:", "s3:")) for p in active)
+    # partitionValues must carry the DECODED hive values for each path
+    for p, add in active.items():
+        # pyarrow maps surface as [(k, v)] pairs; json deltas as dicts
+        for col, val in dict(add["partitionValues"]).items():
+            assert f"{col}=" in _unquote(p)
+            assert val in _unquote(p)
+    # spec reader semantics: data files do NOT store partition columns;
+    # the reader injects them from each add's partitionValues
+    rows = []
+    for p, add in active.items():
+        pdf = pq.read_table(os.path.join(t.path, _unquote(p))).to_pylist()
+        for r in pdf:
+            rows.append({**r, **dict(add["partitionValues"])})
+    got = sorted((r["d"], r["k"], r["v"]) for r in rows)
+    expect = sorted((str(r["d"]), r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == expect
+    # add.size must equal the on-disk byte size (readers use it for
+    # planning; a wrong size breaks delta-rs scans)
+    for p, add in active.items():
+        assert add["size"] == os.path.getsize(os.path.join(t.path, _unquote(p)))
+
+
 def test_delta_log_export_replays_history(spark, tmp_path):
     """docs/DELTA_LOG.md contract: replaying the exported Delta actions
     up to version n yields exactly the file set of snapshot n, and
