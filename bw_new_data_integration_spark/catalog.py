@@ -71,6 +71,7 @@ def write_bucketed(
     n_buckets: int = 16,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed (hash-clustered) catalog table — the
     co-located-join layout for recurring fact-fact joins at 100 TB.
@@ -89,4 +90,12 @@ def write_bucketed(
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        # external table at an explicit location: a managed table's
+        # warehouse directory outlives the session catalog, so a fresh
+        # session hits LOCATION_ALREADY_EXISTS on re-create; callers
+        # that re-register per run (gates, tests) pass a unique path
+        # and drop any stale catalog entry first
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table_name)

@@ -172,3 +172,51 @@ def pack_sequences(
         )
         .drop("__csum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted percent-bucket sampling (round 5): the SALTED members of the
+# hash-sampling family. ``hash_threshold_sample`` above draws one
+# canonical hash prefix (composable: rate a then b ≡ min(a,b));
+# sometimes a pipeline needs the opposite — INDEPENDENT repeated draws
+# from the same key space (bootstrap resamples, disjoint eval probes).
+# A salt re-keys the hash so draws with different salts overlap only by
+# chance (~fraction² — pinned by tests). Buckets are 0..99 so the
+# selection boundary is exactly replayable in any engine's SQL.
+# ---------------------------------------------------------------------------
+
+#: percent-bucket resolution for the salted family: fractions quantize
+#: to 1/100 so Spark and any SQL oracle agree exactly on the boundary
+N_PCT_BUCKETS = 100
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Stable bucket 0..99 from a key: first 8 hex chars of
+    ``md5(salt ':' key)`` as an int, mod 100. ``conv`` parses hex to a
+    decimal string; the bigint cast is exact (8 hex chars < 2^63)."""
+    digest = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") % N_PCT_BUCKETS
+
+
+def hash_sample(df: DataFrame, key: Column, fraction: float, salt: str = "") -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows (quantized to 1%) —
+    a pure scan-side filter: no shuffle, stable under repartitioning,
+    independent across salts."""
+    pct = int(round(fraction * N_PCT_BUCKETS))
+    if not 0 <= pct <= N_PCT_BUCKETS:
+        raise ValueError(f"fraction out of range: {fraction}")
+    return df.where(hash_bucket(key, salt) < pct)
+
+
+def hash_split(df: DataFrame, key: Column, eval_fraction: float, salt: str = "") -> DataFrame:
+    """Tag every row 'eval' or 'train' — disjoint and exhaustive by
+    construction (one bucket expression, two ranges), the
+    layout-independent form of ``sampleBy``. Stratification is free:
+    the hash is uniform within every stratum of any unrelated column."""
+    pct = int(round(eval_fraction * N_PCT_BUCKETS))
+    if not 0 <= pct <= N_PCT_BUCKETS:
+        raise ValueError(f"eval_fraction out of range: {eval_fraction}")
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(key, salt) < pct, F.lit("eval")).otherwise(F.lit("train")),
+    )

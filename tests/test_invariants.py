@@ -100,6 +100,41 @@ def test_plan_quality_pushdown_and_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_hash_sampling_family(spark):
+    """operators/sampling.py: hash_sample / hash_split are pure
+    per-row functions of (salt, key) — stable under repartitioning,
+    disjoint-and-exhaustive for splits, and independent across salts."""
+    from bw_new_data_integration_spark.operators.sampling import (
+        hash_bucket,
+        hash_sample,
+        hash_split,
+    )
+
+    df = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    s25 = hash_sample(df, F.col("k"), 0.25, salt="a")
+    n = s25.count()
+    assert 0.22 * 20_000 < n < 0.28 * 20_000  # binomial, generous bound
+    # layout-independence: same rows after an arbitrary repartition
+    ids = {r["k"] for r in s25.collect()}
+    ids2 = {r["k"] for r in hash_sample(df.repartition(13), F.col("k"), 0.25, salt="a").collect()}
+    assert ids == ids2
+    # salt independence: two draws overlap ~ fraction^2, not ~ fraction
+    ids_b = {r["k"] for r in hash_sample(df, F.col("k"), 0.25, salt="b").collect()}
+    overlap = len(ids & ids_b) / 20_000
+    assert 0.03 < overlap < 0.10  # expect ~0.0625
+
+    tagged = hash_split(df, F.col("k"), eval_fraction=0.10, salt="sp")
+    counts = {r["split"]: r["n"] for r in tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "eval"}
+    assert counts["train"] + counts["eval"] == 20_000  # exhaustive, disjoint
+    assert 0.07 * 20_000 < counts["eval"] < 0.13 * 20_000
+    # split agrees with the bucket expression it is defined from
+    row = df.select(hash_bucket(F.col("k"), "sp").alias("b")).first()
+    assert 0 <= row["b"] < 100
+    with pytest.raises(ValueError):
+        hash_sample(df, F.col("k"), 1.5)
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketing both sides of a recurring big-big join on the join key
     lets the join run with NO exchange on either side — the 100 TB
