@@ -100,6 +100,61 @@ def test_plan_quality_pushdown_and_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_rollup_roundtrips_through_f2(spark):
+    """O10 ∘ F2 = identity on the leaf grain: generating the cube
+    surface (GROUP BY ROLLUP with 'All' markers) and then applying the
+    reference's rollup-row discard recovers exactly the plain
+    two-dimension aggregate."""
+    from bw_new_data_integration_spark.operators import aggregate
+
+    rolled = q.registry()["o10_rollup_grains"](spark, SF_SMALL)
+    leaf = aggregate.drop_rollup_rows(rolled, ["nation", "order_year"])
+    o = q._t(spark, SF_SMALL, "orders")
+    c = q._t(spark, SF_SMALL, "customer")
+    plain = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").cast("string").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("string").alias("order_year"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    got = {(r["nation"], r["order_year"]): r["n_orders"] for r in leaf.collect()}
+    want = {(r["nation"], r["order_year"]): r["n_orders"] for r in plain.collect()}
+    assert got == want
+    # and the rollup really contains the two super-grains
+    alls = rolled.filter(F.col("order_year") == "All")
+    assert alls.filter(F.col("nation") == "All").count() == 1  # grand total
+    assert alls.count() == 1 + plain.select("nation").distinct().count()
+
+
+def test_orc_scan_pushdown_and_pruning(spark, tmp_path):
+    """S14's scale contract: the ORC source must behave like parquet at
+    the scan — predicate pushed into the reader, projection pruned to
+    the referenced columns. A format that reads whole stripes for a
+    2-column filter query is not a viable 100 TB lake format."""
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).alias("grp"),
+        (F.col("id") * 2.0).alias("a"),
+        (F.col("id") * 3.0).alias("b"),
+        (F.col("id") * 5.0).alias("c"),
+    )
+    path = str(tmp_path / "orc_push")
+    df.write.orc(path)
+    read = (
+        spark.read.schema(df.schema).orc(path).where(F.col("grp") < 5).select("k", "grp")
+    )
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan orc" in plan, plan[:600]
+    assert "PushedFilters: [IsNotNull(grp), LessThan(grp,5)" in plan, plan[:800]
+    import re
+
+    scan_cols = re.search(r"FileScan orc \[([^\]]*)\]", plan).group(1)
+    assert sorted(col.split("#")[0] for col in scan_cols.split(",")) == ["grp", "k"], scan_cols
+    assert read.count() == 500
+
+
 def test_hash_sampling_family(spark):
     """operators/sampling.py: hash_sample / hash_split are pure
     per-row functions of (salt, key) — stable under repartitioning,
