@@ -36,11 +36,13 @@ Real vs stubbed (container has no PIL/librosa):
   ffmpeg-consumable fixtures) with presentation-time sampling.
 * **Stubbed**: lossy AUDIO codecs (mp3/ogg → null stats),
   progressive/chroma-subsampled JPEG (baseline 1-comp + 4:4:4 only),
-  the legacy md5 feature
-  stub (``_decode_image_stub``, kept for the documented stub gate),
-  and COMPRESSED-video frame extraction (``sample_video_frames``
-  payload slices — no codec in this container) — clearly separated so
-  swapping in a full codec is a one-function change.
+  the md5 feature-vector kernel (``_decode_image_stub`` behind
+  ``extract_image_features``), and COMPRESSED-video frame extraction
+  (``sample_video_frames`` payload slices — no codec in this
+  container). These operator-level seams keep the real Spark contract
+  (Arrow-batched ``mapInPandas``, schema, explode shape — pytest-
+  covered) with only the decode kernel stubbed, so swapping in a full
+  codec (libjpeg-turbo, ffmpeg) is a one-function change.
 """
 
 from __future__ import annotations
