@@ -37,10 +37,18 @@ def ngram_overlap(
     Both sides are shingled identically; eval shingles are distinct-ed
     (the pool is one set — which eval doc matched is irrelevant to the
     contamination decision) and broadcast.
+
+    The training side's per-doc dedup is ``array_distinct`` BEFORE the
+    explode — a per-row expression, not a ``distinct()`` — because a
+    (doc_id, shingle) distinct would shuffle every shingle of the
+    corpus: at 100 TB that one Exchange dwarfs everything else in the
+    plan. With it gone, the only shuffle left is the per-doc aggregate
+    over the (rare) matched rows.
     """
     t_sh = train.select(
-        F.col(id_col), F.explode(text.word_shingles(F.col(text_col), n)).alias("s")
-    ).distinct()
+        F.col(id_col),
+        F.explode(F.array_distinct(text.word_shingles(F.col(text_col), n))).alias("s"),
+    )
     e_sh = (
         eval_df.select(F.explode(text.word_shingles(F.col(text_col), n)).alias("s"))
         .distinct()

@@ -198,10 +198,18 @@ def ngram_jaccard(
     # the blocks are ContextCleaner-reclaimed when the result frame is
     # dropped, whereas a persist entry lives in the CacheManager until
     # someone explicitly unpersists — a leak for long-lived callers
+    # per-doc distinct via array_distinct BEFORE the explode — a pure
+    # per-row expression, where a (doc_id, shingle) distinct() would
+    # shuffle every shingle of the corpus (same fix as
+    # contamination.ngram_overlap; at 100 TB that Exchange dominates)
     sh = (
         _spread(df, id_col)
-        .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_words)).alias("sh"))
-        .distinct()
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), shingle_words))
+            ).alias("sh"),
+        )
         .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

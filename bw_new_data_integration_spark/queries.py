@@ -4997,7 +4997,7 @@ HAVING COUNT(*) >= 3
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bw_new_data_integration_spark.operators import contamination
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(spark, _t(spark, sf_dir, "documents"))
     eval_pool = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     return contamination.ngram_overlap(train, eval_pool, n=3, min_shared=3)
