@@ -425,9 +425,21 @@ def cluster_duplicates(
             .select(
                 F.col(id_col),
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                # convergence probe, evaluated on the PRE-update label
+                (F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl")).alias("__improved"),
             )
             .localCheckpoint(eager=True)
         )
+        improved = labels.where(F.col("__improved")).limit(1).count()
+        labels = labels.drop("__improved")
+        if improved == 0:
+            # label propagation is monotone: once a round changes no
+            # label, every further round is a no-op — the early exit
+            # returns EXACTLY the max_iter result (most near-dup
+            # clusters have diameter 1-2, so this usually saves most of
+            # the rounds; the probe is a limit(1) scan of the already-
+            # checkpointed subgraph-sized frame)
+            break
     # Singletons: cluster of themselves. The converged label table is
     # duplicate-subgraph-sized, so this join broadcasts under AQE.
     return (
