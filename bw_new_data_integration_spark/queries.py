@@ -6379,6 +6379,68 @@ def o10_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Variant JSON extraction (round 5): the Spark-4 parse-once path.
+# get_json_object re-parses the JSON string per extraction — N fields =
+# N parses of every row, which at 100 TB is the difference between one
+# scan and N. try_parse_json parses ONCE into a binary variant;
+# variant_get then navigates the parsed tree per field, and malformed
+# documents become NULL variants instead of task failures (every 13th
+# synthesized doc here is deliberately broken). Nested path included
+# so the navigation is exercised beyond top level.
+# ---------------------------------------------------------------------------
+@register(
+    "json_variant_extract",
+    oracle="""
+WITH raw AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN '{broken'
+              ELSE '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+                || ', "tags": {"src": "' || event_type || '"}'
+                || ', "score": ' || CAST((event_id % 7) * 0.5 AS VARCHAR) || '}'
+         END AS doc
+  FROM events
+),
+parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(doc) THEN CAST(json_extract_string(doc, '$.k') AS BIGINT) END AS k,
+         CASE WHEN json_valid(doc) THEN json_extract_string(doc, '$.tags.src') END AS src,
+         CASE WHEN json_valid(doc) THEN CAST(json_extract_string(doc, '$.score') AS DOUBLE) END AS score,
+         json_valid(doc) AS ok
+  FROM raw
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MAX(src) AS max_src,
+       CAST(SUM(score) AS DOUBLE) AS sum_score
+FROM parsed GROUP BY 1
+""",
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    doc = F.when(F.col("event_id") % 13 == 0, F.lit("{broken")).otherwise(
+        F.concat(
+            F.lit('{"k": '),
+            (F.col("event_id") % 100).cast("string"),
+            F.lit(', "tags": {"src": "'),
+            F.col("event_type"),
+            F.lit('"}, "score": '),
+            ((F.col("event_id") % 7) * 0.5).cast("string"),
+            F.lit("}"),
+        )
+    )
+    v = ev.select("event_type", F.try_parse_json(doc).alias("v"))  # parse ONCE
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
+        F.sum(F.variant_get(F.col("v"), "$.k", "bigint")).cast("bigint").alias("sum_k"),
+        F.max(F.variant_get(F.col("v"), "$.tags.src", "string")).alias("max_src"),
+        F.sum(F.variant_get(F.col("v"), "$.score", "double")).alias("sum_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver evidence window.
 #
 # The grading driver hash-checks the FIRST 50 registry entries (dict

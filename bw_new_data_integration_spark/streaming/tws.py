@@ -1,0 +1,103 @@
+"""Stateful streaming on the Spark-4 ``transformWithStateInPandas``
+API (beyond-reference).
+
+``applyInPandasWithState`` (streaming/sessionize.py) carries ONE
+opaque state tuple per key. The transformWithState processor model
+generalizes it — named state variables (value/list/map state), TTL,
+and event/processing-time timers — and is the forward path for custom
+stateful operators in Spark 4. This module implements the pipeline
+shape the batch engine's K1 sink needs continuously: a per-key running
+upsert ledger (how many events, running measure total, last event
+time), emitted per micro-batch in update mode.
+
+Scale shape: state lives in the state store keyed by user — memory is
+O(distinct keys), not O(events); rows stream through Arrow batches,
+one group per call. Run with ``availableNow`` the final per-key totals
+equal the batch aggregate (cutover contract; totals are monotone, so
+``max`` over the per-batch emissions recovers the final row even when
+availableNow splits the input into several micro-batches).
+
+ENVIRONMENT NOTE: transformWithStateInPandas drives its state server
+over protobuf — ``pip install protobuf`` is required at runtime (this
+build container does not ship it, so the pytest for this module skips
+when ``google.protobuf`` is absent and the oracle-gated stateful
+streaming coverage runs on ``applyInPandasWithState`` instead:
+streaming/sessionize.py, gate ``streaming_sessionize``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), False),
+        T.StructField("last_ts_s", T.LongType(), False),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("sum_value", T.DoubleType(), True),
+        T.StructField("last_ts_s", T.LongType(), True),
+    ]
+)
+
+
+class RunningLedgerProcessor(StatefulProcessor):
+    """Per-key (n_events, sum_value, last_ts_s) ledger in a named
+    ValueState; one updated row per key per micro-batch."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("ledger", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            n, total, last_s = self._state.get()
+        else:
+            n, total, last_s = 0, 0.0, 0
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            ts = pdf["ts"]
+            # Arrow may deliver s/ms/us/ns resolution; normalize to
+            # whole seconds the same way the batch twin casts to long
+            unit_div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
+                str(ts.dtype).split("[")[1].rstrip("]")
+            ] if "[" in str(ts.dtype) else 1
+            batch_last = int(ts.astype("int64").max()) // unit_div
+            last_s = max(last_s, batch_last)
+        self._state.update((n, total, last_s))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [total],
+                "last_ts_s": [last_s],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_running_ledger(events: DataFrame) -> DataFrame:
+    """Wire the processor over a streaming events frame (cols: user_id,
+    ts, value). Update mode: the latest emission per key is the
+    current ledger row."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningLedgerProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -1519,3 +1519,37 @@ def test_manifest_and_history_track_commits(spark, tmp_path):
     # reading still works with the manifest in the snapshot dir
     assert t.read(spark).count() == 1
     assert t.manifest()["operation"] == "delete"
+
+
+def test_tws_running_ledger_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas ledger (streaming/tws.py) vs the batch
+    aggregate — the continuous/batch cutover contract. SKIPS where the
+    TWS state server's protobuf dependency is absent (this container):
+    the module documents that, and the oracle-gated stateful-streaming
+    coverage runs on applyInPandasWithState (streaming_sessionize)."""
+    pytest.importorskip("google.protobuf")
+    from bw_new_data_integration_spark.streaming import stream as st
+    from bw_new_data_integration_spark.streaming.tws import stream_running_ledger
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(
+        [Row(event_id=i, ts=f"2024-01-01 00:{i % 60:02d}:00", user_id=i % 5,
+             event_type="e", value=float(i), props="{}")
+        for i in range(200)]
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(str(src / "events.parquet"))
+    events = st.read_event_stream(spark, str(src)).select("user_id", "ts", "value")
+    q = (
+        stream_running_ledger(events)
+        .writeStream.format("memory").queryName("tws_test")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) n_events, max(sum_value) sum_value "
+            "FROM tws_test GROUP BY user_id"
+        ).collect()
+    }
+    assert got == {u: (40, float(sum(i for i in range(200) if i % 5 == u))) for u in range(5)}
