@@ -128,6 +128,50 @@ def test_rollup_roundtrips_through_f2(spark):
     assert alls.count() == 1 + plain.select("nation").distinct().count()
 
 
+def test_zorder_box_query_locality(spark, tmp_path):
+    """The point of z-ordering: a box predicate on BOTH keys touches a
+    small fraction of z-ordered files, where a linear sort prunes on
+    its leading column only. Measured as the number of distinct files
+    holding matching rows (exactly what row-group min/max pruning
+    skips by) at the same file count for both layouts."""
+    from bw_new_data_integration_spark.operators import zorder
+
+    n = 1 << 16
+    df = spark.range(0, n).select(
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") / 128).cast("long") % 128).alias("y"),  # independent grid coords
+        F.col("id").alias("payload"),
+    )
+    n_files = 64
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "linear")
+    zorder.write_zordered(df, zpath, "x", "y", n_files=n_files, bits=7)
+    (
+        df.repartitionByRange(n_files, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(lpath)
+    )
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .where((F.col("x") >= 32) & (F.col("x") < 48) & (F.col("y") >= 32) & (F.col("y") < 48))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    z_files, l_files = files_touched(zpath), files_touched(lpath)
+    # linear: the x-stripe is 1/8 of x-space -> ~8 of 64 files, every
+    # one containing the y-range; z-order: the box is an aligned
+    # Morton tile, 1/64 of the key space -> ~1-2 files
+    assert z_files * 2 <= l_files, (z_files, l_files)
+    assert z_files <= n_files // 16, (z_files, l_files)
+    # sanity: both layouts return identical rows
+    a = spark.read.parquet(zpath).where("x >= 32 and x < 48 and y >= 32 and y < 48")
+    b = spark.read.parquet(lpath).where("x >= 32 and x < 48 and y >= 32 and y < 48")
+    assert sorted(r["payload"] for r in a.collect()) == sorted(r["payload"] for r in b.collect())
+
+
 def test_orc_scan_pushdown_and_pruning(spark, tmp_path):
     """S14's scale contract: the ORC source must behave like parquet at
     the scan — predicate pushed into the reader, projection pruned to
