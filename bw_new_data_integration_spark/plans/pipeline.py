@@ -149,6 +149,13 @@ class PipelineSpec:
     # fed from parquet/CSV.
     mdx: str | None = None
     catalog: str | None = None
+    # cube-source parse config (runner --from-cube): regex hierarchy ->
+    # output-field mappings (S6, sources/xmla.HierarchyMapper) and the
+    # MDX measure caption -> output field pairs (the response axis
+    # carries captions like "[Measures].[Net Sales]"; the mapping
+    # addresses engine field names)
+    hierarchies: tuple[dict, ...] = ()
+    cube_measures: tuple[tuple[str, str], ...] = ()
 
     def render_mdx(self, variables: dict[str, object] | None = None) -> str:
         if self.mdx is None:
@@ -232,6 +239,10 @@ def load_pipelines(path: str) -> dict[str, PipelineSpec]:
             fy_start=parse_fy_start(p.get("fy_start")),
             mdx=(p["source"].get("mdx") or "").strip("\n") or None,
             catalog=p["source"].get("catalog"),
+            hierarchies=tuple(dict(h) for h in p["source"].get("hierarchies", [])),
+            cube_measures=tuple(
+                (str(k), str(v)) for k, v in p["source"].get("cube_measures", {}).items()
+            ),
         )
     return specs
 

@@ -49,12 +49,85 @@ def build_slicer(spec: plans.PipelineSpec, args) -> object | None:
     return None
 
 
+def fetch_cube_source(spark, spec: plans.PipelineSpec, args):
+    """--from-cube: fetch the pipeline's source from a REAL XMLA/SOAP
+    endpoint instead of the parquet fixture — the reference's actual
+    topology (cube does the aggregation; this engine maps/keys/sinks).
+
+    Slices: one per fiscal period of --fy (or of each --backfill-years
+    year), the reference's period-at-a-time discipline; plain --fy
+    fetches the 13 periods of that year in one partitioned read.
+    Credentials: --xmla-user + the env var named by --xmla-password-env
+    (never a plaintext CLI password). The fetched frame's dims come
+    from ``source.hierarchies`` and its measures from
+    ``source.cube_measures`` in pipelines.yaml.
+    """
+    from bw_new_data_integration_spark.plans import slicers
+    from bw_new_data_integration_spark.sources import xmla
+    from bw_new_data_integration_spark.sources.http_transport import make_xmla_executor
+
+    if not spec.mdx:
+        raise SystemExit(f"pipeline {spec.name!r} has no source.mdx — cannot --from-cube")
+    if not spec.hierarchies:
+        raise SystemExit(f"pipeline {spec.name!r} has no source.hierarchies")
+    password = os.environ.get(args.xmla_password_env or "", "")
+    if not password:
+        raise SystemExit(
+            f"--xmla-password-env {args.xmla_password_env!r} is unset or empty"
+        )
+    years = args.backfill_years or [args.fy]
+    if not years[0]:
+        raise SystemExit("--from-cube needs --fy or --backfill-years")
+    fy_m, fy_d = spec.fy_start
+    mdx_by_slice = spec.backfill_mdx(
+        {
+            f"{fy}-P{p:02d}": slicers.mdx_member_13_4(fy, p)
+            for fy in years
+            for p in range(1, 14)
+            if args.fp is None or p == args.fp
+        }
+    )
+    server, user = args.xmla_server, args.xmla_user
+    cat, verify, timeout = spec.catalog or "", not args.xmla_insecure, args.xmla_timeout
+
+    def execute_factory():
+        return make_xmla_executor(
+            server, cat, user, password, ssl_verify=verify, timeout=timeout
+        )
+
+    dim_fields = [h["field"] for h in spec.hierarchies]
+    # fetch under the response's measure CAPTIONS, then rename to the
+    # engine field names the mapping addresses
+    df = xmla.fetch_partitioned_distributed(
+        spark,
+        execute_factory,
+        mdx_by_slice,
+        [dict(h) for h in spec.hierarchies],
+        dim_fields=dim_fields,
+        measure_fields=[caption for caption, _f in spec.cube_measures],
+    ).withColumnRenamed("__slice", "slice_id")  # mapping-addressable
+    for caption, fld in spec.cube_measures:
+        df = df.withColumnRenamed(caption, fld)
+    return df
+
+
 def run_one(spark, specs, name, args) -> dict:
+    import dataclasses
+
     from pyspark.sql import Observation
 
     spec = specs[name]
-    src = catalog.load(spark, args.sf_dir, spec.source_table)
-    df = plans.build_plan(src, spec, slicer=build_slicer(spec, args), audit_ts=True)
+    if getattr(args, "from_cube", False):
+        src = fetch_cube_source(spark, spec, args)
+        # the cube already aggregated to the pipeline grain (reference
+        # lifecycle): apply only the mapping stages — no re-aggregate,
+        # no slicer (the slice is baked into each rendered MDX)
+        df = plans.build_plan(
+            src, dataclasses.replace(spec, aggregate=None), audit_ts=True
+        )
+    else:
+        src = catalog.load(spark, args.sf_dir, spec.source_table)
+        df = plans.build_plan(src, spec, slicer=build_slicer(spec, args), audit_ts=True)
     # run-summary metrics ride the job that materializes the pipeline
     # (Spark's observe() — no second pass over the data): output rows
     # plus an audit that the F1/F7 key filters actually held. At 100 TB
@@ -117,7 +190,26 @@ def main(argv=None) -> int:
     ap.add_argument("--target-root", default="/tmp/bw_targets")
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--print-plan", action="store_true")
+    # real cube source (sources/http_transport.make_xmla_executor):
+    # credentials via env var, never a plaintext CLI flag
+    ap.add_argument(
+        "--from-cube",
+        action="store_true",
+        help="fetch the source from the XMLA endpoint (source.mdx + "
+        "source.hierarchies in pipelines.yaml) instead of the parquet "
+        "fixture — the reference's production topology",
+    )
+    ap.add_argument("--xmla-server", help="cube server base URL (https://host[/xmla/default])")
+    ap.add_argument("--xmla-user")
+    ap.add_argument(
+        "--xmla-password-env",
+        help="name of the environment variable holding the cube password",
+    )
+    ap.add_argument("--xmla-insecure", action="store_true", help="disable TLS verification")
+    ap.add_argument("--xmla-timeout", type=float, default=300.0)
     args = ap.parse_args(argv)
+    if args.from_cube and not (args.xmla_server and args.xmla_user and args.xmla_password_env):
+        ap.error("--from-cube requires --xmla-server, --xmla-user, --xmla-password-env")
     if args.backfill_years and (args.fy or args.fp or args.length):
         ap.error(
             "--backfill-years drives --fy/--fp itself and ignores --length; "
@@ -126,8 +218,22 @@ def main(argv=None) -> int:
 
     spark = get_spark(app_name="pipeline_runner")
     names = list(specs) if args.query == "all" else [args.query]
+    if args.query == "all":
+        # cube-only pipelines (hierarchies, no aggregate) need
+        # --from-cube; fixture pipelines have no MDX to fetch — keep
+        # `all` meaning "all runnable in this mode"
+        if args.from_cube:
+            names = [n for n in names if specs[n].mdx]
+        else:
+            names = [n for n in names if not (specs[n].hierarchies and specs[n].aggregate is None)]
     for name in names:
-        if args.backfill_years:
+        if args.from_cube and args.backfill_years:
+            # one PARTITIONED fetch covers every (year, period) slice —
+            # the whole point of the executor-side cube read; the
+            # per-period driver loop below is the parquet-fixture path
+            result = run_one(spark, specs, name, args)
+            print({"backfill_years": args.backfill_years, **result})
+        elif args.backfill_years:
             for fy in args.backfill_years:
                 for fp in range(1, 14):
                     args.fy, args.fp = fy, fp

@@ -19,17 +19,23 @@ from bw_new_data_integration_spark.sources.odata import BatchStats, RetryPolicy,
 
 
 class _Script:
-    """Scripted responses + captured requests for the local server."""
+    """Scripted responses + captured requests for the local server.
+    ``responder`` (body -> (status, headers, payload)) overrides the
+    queue — needed when executors hit the server CONCURRENTLY and the
+    right answer depends on the request, not arrival order."""
 
     def __init__(self):
         self.requests: list[dict] = []
         self.responses: list[tuple[int, dict, bytes]] = []
+        self.responder = None
         self.lock = threading.Lock()
 
     def push(self, status: int, headers: dict | None = None, body: bytes = b""):
         self.responses.append((status, headers or {}, body))
 
-    def pop(self):
+    def pop(self, body: bytes = b""):
+        if self.responder is not None:
+            return self.responder(body)
         with self.lock:
             if self.responses:
                 return self.responses.pop(0)
@@ -53,7 +59,7 @@ def server():
                     "body": body,
                 }
             )
-            status, headers, payload = script.pop()
+            status, headers, payload = script.pop(body)
             self.send_response(status)
             for k, v in headers.items():
                 self.send_header(k, v)
@@ -281,6 +287,70 @@ def test_graph_sender_retries_429_then_delivers(server):
     )
     sender("subj", "body")
     assert slept == [3.0] and len(script.requests) == 2
+
+
+def test_runner_from_cube_end_to_end(server, spark, tmp_path, monkeypatch):
+    """The production topology, driven from the CLI: runner --from-cube
+    renders per-period MDX from pipelines.yaml, fetches it over REAL
+    HTTP/SOAP (make_xmla_executor on executors), hierarchy-maps,
+    coerces, keys, and upserts into the parquet target. The local
+    server inspects each SOAP request and answers with a canned
+    mddataset whose Net Sales encodes the requested period — so a
+    mis-rendered or mis-routed slice shows up as wrong VALUES, not
+    just wrong counts."""
+    import re
+
+    from bw_new_data_integration_spark import runner
+    from bw_new_data_integration_spark.sources import xmla
+
+    script, base = server
+
+    def respond(body: bytes):
+        # the RENDERED slicer names the period: [d_Period].&[p]
+        m = re.search(rb"\[d_Period\]\.\[d_Period\]\.&\[(\d+)\]", body)
+        period = int(m.group(1)) if m else -999
+        xml = xmla.render_mddataset(
+            ["[Measures].[Order Count]", "[Measures].[Net Sales]"],
+            [
+                [("[Order].[Priority].[Priority]", "1-URGENT")],
+                [("[Order].[Priority].[Priority]", "2-HIGH")],
+            ],
+            [[10.0 + period, 100.5 + period], [20.0 + period, 200.5 + period]],
+        ).encode("utf-8")
+        return (200, {"Content-Type": "text/xml"}, xml)
+
+    script.responder = respond
+    monkeypatch.setenv("CUBE_PW", "hunter2")
+    rc = runner.main(
+        [
+            "--query", "priority_summary",
+            "--from-cube",
+            "--fy", "1997",
+            "--xmla-server", base,
+            "--xmla-user", "svc",
+            "--xmla-password-env", "CUBE_PW",
+            "--target-root", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    assert len(script.requests) == 13  # one SOAP POST per fiscal period
+    # every request is a real Execute envelope with a rendered slicer
+    body = script.requests[0]["body"].decode()
+    assert "<Catalog>Sales</Catalog>" in body and "${slicer}" not in body
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    t = ParquetKeyedTable(str(tmp_path / "target_priority_summary"), ["business_key"])
+    rows = {r["business_key"]: r for r in t.read(spark).collect()}
+    assert len(rows) == 26  # 13 periods x 2 priorities
+    # the server encoded the REQUESTED period into every measure, so a
+    # mis-rendered or cross-wired slice shows up as a wrong value here
+    for k, r in rows.items():
+        p = int(re.search(r"_P(\d+)_", k).group(1))
+        expected_sales = (100.5 if "1_URGENT" in k else 200.5) + p
+        expected_count = (10.0 if "1_URGENT" in k else 20.0) + p
+        assert abs(r["sum_totalprice"] - expected_sales) < 1e-9, (k, r)
+        assert abs(r["n_orders"] - expected_count) < 1e-9, (k, r)
 
 
 def test_graph_sender_hard_failure_raises(server):
