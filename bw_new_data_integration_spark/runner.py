@@ -132,20 +132,67 @@ def run_one(spark, specs, name, args) -> dict:
     # (Spark's observe() — no second pass over the data): output rows
     # plus an audit that the F1/F7 key filters actually held. At 100 TB
     # a separate validation count would rescan the source; this is free.
+    # NOT attached on the REST-sink path: write_batched materializes
+    # via foreachPartition (the RDD surface), which never fires
+    # CollectMetrics — obs.get would block forever; that path's
+    # per-row accounting comes from the sink accumulators instead.
     key = spec.mapping.alternate_key
-    obs = Observation(f"pipeline_metrics_{name}")
-    df = df.observe(
-        obs,
-        F.count(F.lit(1)).alias("rows_out"),
-        F.sum(
-            F.when(F.col(key).isNull() | (F.length(key) == 0), 1).otherwise(0)
-        ).alias("empty_keys"),
-    )
+    if not getattr(args, "to_odata_url", None):
+        obs = Observation(f"pipeline_metrics_{name}")
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_out"),
+            F.sum(
+                F.when(F.col(key).isNull() | (F.length(key) == 0), 1).otherwise(0)
+            ).alias("empty_keys"),
+        )
     if args.print_plan:
         df.explain("formatted")
     if args.dry_run:
         n = df.count()
         return {"pipeline": name, "dry_run": True, "rows": n, "metrics": obs.get}
+    if getattr(args, "to_odata_url", None):
+        # the reference's actual sink: batched keyed REST upsert over
+        # the real $batch wire (sources/http_transport), full retry /
+        # Retry-After / token-refresh discipline from write_batched
+        from bw_new_data_integration_spark.sources import odata
+
+        url, table = args.to_odata_url, spec.mapping.table
+        key = spec.mapping.alternate_key
+        # token resolved ON THE DRIVER (executor Python workers freeze
+        # their env at daemon spawn, so an env read there is unreliable)
+        # and carried in the task closure — the reference does the same
+        # (token passed into the upsert call). Deployments needing
+        # executor-side acquisition/refresh wire their own
+        # transport_factory through the odata.write_batched library API.
+        token = os.environ.get(args.odata_token_env or "", "")
+        if not token:
+            raise SystemExit(
+                f"--odata-token-env {args.odata_token_env!r} is unset or empty"
+            )
+
+        def transport_factory():  # executor-side: the socket lives next to use
+            from bw_new_data_integration_spark.sources.credentials import TokenProvider
+            from bw_new_data_integration_spark.sources.http_transport import (
+                HttpClient,
+                ODataBatchTransport,
+            )
+
+            return ODataBatchTransport(
+                HttpClient(url, timeout=600.0),
+                table,
+                TokenProvider(fetch=lambda: token),
+                key,
+            )
+
+        t0 = time.time()
+        stats = odata.write_batched(df, transport_factory, key)
+        return {
+            "pipeline": name,
+            "sink": "odata",
+            **stats,
+            "seconds": round(time.time() - t0, 2),
+        }
     target = ParquetKeyedTable(
         os.path.join(args.target_root, spec.mapping.table), [spec.mapping.alternate_key]
     )
@@ -207,9 +254,21 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--xmla-insecure", action="store_true", help="disable TLS verification")
     ap.add_argument("--xmla-timeout", type=float, default=300.0)
+    ap.add_argument(
+        "--to-odata-url",
+        help="sink to a keyed REST API via $batch upserts instead of the "
+        "parquet target (the reference's Dataverse-shaped sink); base URL "
+        "of the service root",
+    )
+    ap.add_argument(
+        "--odata-token-env",
+        help="name of the environment variable holding the sink bearer token",
+    )
     args = ap.parse_args(argv)
     if args.from_cube and not (args.xmla_server and args.xmla_user and args.xmla_password_env):
         ap.error("--from-cube requires --xmla-server, --xmla-user, --xmla-password-env")
+    if args.to_odata_url and not args.odata_token_env:
+        ap.error("--to-odata-url requires --odata-token-env")
     if args.backfill_years and (args.fy or args.fp or args.length):
         ap.error(
             "--backfill-years drives --fy/--fp itself and ignores --length; "

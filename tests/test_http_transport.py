@@ -353,6 +353,63 @@ def test_runner_from_cube_end_to_end(server, spark, tmp_path, monkeypatch):
         assert abs(r["n_orders"] - expected_count) < 1e-9, (k, r)
 
 
+def test_runner_cube_to_odata_full_topology(server, spark, monkeypatch):
+    """THE reference pipeline on real wires, one CLI invocation:
+    XMLA/SOAP cube fetch in, $batch multipart keyed upsert out — both
+    against the same local HTTP server, routed by path. Asserts the
+    sink saw every business key exactly once as a PATCH addressed by
+    alternate key, and the runner's summary counts match."""
+    import re
+
+    from bw_new_data_integration_spark import runner
+    from bw_new_data_integration_spark.sources import xmla
+
+    script, base = server
+
+    def respond(body: bytes):
+        if body.startswith(b"--"):  # $batch multipart sink call
+            n = body.count(b"PATCH ")
+            return (200, {}, _batch_response([204] * n))
+        m = re.search(rb"\[d_Period\]\.\[d_Period\]\.&\[(\d+)\]", body)
+        period = int(m.group(1)) if m else -999
+        xml = xmla.render_mddataset(
+            ["[Measures].[Order Count]", "[Measures].[Net Sales]"],
+            [[("[Order].[Priority].[Priority]", "1-URGENT")]],
+            [[10.0 + period, 100.5 + period]],
+        ).encode("utf-8")
+        return (200, {"Content-Type": "text/xml"}, xml)
+
+    script.responder = respond
+    monkeypatch.setenv("CUBE_PW", "hunter2")
+    monkeypatch.setenv("SINK_TOKEN", "sinktok")
+    rc = runner.main(
+        [
+            "--query", "priority_summary",
+            "--from-cube",
+            "--fy", "1997",
+            "--xmla-server", base,
+            "--xmla-user", "svc",
+            "--xmla-password-env", "CUBE_PW",
+            "--to-odata-url", base,
+            "--odata-token-env", "SINK_TOKEN",
+        ]
+    )
+    assert rc == 0
+    batch_reqs = [r for r in script.requests if r["path"].endswith("/$batch")]
+    soap_reqs = [r for r in script.requests if r["path"] == "/xmla/default"]
+    assert len(soap_reqs) == 13
+    assert batch_reqs, "no $batch upsert reached the sink"
+    assert all(r["headers"]["authorization"] == "Bearer sinktok" for r in batch_reqs)
+    patched = re.findall(
+        rb"PATCH target_priority_summary\(business_key='([^']+)'\)",
+        b"".join(r["body"] for r in batch_reqs),
+    )
+    assert len(patched) == 13  # one row per period, each upserted once
+    assert {k.decode() for k in patched} == {
+        f"1997_P{p:02d}_1_URGENT" for p in range(1, 14)
+    }
+
+
 def test_graph_sender_hard_failure_raises(server):
     script, base = server
     script.push(400, {}, b"bad request")
