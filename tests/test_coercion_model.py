@@ -65,13 +65,25 @@ def model_int(s: str):
 
 
 def model_decimal(s: str):
+    """decimal(13,2) coercion model. Ties round HALF_UP — Spark's
+    decimal-cast rounding (and SQL convention) — NOT Python's
+    round-half-even; 5.125 -> 5.13, not 5.12. (Caught by the
+    hypothesis test below: the old round(float, 2) model silently
+    agreed on every non-tie input.)"""
+    import decimal
+
     s = s.strip()
     if s in NULL_TOKENS:
         return None
     try:
-        return round(float(s.replace(",", "")), 2)
+        f = float(s.replace(",", ""))
     except ValueError:
         return None
+    return float(
+        decimal.Decimal(repr(f)).quantize(
+            decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 def model_date(s: str):
@@ -121,3 +133,54 @@ def test_coercion_matches_reference_model(spark, corpus, spark_fn, model):
             assert (g is None and e is None) or str(g) == str(e), (
                 f"{raw!r}: spark={g!r} model={e!r}"
             )
+
+
+def test_coercion_matches_model_on_generated_dirt(spark):
+    """Property-based extension of the corpus test: hypothesis
+    GENERATES dirty numeric strings (grouped digits, null tokens,
+    whitespace padding, stray text, exponent forms) and the Spark
+    expressions must agree with the Python reference model on every
+    one. Batched: each hypothesis example is a whole list evaluated in
+    ONE Spark job, so shrinking still isolates a minimal failing
+    string without a job per string."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    digits = st.integers(0, 10**9).map(str)
+    grouped = st.integers(1000, 10**9).map(lambda v: f"{v:,}")
+    frac = st.tuples(st.integers(-(10**6), 10**6), st.integers(0, 999)).map(
+        lambda t: f"{t[0]}.{t[1]:03d}"
+    )
+    token = st.sampled_from(sorted(NULL_TOKENS))
+    junk = st.text(
+        alphabet="abcXYZ!@# .,-", min_size=1, max_size=8
+    )
+    expo = st.tuples(st.integers(-99, 99), st.integers(-5, 5)).map(
+        lambda t: f"{t[0]}e{t[1]}"
+    )
+    pad = st.sampled_from(["", " ", "  ", "\t"])
+    dirty = st.tuples(
+        pad, st.one_of(digits, grouped, frac, token, junk, expo), pad
+    ).map(lambda t: t[0] + t[1] + t[2])
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(dirty, min_size=1, max_size=40))
+    def prop(xs):
+        df = spark.createDataFrame(
+            [(s,) for s in xs],
+            T.StructType([T.StructField("raw", T.StringType(), True)]),
+        )
+        got = df.select(
+            coercion.to_int_truncating(F.col("raw")).alias("i"),
+            coercion.to_decimal(F.col("raw")).alias("d"),
+        ).collect()
+        for raw, r in zip(xs, got):
+            ei, ed = model_int(raw), model_decimal(raw)
+            assert (r["i"] is None) == (ei is None), f"{raw!r}: {r['i']} vs {ei}"
+            if ei is not None:
+                assert int(r["i"]) == ei, f"{raw!r}: {r['i']} vs {ei}"
+            assert (r["d"] is None) == (ed is None), f"{raw!r}: {r['d']} vs {ed}"
+            if ed is not None:
+                assert abs(float(r["d"]) - ed) < 1e-9, f"{raw!r}: {r['d']} vs {ed}"
+
+    prop()
