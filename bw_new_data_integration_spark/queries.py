@@ -6214,45 +6214,6 @@ def o7_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S14 — ORC scan roundtrip (round 5): Spark's built-in columnar ORC
-# source as an alternate lake format. The gate writes the supplier
-# table to ORC, reads it back with an explicit schema, and aggregates;
-# predicate pushdown + column pruning work identically to parquet
-# (tested in test_invariants). The oracle runs on the parquet twin —
-# same rows by construction, so a hash match proves the ORC writer and
-# reader round-trip values exactly.
-# ---------------------------------------------------------------------------
-@register(
-    "s14_orc_roundtrip",
-    oracle="""
-SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(s_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS sum_bal,
-       MAX(s_name) AS max_name
-FROM supplier
-WHERE s_acctbal > 0
-GROUP BY 1
-""",
-)
-def s14_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    sup = _t(spark, sf_dir, "supplier")
-    path = tempfile.mkdtemp(prefix="bw_orc_src_") + "/supplier_orc"
-    sup.write.mode("overwrite").orc(path)
-    back = spark.read.schema(sup.schema).orc(path)
-    return (
-        back.where(F.col("s_acctbal") > 0)
-        .groupBy(F.col("s_nationkey").cast("bigint").alias("nationkey"))
-        .agg(
-            F.count("*").alias("n"),
-            aggregate.exact_sum("s_acctbal").alias("sum_bal"),
-            F.max("s_name").alias("max_name"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # Salted deterministic fraction sampling (round 5, beyond-reference):
 # the parameterized member of the hash-sampling family
 # (operators/sampling.py). sample_deterministic_split /
@@ -6296,7 +6257,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VALUES against a plain-join oracle.
 # ---------------------------------------------------------------------------
 @register(
-    "j6_bucketed_join",
+    "j9_bucketed_join",
     oracle="""
 SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
        COUNT(*) AS n_orders,
@@ -6305,7 +6266,7 @@ FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY 1
 """,
 )
-def j6_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def j9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -6501,9 +6462,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- round-5 semantic change: 4-part labor key (reference parity) --
     "pipeline_clock_in_out",
     # -- round-5 additions --
-    "s14_orc_roundtrip",
     "sample_deterministic",
-    "j6_bucketed_join",
+    "j9_bucketed_join",
     "o10_rollup_grains",
     "json_variant_extract",
     "zorder_values",
