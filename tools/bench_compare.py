@@ -1,0 +1,70 @@
+"""Diff two bench records: per-query ratios over the common set, the
+biggest movers, and the common-set sums — the mechanical form of the
+"is this drift noise or regression?" question that round 4 left open.
+
+Usage:
+    python tools/bench_compare.py BENCH_old.json BENCH_new.json [--top 10]
+
+Accepts either bench.py's sidecar format ({"queries": {...}}) or the
+driver's BENCH_r{N}.json wrapper (per-query numbers recovered from the
+embedded stdout JSON line when present).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+
+
+def load_queries(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        doc = json.load(fh)
+    if "queries" in doc:
+        return dict(doc["queries"])
+    if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+        return dict(doc["parsed"]["queries"])
+    tail = doc.get("tail", "")
+    m = re.search(r'\{"metric":.*\}', tail)
+    if m:
+        return dict(json.loads(m.group(0))["queries"])
+    raise SystemExit(f"{path}: no per-query record found")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--top", type=int, default=10)
+    args = ap.parse_args()
+    old, new = load_queries(args.old), load_queries(args.new)
+    common = sorted(set(old) & set(new))
+    if not common:
+        raise SystemExit("no common queries")
+    s_old = sum(old[q] for q in common)
+    s_new = sum(new[q] for q in common)
+    print(
+        f"common queries: {len(common)}  old={s_old:.1f}s  new={s_new:.1f}s  "
+        f"ratio={s_new / s_old:.2f}"
+    )
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    if only_old:
+        print(f"dropped ({len(only_old)}): {', '.join(only_old[:8])}{' …' if len(only_old) > 8 else ''}")
+    if only_new:
+        print(f"added ({len(only_new)}): {', '.join(only_new[:8])}{' …' if len(only_new) > 8 else ''}")
+    movers = sorted(
+        (q for q in common if old[q] >= 0.15 or new[q] >= 0.15),
+        key=lambda q: new[q] / max(old[q], 0.01),
+        reverse=True,
+    )
+    print(f"\nslowed most (of queries ≥0.15s):")
+    for q in movers[: args.top]:
+        print(f"  {q}: {old[q]:.2f}s -> {new[q]:.2f}s  ({new[q] / max(old[q], 0.01):.2f}x)")
+    print(f"\nimproved most:")
+    for q in list(reversed(movers))[: args.top]:
+        print(f"  {q}: {old[q]:.2f}s -> {new[q]:.2f}s  ({new[q] / max(old[q], 0.01):.2f}x)")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
