@@ -935,6 +935,35 @@ def test_delta_log_export_after_vacuum_still_opens_with_protocol(spark, tmp_path
     )
 
 
+def test_torn_commit_is_invisible_and_self_heals(spark, tmp_path):
+    """Crash-safety of the commit protocol: snapshot dir -> manifest ->
+    atomic _LATEST flip. A crash BEFORE the flip leaves an orphan v=N
+    directory that (a) readers never see — current_version still names
+    N-1, time travel to N returns None, (b) the next commit OVERWRITES
+    (mode=overwrite clears the orphan) and commits cleanly as N with
+    the new data, not the torn remains."""
+    t = ParquetKeyedTable(str(tmp_path / "torn"), ["k"])
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1)]))
+    assert t.current_version() == 0
+
+    # simulate the crash: snapshot (+ even the manifest) written, no flip
+    torn_df = spark.createDataFrame([Row(k="TORN", v=999)])
+    new_v = t._write_snapshot(torn_df)
+    t._write_manifest(new_v, "upsert")
+    assert new_v == 1 and os.path.isdir(t._snapshot_dir(1))
+    # invisible to every read surface
+    assert t.current_version() == 0
+    assert t.read(spark, version=1) is None
+    assert [r["k"] for r in t.read(spark).collect()] == ["a"]
+    assert all(m["version"] != 1 for m in t.history())
+
+    # next commit reclaims the version number with the REAL data
+    t.upsert(spark, spark.createDataFrame([Row(k="b", v=2)]))
+    assert t.current_version() == 1
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [("a", 1), ("b", 2)]  # no TORN row survives
+
+
 def test_delta_checkpoint_golden_layout(spark, tmp_path):
     """Byte-level golden check of the checkpoint parquet against the
     PUBLISHED Delta protocol layout (PROTOCOL.md 'Checkpoints'), plus
