@@ -22,6 +22,8 @@ through.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import math
 import os
@@ -77,6 +79,29 @@ class ParquetKeyedTable:
 
     def _latest_file(self) -> str:
         return os.path.join(self.path, "_LATEST")
+
+    @contextlib.contextmanager
+    def _write_lock(self):
+        """Table-level writer serialization (advisory flock on _LOCK).
+
+        Every mutator is a read-modify-write spanning more than the
+        pointer flip: upsert/delete read the current snapshot, build
+        the merge plan against it, then commit — two concurrent
+        writers would both merge against v=N and the second flip
+        silently discards the first's rows (lost update). The lock
+        serializes whole mutations; readers never take it (the atomic
+        _LATEST flip keeps reads consistent lock-free). flock spans
+        processes on one host and threads in one process — the
+        single-writer-host model this file-based target is for; a
+        multi-host deployment fronts the table with a real lake-format
+        commit service instead."""
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "_LOCK"), "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
 
     def current_version(self) -> int:
         try:
@@ -472,7 +497,8 @@ class ParquetKeyedTable:
     # -- operations ----------------------------------------------------------
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit(df, "overwrite")
+        with self._write_lock():
+            return self._commit(df, "overwrite")
 
     def upsert(
         self,
@@ -527,33 +553,36 @@ class ParquetKeyedTable:
             )
         else:
             source = source.dropDuplicates(self.key_cols)
-        try:
-            target = self.read(spark)
-            if target is None:
-                return self._commit(source, "upsert")
-            if (
-                self.partition_by
-                and set(self.partition_by) <= set(self.key_cols)
-                and set(source.columns) == set(target.columns)
-            ):
-                return self._partition_scoped_upsert(target, source)
-            merged = merge_upsert(target, source, self.key_cols, evolve_schema=evolve_schema)
-            return self._commit(merged, "upsert")
-        except Exception as e:  # surface the in-plan assertion as the API error
-            if strict and self._is_strict_assert_failure(e):
-                # the assertion fired inside the write job; drop the
-                # partially-written, never-referenced snapshot dir (the
-                # pointer was not flipped, so readers never saw it)
-                import shutil
-
-                shutil.rmtree(
-                    self._snapshot_dir(self.current_version() + 1),
-                    ignore_errors=True,
+        with self._write_lock():
+            try:
+                target = self.read(spark)
+                if target is None:
+                    return self._commit(source, "upsert")
+                if (
+                    self.partition_by
+                    and set(self.partition_by) <= set(self.key_cols)
+                    and set(source.columns) == set(target.columns)
+                ):
+                    return self._partition_scoped_upsert(target, source)
+                merged = merge_upsert(
+                    target, source, self.key_cols, evolve_schema=evolve_schema
                 )
-                detail = str(e)
-                start = detail.index("strict upsert")
-                raise ValueError(detail[start:].splitlines()[0]) from e
-            raise
+                return self._commit(merged, "upsert")
+            except Exception as e:  # surface the in-plan assertion as the API error
+                if strict and self._is_strict_assert_failure(e):
+                    # the assertion fired inside the write job; drop the
+                    # partially-written, never-referenced snapshot dir (the
+                    # pointer was not flipped, so readers never saw it)
+                    import shutil
+
+                    shutil.rmtree(
+                        self._snapshot_dir(self.current_version() + 1),
+                        ignore_errors=True,
+                    )
+                    detail = str(e)
+                    start = detail.index("strict upsert")
+                    raise ValueError(detail[start:].splitlines()[0]) from e
+                raise
 
     @staticmethod
     def _is_strict_assert_failure(e: Exception) -> bool:
@@ -638,10 +667,11 @@ class ParquetKeyedTable:
         return self._flip(new_v, "partition_upsert")
 
     def delete_keys(self, spark: SparkSession, keys_df: DataFrame) -> int:
-        target = self.read(spark)
-        if target is None:
-            return self.current_version()
-        return self._commit(delete_matching(target, keys_df, self.key_cols), "delete")
+        with self._write_lock():
+            target = self.read(spark)
+            if target is None:
+                return self.current_version()
+            return self._commit(delete_matching(target, keys_df, self.key_cols), "delete")
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Delete all but the newest ``keep_last`` snapshot versions
@@ -661,14 +691,15 @@ class ParquetKeyedTable:
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1 (the current version must survive)")
-        current = self.current_version()
-        removed = []
-        for v in range(0, max(0, current - keep_last + 1)):
-            snap = self._snapshot_dir(v)
-            if os.path.isdir(snap):
-                shutil.rmtree(snap)
-                removed.append(v)
-        return removed
+        with self._write_lock():
+            current = self.current_version()
+            removed = []
+            for v in range(0, max(0, current - keep_last + 1)):
+                snap = self._snapshot_dir(v)
+                if os.path.isdir(snap):
+                    shutil.rmtree(snap)
+                    removed.append(v)
+            return removed
 
     def compact(self, spark: SparkSession, target_file_bytes: int = 128 << 20) -> int:
         """Rewrite the current snapshot into right-sized files (Delta's
@@ -681,6 +712,10 @@ class ParquetKeyedTable:
         stats selective for key lookups. The output file count is sized
         from the snapshot's on-disk bytes (driver-side directory walk)
         — no extra Spark action over the data."""
+        with self._write_lock():
+            return self._compact_locked(spark, target_file_bytes)
+
+    def _compact_locked(self, spark: SparkSession, target_file_bytes: int) -> int:
         target = self.read(spark)
         if target is None:
             return self.current_version()

@@ -935,6 +935,43 @@ def test_delta_log_export_after_vacuum_still_opens_with_protocol(spark, tmp_path
     )
 
 
+def test_concurrent_upserts_serialize_no_lost_update(spark, tmp_path):
+    """Two writers racing the same table: each upsert is a
+    read-merge-commit spanning seconds, so without the table write
+    lock both would merge against the same base version and the later
+    flip would silently drop the earlier writer's rows. With the flock
+    serialization every row from every writer survives and versions
+    are strictly sequential."""
+    import threading
+
+    t = ParquetKeyedTable(str(tmp_path / "conc"), ["k"])
+    t.overwrite(spark.createDataFrame([Row(k="base", v=0)]))
+    errors = []
+
+    def writer(tag):
+        try:
+            # each thread its own handle (like two jobs would have)
+            mine = ParquetKeyedTable(str(tmp_path / "conc"), ["k"])
+            for i in range(3):
+                mine.upsert(
+                    spark, spark.createDataFrame([Row(k=f"{tag}{i}", v=i)])
+                )
+        except Exception as e:  # surfaced after join
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(tag,)) for tag in "AB"]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == ["A0", "A1", "A2", "B0", "B1", "B2", "base"]
+    assert t.current_version() == 6  # 1 overwrite + 6 serialized upserts
+    # every version has a manifest — no torn or skipped numbers
+    assert [m["version"] for m in t.history()] == list(range(6, -1, -1))
+
+
 def test_torn_commit_is_invisible_and_self_heals(spark, tmp_path):
     """Crash-safety of the commit protocol: snapshot dir -> manifest ->
     atomic _LATEST flip. A crash BEFORE the flip leaves an orphan v=N
