@@ -92,15 +92,26 @@ def kmeans_fit(
                 f"cluster int, cvec array<double>",
             )
         )
+        # the vector rides through the assignment aggregate (first() is
+        # well-defined: every row of an id carries the same vector), so
+        # the update step below needs NO second scan/join of the data —
+        # and it costs nothing extra on the wire: all k candidate rows
+        # of an id sit in one partition (broadcast cross join preserves
+        # the data partitioning), so map-side combine collapses them to
+        # one row per id BEFORE the shuffle
         assigned = (
             data.crossJoin(cdf)
             .withColumn("d2", _dist2(F.col(vec_col), F.col("cvec")))
             .groupBy(id_col)
-            .agg(F.min(F.struct("d2", "cluster")).alias("best"))
+            .agg(
+                F.min(F.struct("d2", "cluster")).alias("best"),
+                F.first(vec_col).alias(vec_col),
+            )
             .select(
                 id_col,
                 F.col("best.cluster").alias("cluster"),
                 F.col("best.d2").alias("d2"),
+                vec_col,
             )
             .localCheckpoint(eager=True)
         )
@@ -109,16 +120,15 @@ def kmeans_fit(
                 F.sum(F.floor(F.col("d2") * SCALE).cast("bigint")).alias("i")
             ).collect()[0]["i"]
             inertias.append(int(v) if v is not None else 0)  # SUM over 0 rows is NULL
-        assigned = assigned.drop("d2")
         # update: integer-exact scaled component sums, k*dim rows total
         sums = (
-            data.join(assigned, id_col)
-            .select("cluster", F.posexplode(vec_col).alias("pos", "e"))
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "e"))
             .withColumn("se", F.floor(F.col("e").cast("double") * SCALE).cast("bigint"))
             .groupBy("cluster", "pos")
             .agg(F.sum("se").alias("ssum"), F.count("*").alias("n"))
             .collect()
         )
+        assigned = assigned.drop("d2", vec_col)
         by_cluster: dict[int, dict[int, float]] = {}
         for r in sums:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (
