@@ -90,6 +90,85 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def lsh_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, band, bh) bucket memberships — the banded-LSH INDEX shape.
+
+    Persist this table (keyed on id, partitioned however the corpus
+    is) and incremental dedup never re-hashes history: see
+    :func:`incremental_lsh_candidates`."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+
+
+def incremental_lsh_candidates(
+    index_buckets: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Near-dup candidates for a NEW batch against a stored LSH index —
+    the production shape of continuous dedup at 100 TB: nightly
+    ingestion must not re-shingle/re-hash the historical corpus, only
+    the batch. ``index_buckets`` is a persisted :func:`lsh_buckets`
+    table (billions of rows, hash-partitioned on (band, bh));
+    ``new_docs`` is the batch.
+
+    Emits exactly the pairs full-corpus LSH would emit RESTRICTED to
+    pairs touching the batch: (new × index) via an equi-join on
+    (band, bh) — the batch's bucket table is batch-sized, so it
+    broadcasts and the index streams through map-side — plus
+    (new × new) via the batch's self-join. After verification, append
+    the batch's buckets to the index (idempotent keyed upsert on
+    (id, band)).
+
+    Returns distinct (a_id, b_id), a_id < b_id. The hub-star skew cap
+    applies when BUILDING the stored index (a degenerate boilerplate
+    bucket should be capped once, at index time, not per batch).
+    """
+    nb = lsh_buckets(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_words
+    ).localCheckpoint(eager=True)  # two consumers: cross join + self join
+    new_side = F.broadcast(nb.select(
+        F.col(id_col).alias("__nid"), "band", "bh"
+    ))
+    # index may contain the batch's own ids (re-runs): exclude self-pairs
+    cross = (
+        index_buckets.join(new_side, ["band", "bh"])
+        .where(F.col(id_col) != F.col("__nid"))
+        .select(
+            F.least(F.col(id_col), F.col("__nid")).alias("a_id"),
+            F.greatest(F.col(id_col), F.col("__nid")).alias("b_id"),
+        )
+    )
+    l, r = nb.alias("l"), nb.alias("r")
+    within = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bh") == F.col("r.bh"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(F.col(f"l.{id_col}").alias("a_id"), F.col(f"r.{id_col}").alias("b_id"))
+    return cross.unionByName(within).distinct()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -119,17 +198,7 @@ def minhash_lsh_candidates(
 
     Returns distinct (a_id, b_id) with a_id < b_id.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
-        )
-    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
-    )
+    buckets = lsh_buckets(df, text_col, id_col, num_hashes, bands, shingle_words)
     if max_bucket_size is not None:
         # one extra window pass on the same (band, bh) key: per-bucket
         # size + hub (min id), then branch small/degenerate

@@ -932,6 +932,32 @@ FROM buckets l JOIN buckets r
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup (round 5): a new batch (doc_id % 10 == 0)
+# deduped against the STORED bucket index of the rest of the corpus —
+# the continuous-ingestion shape: history is never re-shingled, only
+# the batch is hashed, and candidates = (new × index) ∪ (new × new).
+# Oracle: full-corpus LSH candidates restricted to pairs touching the
+# batch — the exact-equivalence contract for the incremental path.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_incremental_lsh",
+    oracle="SELECT a_id, b_id FROM (\n"
+    + _lsh_oracle()
+    + "\n) WHERE a_id % 10 = 0 OR b_id % 10 = 0",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.where(F.col("doc_id") % 10 == 0)
+    historical = docs.where(F.col("doc_id") % 10 != 0)
+    # the stored index: in production a persisted lsh_buckets table;
+    # here built from the historical split and materialized once
+    index = dedup.lsh_buckets(historical, num_hashes=12, bands=4).localCheckpoint(
+        eager=True
+    )
+    return dedup.incremental_lsh_candidates(index, new_batch, num_hashes=12, bands=4)
+
+
 @register("dedup_lsh_candidates", oracle=_lsh_oracle())
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -6465,6 +6491,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "sample_deterministic",
     "j9_bucketed_join",
     "o10_rollup_grains",
+    "dedup_incremental_lsh",
     "json_variant_extract",
     "zorder_values",
     # -- round-4 slots 1-7: the 7 queries that fell past round-3's window --
