@@ -1412,3 +1412,44 @@ def test_multi_year_backfill_equals_full_fy_run(spark, tmp_path):
     ra = sorted(map(tuple, ta.read(spark).select(*cols).collect()))
     rb = sorted(map(tuple, tb.read(spark).select(*cols).collect()))
     assert ra == rb and len(ra) > 0
+
+
+def test_resize_nearest_and_thumbnail_contract(spark):
+    """resize_nearest: exact NN index map for down- and up-sampling;
+    extract_thumbnails: real decode -> resize -> stats with null rows
+    for undecodable payloads and thumbnail bytes matching the stats."""
+    import numpy as np
+
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    px = np.arange(12 * 20, dtype=np.uint8).reshape(12, 20) % 256
+    t = mm.resize_nearest(px, 8, 8)
+    assert t.shape == (8, 8)
+    for y in range(8):
+        for x in range(8):
+            assert t[y, x] == px[(y * 12) // 8, (x * 20) // 8]
+    up = mm.resize_nearest(px[:2, :3], 8, 8)  # upsample repeats
+    assert up.shape == (8, 8) and up[0, 0] == px[0, 0]
+
+    media = spark.createDataFrame(
+        [
+            (1, mm.make_png(20, 12, seed=7)),
+            (2, mm.make_gif(5, 3, seed=9)),
+            (3, b"definitely not an image"),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in mm.extract_thumbnails(media).collect()}
+    assert rows[3]["thumb"] is None and rows[3]["pix_sum"] is None
+    for did, w, h, seed in [(1, 20, 12, 7), (2, 5, 3, 9)]:
+        r = rows[did]
+        flat = list(r["thumb"])
+        assert len(flat) == 64
+        assert sum(flat) == r["pix_sum"]
+        assert flat[0] == r["first_px"] and flat[-1] == r["last_px"]
+        expect = [
+            ((((x * w) // 8) * 31 + ((y * h) // 8) * 17 + seed) % 256)
+            for y in range(8)
+            for x in range(8)
+        ]
+        assert flat == expect, did
