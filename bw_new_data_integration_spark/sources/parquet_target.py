@@ -701,7 +701,12 @@ class ParquetKeyedTable:
                     removed.append(v)
             return removed
 
-    def compact(self, spark: SparkSession, target_file_bytes: int = 128 << 20) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        zorder_by: Sequence[str] | None = None,
+    ) -> int:
         """Rewrite the current snapshot into right-sized files (Delta's
         OPTIMIZE). Incremental merges leave each snapshot with as many
         files as shuffle partitions; at 100 TB the small-files problem
@@ -711,11 +716,22 @@ class ParquetKeyedTable:
         Sorting within files by the table key keeps parquet min/max
         stats selective for key lookups. The output file count is sized
         from the snapshot's on-disk bytes (driver-side directory walk)
-        — no extra Spark action over the data."""
-        with self._write_lock():
-            return self._compact_locked(spark, target_file_bytes)
+        — no extra Spark action over the data.
 
-    def _compact_locked(self, spark: SparkSession, target_file_bytes: int) -> int:
+        ``zorder_by=(colA, colB)`` is Delta's OPTIMIZE ZORDER BY:
+        instead of key-sorting, files are clustered on the Morton
+        interleave of the two columns (operators/zorder.py), so
+        row-group min/max stats stay tight on BOTH — the layout for a
+        table queried by multi-dimension box predicates."""
+        with self._write_lock():
+            return self._compact_locked(spark, target_file_bytes, zorder_by)
+
+    def _compact_locked(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int,
+        zorder_by: Sequence[str] | None = None,
+    ) -> int:
         target = self.read(spark)
         if target is None:
             return self.current_version()
@@ -724,8 +740,23 @@ class ParquetKeyedTable:
             os.path.getsize(os.path.join(d, f))
             for d, _, fs in os.walk(snap)
             for f in fs
-            if not f.startswith(("_", ".")) 
+            if not f.startswith(("_", "."))
         )
         n = max(1, math.ceil(size / max(1, target_file_bytes)))
-        compacted = target.repartition(n, *self.key_cols).sortWithinPartitions(*self.key_cols)
+        if zorder_by:
+            from bw_new_data_integration_spark.operators.zorder import z_value
+
+            if len(zorder_by) != 2:
+                raise ValueError("zorder_by takes exactly two columns")
+            z = z_value(F.col(zorder_by[0]), F.col(zorder_by[1])).alias("__z")
+            compacted = (
+                target.withColumn("__z", z)
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            compacted = target.repartition(n, *self.key_cols).sortWithinPartitions(
+                *self.key_cols
+            )
         return self._commit(compacted, "compact")

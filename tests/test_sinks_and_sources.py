@@ -935,6 +935,42 @@ def test_delta_log_export_after_vacuum_still_opens_with_protocol(spark, tmp_path
     )
 
 
+def test_compact_zorder_by_clusters_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER BY parity: compact(zorder_by=(x, y)) rewrites
+    the snapshot clustered on the Morton curve — a box predicate on
+    both columns touches fewer files than the key-sorted layout, and
+    the data is row-identical across versions."""
+    t = ParquetKeyedTable(str(tmp_path / "zc"), ["k"])
+    n = 1 << 14
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") / 128).cast("long") % 128).alias("y"),
+    )
+    t.overwrite(df.repartition(64))
+    v = t.compact(spark, target_file_bytes=20_000, zorder_by=("x", "y"))
+    assert v == 1 and t.manifest(v)["operation"] == "compact"
+
+    def files_touched(version):
+        return (
+            t.read(spark, version=version)
+            .where("x >= 32 and x < 48 and y >= 32 and y < 48")
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    n_files = t.manifest(v)["n_files"]
+    assert n_files >= 8  # enough granularity for clustering to matter
+    assert files_touched(1) <= max(2, n_files // 8)
+    # identical rows, only layout changed
+    a = sorted(map(tuple, t.read(spark, version=0).collect()))
+    b = sorted(map(tuple, t.read(spark, version=1).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="two columns"):
+        t.compact(spark, zorder_by=("x",))
+
+
 def test_concurrent_upserts_serialize_no_lost_update(spark, tmp_path):
     """Two writers racing the same table: each upsert is a
     read-merge-commit spanning seconds, so without the table write
