@@ -101,3 +101,71 @@ def sessionize(
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn("session_seq", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+
+
+def fill_gaps_linear(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    partition_cols: Sequence[str],
+) -> DataFrame:
+    """Densify a sparse per-key daily series and linearly interpolate
+    the missing days (beyond-reference; the repair step between raw
+    event feeds and models that assume a regular grid).
+
+    Scale shape — everything stays declarative:
+
+    - the calendar skeleton is built PER KEY from one small aggregate
+      (min/max date) + ``sequence``/``explode`` — no driver loop, no
+      global calendar cross join; skeleton size is the true output
+      size;
+    - the observed rows left-join onto the skeleton (one shuffle on
+      (key, date));
+    - previous/next anchors are ``last(..., ignoreNulls)`` /
+      ``first(..., ignoreNulls)`` windows partitioned by key — no
+      self-joins, no per-gap iteration.
+
+    The skeleton is bounded by each key's observed min/max, so every
+    gap has both anchors and the output carries no nulls. Emits
+    (partition_cols..., ts_col, value_col, is_interpolated).
+    """
+    keys = [F.col(c) for c in partition_cols]
+    span = df.groupBy(*keys).agg(
+        F.min(F.col(ts_col).cast("date")).alias("__min_d"),
+        F.max(F.col(ts_col).cast("date")).alias("__max_d"),
+    )
+    skeleton = span.select(
+        *partition_cols,
+        F.explode(F.sequence("__min_d", "__max_d")).alias(ts_col),
+    )
+    observed = df.select(
+        *partition_cols,
+        F.col(ts_col).cast("date").alias(ts_col),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    joined = skeleton.join(observed, [*partition_cols, ts_col], "left")
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    anchor = F.when(
+        F.col(value_col).isNotNull(), F.struct(F.col(ts_col).alias("d"), F.col(value_col).alias("v"))
+    )
+    prev = F.last(anchor, ignorenulls=True).over(w_prev)
+    nxt = F.first(anchor, ignorenulls=True).over(w_next)
+    frac = F.datediff(F.col(ts_col), prev["d"]).cast("double") / F.datediff(
+        nxt["d"], prev["d"]
+    ).cast("double")
+    interpolated = prev["v"] + (nxt["v"] - prev["v"]) * frac
+    return joined.select(
+        *partition_cols,
+        ts_col,
+        F.coalesce(F.col(value_col), interpolated).alias(value_col),
+        F.col(value_col).isNull().alias("is_interpolated"),
+    )
