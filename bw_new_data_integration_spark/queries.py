@@ -6597,6 +6597,52 @@ def o11_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K6 — change data feed (round 5): the row-level diff between two
+# table versions, Delta CDF-shaped. The fixture builds v0 from one
+# deterministic slice of orders, upserts a second slice (some keys
+# update with new values, some insert) and deletes a third; the oracle
+# computes the same diff straight from the orders table. At 100 TB the
+# diff is one key-shuffled full-outer join; unchanged rows never leave
+# the join.
+# ---------------------------------------------------------------------------
+@register(
+    "k6_change_data_feed",
+    oracle="""
+WITH v0 AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 7 IN (0, 1, 2, 3)
+),
+batch AS (  -- upserted on top of v0: %7 in (2,3) update (price*2), (4,5) insert
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) * 2 AS price
+  FROM orders WHERE o_orderkey % 7 IN (2, 3, 4, 5)
+),
+deleted AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 = 0)
+SELECT k, price, 'insert' AS _change_type FROM batch WHERE k % 7 IN (4, 5)
+UNION ALL
+SELECT k, price, 'update_postimage' FROM batch WHERE k % 7 IN (2, 3)
+UNION ALL
+SELECT v0.k, v0.price, 'delete' FROM v0 JOIN deleted USING (k)
+""",
+)
+def k6_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").cast("double").alias("price")
+    )
+    t = ParquetKeyedTable(tempfile.mkdtemp(prefix="bw_cdf_") + "/t", ["k"])
+    t.overwrite(o.where(F.col("k") % 7 <= 3))
+    t.upsert(
+        spark,
+        o.where((F.col("k") % 7).isin(2, 3, 4, 5)).withColumn("price", F.col("price") * 2),
+    )
+    t.delete_keys(spark, o.where(F.col("k") % 7 == 0).select("k"))
+    return t.changes(spark, 0)
+
+
+# ---------------------------------------------------------------------------
 # Driver evidence window.
 #
 # The grading driver hash-checks the FIRST 50 registry entries (dict
@@ -6622,6 +6668,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_incremental_lsh",
     "mm_image_thumbnails",
     "o11_gap_fill_linear",
+    "k6_change_data_feed",
     "json_variant_extract",
     "zorder_values",
     # -- round-4 slots 1-7: the 7 queries that fell past round-3's window --
