@@ -29,7 +29,9 @@ Real vs stubbed (container has no PIL/librosa):
   (:func:`make_png` / :func:`make_gif` / :func:`make_jpeg` /
   :func:`make_jpeg_color`).
   :func:`extract_image_pixel_stats` reduces any of them to
-  integer-exact stats batch-wise.
+  integer-exact stats batch-wise, and :func:`extract_thumbnails`
+  resizes decoded planes (:func:`resize_nearest`, integer-exact NN)
+  into fixed thumbnails.
   **Video frame extraction is real for YUV4MPEG2**:
   :func:`iter_y4m_frames` / :func:`sample_y4m_frames` decode actual
   raw YUV planes from real y4m streams (:func:`make_y4m` emits

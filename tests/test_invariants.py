@@ -1453,3 +1453,53 @@ def test_resize_nearest_and_thumbnail_contract(spark):
             for x in range(8)
         ]
         assert flat == expect, did
+
+
+def test_jpeg_entropy_corruption_fuzz():
+    """Targeted fuzz of the LUT entropy decoder (round-5 rewrite):
+    flip/truncate/extend bytes INSIDE the entropy-coded segment of
+    valid gray and color JPEGs — the decoder must never raise and must
+    return either None or a correctly-shaped uint8 array. This drives
+    the fast-path/slow-path boundaries (invalid codes, amplitude past
+    end-of-stream, ZRL overruns) harder than whole-payload fuzzing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    fixtures = [
+        (mm.make_jpeg(13, 9, seed=3), (9, 13), mm.decode_jpeg_gray),
+        (mm.make_jpeg_color(11, 7, seed=5), (7, 11, 3), mm.decode_jpeg_ycbcr),
+    ]
+    # entropy data sits between the SOS segment and the EOI marker
+    spans = []
+    for payload, shape, decode in fixtures:
+        sos = payload.index(b"\xff\xda")
+        start = sos + 2 + int.from_bytes(payload[sos + 2 : sos + 4], "big")
+        spans.append((payload, start, len(payload) - 2, shape, decode))
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        st.integers(0, 1),
+        st.integers(0, 10**6),
+        st.integers(1, 255),
+        st.sampled_from(["flip", "truncate", "extend", "zero"]),
+    )
+    def fuzz(pick, pos_seed, delta, mode):
+        payload, start, end, shape, decode = spans[pick]
+        pos = start + pos_seed % max(1, end - start)
+        b = bytearray(payload)
+        if mode == "flip":
+            b[pos] = (b[pos] + delta) % 256
+        elif mode == "zero":
+            b[pos] = 0
+        elif mode == "truncate":
+            b = b[:pos] + payload[-2:]  # keep EOI
+        else:  # extend: inject junk mid-stream
+            b = b[:pos] + bytes([delta]) * 3 + b[pos:]
+        out = decode(bytes(b))
+        assert out is None or (
+            out.shape == shape and out.dtype.name == "uint8"
+        ), (pick, pos, mode)
+
+    fuzz()
