@@ -6669,6 +6669,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "mm_image_thumbnails",
     "o11_gap_fill_linear",
     "k6_change_data_feed",
+    # -- round-5 plan changes (values unchanged; fresh rows confirm) --
+    "contamination_check",
+    "dedup_pipeline_e2e",
+    "kmeans_embeddings",
     "json_variant_extract",
     "zorder_values",
     # -- round-4 slots 1-7: the 7 queries that fell past round-3's window --
