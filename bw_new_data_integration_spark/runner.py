@@ -111,10 +111,48 @@ def fetch_cube_source(spark, spec: plans.PipelineSpec, args):
     return df
 
 
+def maintain_one(spark, specs, name, args) -> dict:
+    """Target-table maintenance for one pipeline: compact (optionally
+    Z-ordered) or vacuum. Fails loud on a target that has never been
+    loaded — maintaining nothing is a scheduling mistake, not a no-op."""
+    spec = specs[name]
+    target = ParquetKeyedTable(
+        os.path.join(args.target_root, spec.mapping.table), [spec.mapping.alternate_key]
+    )
+    if not target.exists():
+        raise SystemExit(
+            f"{name}: no table at {target.path} — load it before maintaining"
+        )
+    t0 = time.time()
+    if args.maintain == "compact":
+        zorder_by = tuple(args.zorder_by.split(",")) if args.zorder_by else None
+        version = target.compact(spark, zorder_by=zorder_by)
+        m = target.manifest(version) or {}
+        return {
+            "pipeline": name,
+            "maintain": "compact",
+            "version": version,
+            "n_files": m.get("n_files"),
+            "zorder_by": list(zorder_by) if zorder_by else None,
+            "seconds": round(time.time() - t0, 2),
+        }
+    removed = target.vacuum(keep_last=args.vacuum_keep)
+    return {
+        "pipeline": name,
+        "maintain": "vacuum",
+        "removed_versions": removed,
+        "kept": args.vacuum_keep,
+        "seconds": round(time.time() - t0, 2),
+    }
+
+
 def run_one(spark, specs, name, args) -> dict:
     import dataclasses
 
     from pyspark.sql import Observation
+
+    if getattr(args, "maintain", None):
+        return maintain_one(spark, specs, name, args)
 
     spec = specs[name]
     if getattr(args, "from_cube", False):
@@ -263,6 +301,24 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--odata-token-env",
         help="name of the environment variable holding the sink bearer token",
+    )
+    # table maintenance (the scheduled OPTIMIZE/VACUUM jobs a parquet
+    # target needs; runs INSTEAD of a load for the selected pipelines)
+    ap.add_argument(
+        "--maintain",
+        choices=["compact", "vacuum"],
+        help="run target-table maintenance instead of a load",
+    )
+    ap.add_argument(
+        "--zorder-by",
+        help="with --maintain compact: two comma-separated columns to "
+        "Z-ORDER the rewrite by (multi-column pruning layout)",
+    )
+    ap.add_argument(
+        "--vacuum-keep",
+        type=int,
+        default=2,
+        help="with --maintain vacuum: snapshot versions to retain",
     )
     args = ap.parse_args(argv)
     if args.from_cube and not (args.xmla_server and args.xmla_user and args.xmla_password_env):

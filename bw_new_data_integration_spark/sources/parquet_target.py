@@ -790,7 +790,25 @@ class ParquetKeyedTable:
 
             if len(zorder_by) != 2:
                 raise ValueError("zorder_by takes exactly two columns")
-            z = z_value(F.col(zorder_by[0]), F.col(zorder_by[1])).alias("__z")
+            dtypes = dict(target.dtypes)
+
+            def as_zkey(c: str):
+                # the Morton interleave needs non-negative integers;
+                # map each supported type to a locality-preserving one
+                dt = dtypes.get(c, "")
+                if dt in ("date",) or dt.startswith("timestamp"):
+                    return F.datediff(F.col(c).cast("date"), F.lit("1970-01-01"))
+                if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
+                    "decimal"
+                ):
+                    return F.col(c).cast("bigint")
+                raise ValueError(
+                    f"zorder_by column {c!r} has type {dt!r} — numeric or "
+                    "date/timestamp required (a string key has no numeric "
+                    "locality to interleave; cast or derive one first)"
+                )
+
+            z = z_value(as_zkey(zorder_by[0]), as_zkey(zorder_by[1])).alias("__z")
             compacted = (
                 target.withColumn("__z", z)
                 .repartitionByRange(n, "__z")

@@ -681,6 +681,35 @@ def test_runner_query_all_dry_run(tmp_path, capsys):
     assert "'empty_keys': 0" in out
 
 
+def test_runner_maintain_compact_and_vacuum(spark, tmp_path, capsys):
+    """CLI maintenance surface: load a pipeline, then --maintain
+    compact (with --zorder-by) and --maintain vacuum on its target;
+    a never-loaded target fails loud instead of no-op'ing."""
+    from bw_new_data_integration_spark import runner
+
+    troot = str(tmp_path / "targets")
+    args = ["--query", "daily_sales", "--sf-dir", "/root/testdata/sf0.001",
+            "--target-root", troot]
+    assert runner.main(args) == 0  # v0 load
+    assert runner.main(args) == 0  # v1 load (gives vacuum something to remove)
+    rc = runner.main(
+        args + ["--maintain", "compact", "--zorder-by", "qty,line_count"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'maintain': 'compact'" in out and "'zorder_by': ['qty', 'line_count']" in out
+    rc = runner.main(args + ["--maintain", "vacuum", "--vacuum-keep", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'maintain': 'vacuum'" in out and "'removed_versions': [0, 1]" in out
+    t = ParquetKeyedTable(str(tmp_path / "targets" / "target_daily_sales"), ["business_key"])
+    assert t.current_version() == 2 and t.read(spark).count() > 0
+    with pytest.raises(SystemExit, match="load it before maintaining"):
+        runner.main(
+            ["--query", "offers", "--target-root", troot, "--maintain", "vacuum"]
+        )
+
+
 def test_time_travel_reads(spark, tmp_path):
     """Every commit keeps its snapshot: read(version=N) addresses any
     past table state (the safety story behind destructive refreshes)."""
