@@ -171,10 +171,14 @@ def main() -> None:
     for name in names:
         samples = []
         while len(samples) < runs or (
-            # adaptive extra sample: if the base samples disagree >1.5x,
-            # at least one was interference-hit — take one more (bounded)
-            len(samples) < runs + 1
-            and max(samples) > 1.5 * min(samples)
+            # adaptive extra samples: if the floor hasn't converged
+            # (spread >1.3x), at least one sample was interference- or
+            # warmup-hit — take up to two more. Round-6 solo re-measure
+            # of the two r5 "movers" showed both converge to <=1.1x of
+            # r4 only after 3-4 full-scale runs (JIT on decimal-heavy
+            # aggregates); 1.5x/one-extra was too loose to catch that.
+            len(samples) < runs + 2
+            and max(samples) > 1.3 * min(samples)
             and min(samples) > 0.2
         ):
             # queries that persist internally (s9 paged scan, dedup
