@@ -111,6 +111,145 @@ def fetch_cube_source(spark, spec: plans.PipelineSpec, args):
     return df
 
 
+def probe_connectivity(specs, name, args) -> dict:
+    """--probe: three-step pre-flight connectivity check, no Spark job —
+    the ops tool the reference ships as ``Testing Scripts/
+    test_step2_validation.py:32-120`` / ``test_olap_access.py:24-60``
+    (token fetch → one-measure MDX → tiny keyed upsert), re-expressed
+    over this engine's transports.
+
+    1. **token** — OAuth2 client-credentials fetch against
+       ``--odata-token-url`` (make_oauth_token_fetch) when configured,
+       else the static bearer from ``--odata-token-env``; reported as a
+       length, never echoed.
+    2. **cube** — ``make_xmla_executor`` runs ``SELECT {<first cube
+       measure>} ON COLUMNS FROM [<cube>]`` (the reference's 1-measure
+       smoke MDX) and the response must parse to ≥1 cell.
+    3. **sink** — one-record ``$batch`` upsert through
+       ``ODataBatchTransport``, alternate key ``CONNECTIVITY-PROBE``
+       (the reference's item-6 test upsert); per-row status must be
+       2xx. Idempotent: re-probing overwrites the same probe row.
+
+    Any step failing raises SystemExit (non-zero), with the step named —
+    a probe that half-passes silently is how the reference's nightly
+    jobs used to discover auth rot at 2am.
+    """
+    import re
+
+    from bw_new_data_integration_spark.sources.credentials import TokenProvider
+    from bw_new_data_integration_spark.sources.http_transport import (
+        HttpClient,
+        ODataBatchTransport,
+        make_oauth_token_fetch,
+        make_xmla_executor,
+    )
+    from bw_new_data_integration_spark.sources.xmla import (
+        parse_axes_and_cells as xmla_parse,
+    )
+
+    spec = specs[name]
+    out: dict = {"pipeline": name, "probe": True}
+
+    # -- step 1: sink token --------------------------------------------------
+    t0 = time.time()
+    if getattr(args, "odata_token_url", None):
+        secret = os.environ.get(args.odata_client_secret_env or "", "")
+        if not secret:
+            raise SystemExit(
+                f"probe token: --odata-client-secret-env "
+                f"{args.odata_client_secret_env!r} is unset or empty"
+            )
+        scope = args.odata_scope or args.to_odata_url.rstrip("/") + "/.default"
+        fetch = make_oauth_token_fetch(
+            args.odata_token_url,
+            args.odata_client_id or "",
+            secret,
+            scope,
+            ssl_verify=not args.xmla_insecure,
+        )
+        token_source = "oauth"
+    else:
+        static = os.environ.get(args.odata_token_env or "", "")
+        if not static:
+            raise SystemExit(
+                f"probe token: --odata-token-env {args.odata_token_env!r} "
+                "is unset or empty (or pass --odata-token-url for a live fetch)"
+            )
+        fetch = lambda: static  # noqa: E731 - trivial closure
+        token_source = "env"
+    tokens = TokenProvider(fetch=fetch)
+    try:
+        token = tokens.token()
+    except Exception as exc:
+        raise SystemExit(f"probe token: FAILED — {exc}") from exc
+    out["token"] = {
+        "ok": True,
+        "source": token_source,
+        "token_len": len(token),
+        "seconds": round(time.time() - t0, 3),
+    }
+
+    # -- step 2: one-measure MDX against the cube ----------------------------
+    if not spec.cube_measures:
+        raise SystemExit(f"probe cube: pipeline {name!r} has no source.cube_measures")
+    password = os.environ.get(args.xmla_password_env or "", "")
+    if not password:
+        raise SystemExit(
+            f"probe cube: --xmla-password-env {args.xmla_password_env!r} is unset"
+        )
+    caption = spec.cube_measures[0][0]
+    cube_m = re.search(r"FROM\s*\[([^\]]+)\]", spec.mdx or "", re.IGNORECASE)
+    cube = cube_m.group(1) if cube_m else (spec.catalog or "")
+    mdx = f"SELECT {{ {caption} }} ON COLUMNS FROM [{cube}]"
+    t0 = time.time()
+    try:
+        execute = make_xmla_executor(
+            args.xmla_server,
+            spec.catalog or "",
+            args.xmla_user,
+            password,
+            ssl_verify=not args.xmla_insecure,
+            timeout=args.xmla_timeout,
+        )
+        measures, _rows, cells = xmla_parse(execute(mdx))
+    except Exception as exc:
+        raise SystemExit(f"probe cube: FAILED — {exc}") from exc
+    if not cells:
+        raise SystemExit(
+            f"probe cube: query returned no cells (measures parsed: {measures})"
+        )
+    out["cube"] = {
+        "ok": True,
+        "measure": caption,
+        "n_cells": len(cells),
+        "value": cells.get(0),
+        "seconds": round(time.time() - t0, 3),
+    }
+
+    # -- step 3: single-row $batch upsert ------------------------------------
+    key = spec.mapping.alternate_key
+    t0 = time.time()
+    try:
+        transport = ODataBatchTransport(
+            HttpClient(args.to_odata_url, timeout=60.0, ssl_verify=not args.xmla_insecure),
+            spec.mapping.table,
+            tokens,
+            key,
+        )
+        statuses = transport([{key: "CONNECTIVITY-PROBE"}])
+    except Exception as exc:
+        raise SystemExit(f"probe sink: FAILED — {exc}") from exc
+    if not statuses or not 200 <= statuses[0] < 300:
+        raise SystemExit(f"probe sink: upsert returned HTTP {statuses}")
+    out["sink"] = {
+        "ok": True,
+        "table": spec.mapping.table,
+        "status": statuses[0],
+        "seconds": round(time.time() - t0, 3),
+    }
+    return out
+
+
 def maintain_one(spark, specs, name, args) -> dict:
     """Target-table maintenance for one pipeline: compact (optionally
     Z-ordered) or vacuum. Fails loud on a target that has never been
@@ -302,6 +441,29 @@ def main(argv=None) -> int:
         "--odata-token-env",
         help="name of the environment variable holding the sink bearer token",
     )
+    # pre-flight connectivity probe (reference Testing Scripts/
+    # test_step2_validation.py): token fetch -> 1-measure MDX -> 1-row
+    # $batch upsert; runs INSTEAD of a load, starts no Spark session
+    ap.add_argument(
+        "--probe",
+        action="store_true",
+        help="three-step connectivity check (token, cube MDX, sink upsert) "
+        "for the selected pipeline's endpoints; no data is loaded",
+    )
+    ap.add_argument(
+        "--odata-token-url",
+        help="OAuth2 token endpoint for a live client-credentials fetch "
+        "(with --probe); omit to use the static --odata-token-env bearer",
+    )
+    ap.add_argument("--odata-client-id")
+    ap.add_argument(
+        "--odata-client-secret-env",
+        help="name of the environment variable holding the OAuth client secret",
+    )
+    ap.add_argument(
+        "--odata-scope",
+        help="OAuth scope (default: <to-odata-url>/.default)",
+    )
     # table maintenance (the scheduled OPTIMIZE/VACUUM jobs a parquet
     # target needs; runs INSTEAD of a load for the selected pipelines)
     ap.add_argument(
@@ -323,13 +485,36 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.from_cube and not (args.xmla_server and args.xmla_user and args.xmla_password_env):
         ap.error("--from-cube requires --xmla-server, --xmla-user, --xmla-password-env")
-    if args.to_odata_url and not args.odata_token_env:
+    if args.to_odata_url and not args.odata_token_env and not (
+        args.probe and args.odata_token_url
+    ):
         ap.error("--to-odata-url requires --odata-token-env")
     if args.backfill_years and (args.fy or args.fp or args.length):
         ap.error(
             "--backfill-years drives --fy/--fp itself and ignores --length; "
             "combining them is ambiguous — drop the conflicting flags"
         )
+    if args.probe:
+        if not (args.xmla_server and args.xmla_user and args.xmla_password_env):
+            ap.error("--probe requires --xmla-server, --xmla-user, --xmla-password-env")
+        if not args.to_odata_url:
+            ap.error("--probe requires --to-odata-url")
+        if args.odata_token_url and not (
+            args.odata_client_id and args.odata_client_secret_env
+        ):
+            ap.error(
+                "--odata-token-url requires --odata-client-id and "
+                "--odata-client-secret-env"
+            )
+        if not (args.odata_token_url or args.odata_token_env):
+            ap.error("--probe requires --odata-token-url or --odata-token-env")
+        if args.query == "all":
+            ap.error("--probe checks one pipeline's endpoints; pick one")
+        # no Spark session: the probe is a pre-flight ops tool and must
+        # stay fast/cheap enough to run from a cron minute-gate
+        result = probe_connectivity(specs, args.query, args)
+        print(result)
+        return 0
 
     spark = get_spark(app_name="pipeline_runner")
     names = list(specs) if args.query == "all" else [args.query]

@@ -193,6 +193,68 @@ def make_xmla_executor(
 
 
 # ---------------------------------------------------------------------------
+# OAuth2 client-credentials token fetch (§2.11a acquisition; reference
+# olap_to_dataverse.py get_dataverse_access_token — a form-urlencoded
+# POST to the tenant token endpoint, access_token out of the JSON)
+# ---------------------------------------------------------------------------
+
+
+def make_oauth_token_fetch(
+    token_url: str,
+    client_id: str,
+    client_secret: str,
+    scope: str,
+    ssl_verify: bool = True,
+    timeout: float = 30.0,
+    client_factory: Callable[[str, float, bool], HttpClient] | None = None,
+) -> Callable[[], str]:
+    """Build a ``fetch() -> bearer`` callable for :class:`TokenProvider`
+    doing the standard OAuth2 client-credentials grant (RFC 6749 §4.4):
+    form-urlencoded POST of grant_type/client_id/client_secret/scope,
+    ``access_token`` extracted from the JSON response. Non-200 or a
+    missing token raises ``TransportError`` with a body preview — a
+    silent empty bearer would surface later as a confusing 401."""
+    from urllib.parse import urlencode
+
+    parts = urlsplit(token_url)
+    base = f"{parts.scheme}://{parts.netloc}"
+    path = parts.path or "/"
+    make_client = client_factory or (
+        lambda b, t, v: HttpClient(b, timeout=t, ssl_verify=v)
+    )
+    client = make_client(base, timeout, ssl_verify)
+    form = urlencode(
+        {
+            "grant_type": "client_credentials",
+            "client_id": client_id,
+            "client_secret": client_secret,
+            "scope": scope,
+        }
+    ).encode("ascii")
+    headers = {"Content-Type": "application/x-www-form-urlencoded"}
+
+    def fetch() -> str:
+        resp = client.request("POST", path, body=form, headers=headers)
+        if resp.status != 200:
+            raise TransportError(
+                f"token fetch failed with HTTP {resp.status}: {resp.text[:300]}"
+            )
+        try:
+            token = json.loads(resp.text).get("access_token", "")
+        except ValueError as exc:
+            raise TransportError(
+                f"token endpoint returned non-JSON: {resp.text[:300]}"
+            ) from exc
+        if not token:
+            raise TransportError(
+                f"token endpoint returned no access_token: {resp.text[:300]}"
+            )
+        return token
+
+    return fetch
+
+
+# ---------------------------------------------------------------------------
 # OData $batch multipart transport (K1 sink wire format;
 # reference modules/dataverse.py:60-226)
 # ---------------------------------------------------------------------------

@@ -418,3 +418,121 @@ def test_graph_sender_hard_failure_raises(server):
     sender = ht.GraphMailSender(client, "s@x.com", ["r@x.com"], tokens)
     with pytest.raises(ht.TransportError, match="HTTP 400"):
         sender("subj", "body")
+
+
+# ---------------------------------------------------------------------------
+# runner --probe: the reference's connectivity checklist on real wires
+# (Testing Scripts/test_step2_validation.py:32-120 — token fetch,
+# 1-measure MDX, single-row test upsert)
+# ---------------------------------------------------------------------------
+
+
+def _probe_responder(base_token):
+    from bw_new_data_integration_spark.sources import xmla
+
+    def respond_for(path, body):
+        if "/tenant/token" in path:
+            return (200, {"Content-Type": "application/json"},
+                    json.dumps({"access_token": base_token, "expires_in": 3599}).encode())
+        if "/xmla/" in path:
+            xml = xmla.render_mddataset(
+                ["[Measures].[Order Count]"], [], [[12345.0]]
+            ).encode()
+            return (200, {"Content-Type": "text/xml"}, xml)
+        if "$batch" in path:
+            return (200, {"Content-Type": "multipart/mixed; boundary=b1"},
+                    _batch_response([204]))
+        return (404, {}, b"unexpected path")
+
+    return respond_for
+
+
+def test_runner_probe_three_steps_green(server, monkeypatch, capsys):
+    """--probe drives all three endpoints over real HTTP and reports
+    each step: OAuth client-credentials form at the token URL, the
+    1-measure Execute envelope at the cube, and a single PATCH
+    addressed by alternate key at the $batch endpoint."""
+    from bw_new_data_integration_spark import runner
+
+    script, base = server
+    respond_for = _probe_responder("tok-abc123")
+
+    def respond(body):
+        path = script.requests[-1]["path"]
+        return respond_for(path, body)
+
+    script.responder = respond
+    monkeypatch.setenv("CUBE_PW", "hunter2")
+    monkeypatch.setenv("APP_SECRET", "s3cr3t")
+    rc = runner.main(
+        [
+            "--query", "priority_summary",
+            "--probe",
+            "--xmla-server", base,
+            "--xmla-user", "svc",
+            "--xmla-password-env", "CUBE_PW",
+            "--to-odata-url", base,
+            "--odata-token-url", base + "/tenant/token",
+            "--odata-client-id", "app-1",
+            "--odata-client-secret-env", "APP_SECRET",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'probe': True" in out and "'token_len': 10" in out
+
+    reqs = script.requests
+    assert [r["path"] for r in reqs] == [
+        "/tenant/token", "/xmla/default", "/api/data/v9.2/$batch",
+    ]
+    # step 1: RFC 6749 client-credentials form
+    form = reqs[0]["body"].decode()
+    assert "grant_type=client_credentials" in form
+    assert "client_id=app-1" in form and "client_secret=s3cr3t" in form
+    assert reqs[0]["headers"]["content-type"] == "application/x-www-form-urlencoded"
+    # step 2: Execute envelope carrying the 1-measure smoke MDX
+    soap = reqs[1]["body"].decode()
+    assert "SELECT { [Measures].[Order Count] } ON COLUMNS FROM [Sales]" in soap
+    assert reqs[1]["headers"]["soapaction"].endswith("Execute")
+    assert reqs[1]["headers"]["authorization"].startswith("Basic ")
+    # step 3: one PATCH addressed by the probe alternate key, bearer
+    # token from step 1
+    batch = reqs[2]["body"].decode()
+    assert "PATCH target_priority_summary(business_key='CONNECTIVITY-PROBE')" in batch
+    assert batch.count("PATCH ") == 1
+    assert reqs[2]["headers"]["authorization"] == "Bearer tok-abc123"
+
+
+def test_runner_probe_sink_failure_exits_nonzero(server, monkeypatch):
+    """A sink rejection (403 on the whole $batch) must fail the probe
+    loudly, naming the step — the reference's checklist exits 1 on its
+    item 6 the same way."""
+    from bw_new_data_integration_spark import runner
+
+    script, base = server
+    respond_for = _probe_responder("tok-abc123")
+
+    def respond(body):
+        path = script.requests[-1]["path"]
+        if "$batch" in path:
+            return (403, {}, b"Forbidden")
+        return respond_for(path, body)
+
+    script.responder = respond
+    monkeypatch.setenv("CUBE_PW", "hunter2")
+    monkeypatch.setenv("APP_SECRET", "s3cr3t")
+    with pytest.raises(SystemExit) as exc_info:
+        runner.main(
+            [
+                "--query", "priority_summary",
+                "--probe",
+                "--xmla-server", base,
+                "--xmla-user", "svc",
+                "--xmla-password-env", "CUBE_PW",
+                "--to-odata-url", base,
+                "--odata-token-url", base + "/tenant/token",
+                "--odata-client-id", "app-1",
+                "--odata-client-secret-env", "APP_SECRET",
+            ]
+        )
+    assert "probe sink" in str(exc_info.value)

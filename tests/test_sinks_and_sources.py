@@ -1653,22 +1653,32 @@ def test_manifest_and_history_track_commits(spark, tmp_path):
 
 
 def test_tws_running_ledger_matches_batch(spark, tmp_path):
-    """transformWithStateInPandas ledger (streaming/tws.py) vs the batch
-    aggregate — the continuous/batch cutover contract. SKIPS where the
-    TWS state server's protobuf dependency is absent (this container):
-    the module documents that, and the oracle-gated stateful-streaming
-    coverage runs on applyInPandasWithState (streaming_sessionize)."""
-    pytest.importorskip("google.protobuf")
+    """Running-ledger operator (streaming/tws.py) vs the batch
+    aggregate — the continuous/batch cutover contract. Runs on EVERY
+    environment: engine="auto" picks transformWithStateInPandas where
+    pyspark's protobuf runtime is importable and the semantically
+    identical applyInPandasWithState engine where it is not (a vendored
+    mini encoder cannot replace google.protobuf — the generated
+    StateMessage_pb2 imports the full descriptor-pool runtime and
+    version-validates it; see the module docstring). Both engines fold
+    batches through the same _ledger_fold code object."""
     from bw_new_data_integration_spark.streaming import stream as st
-    from bw_new_data_integration_spark.streaming.tws import stream_running_ledger
+    from bw_new_data_integration_spark.streaming.tws import (
+        stream_running_ledger,
+        tws_available,
+    )
 
+    # the auto engine must resolve without error on this box either way
+    assert isinstance(tws_available(), bool)
+
+    # the file stream source lists files directly under the path (no
+    # recursion) — write the parquet files at the streamed root itself
     src = tmp_path / "ev"
-    src.mkdir()
     spark.createDataFrame(
         [Row(event_id=i, ts=f"2024-01-01 00:{i % 60:02d}:00", user_id=i % 5,
              event_type="e", value=float(i), props="{}")
         for i in range(200)]
-    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(str(src / "events.parquet"))
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(str(src))
     events = st.read_event_stream(spark, str(src)).select("user_id", "ts", "value")
     q = (
         stream_running_ledger(events)
@@ -1684,3 +1694,17 @@ def test_tws_running_ledger_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == {u: (40, float(sum(i for i in range(200) if i % 5 == u))) for u in range(5)}
+
+
+def test_running_ledger_engine_contract():
+    """The engine seam is explicit: unknown names fail loud, and the
+    availability probe returns a bool on boxes with or without the
+    protobuf runtime instead of leaking ModuleNotFoundError."""
+    from bw_new_data_integration_spark.streaming.tws import (
+        stream_running_ledger,
+        tws_available,
+    )
+
+    assert tws_available() in (True, False)
+    with pytest.raises(ValueError, match="unknown engine"):
+        stream_running_ledger(None, engine="bogus")
