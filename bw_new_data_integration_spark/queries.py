@@ -4618,6 +4618,7 @@ def _dedup_e2e_oracle(
     threshold: float = 0.5,
     max_iter: int = 5,
     final_select: str | None = None,
+    cap: int | None = 8,
 ) -> str:
     rpb = num_hashes // bands
     mins = ",\n       ".join(
@@ -4646,6 +4647,30 @@ l{i + 1} AS (
   GROUP BY d.doc_id, d.lbl
 )"""
         )
+    # candidate CTE: uncapped all-pairs, or the hub-star skew cap
+    # (buckets past `cap` pair every member with the bucket min only —
+    # identical to minhash_lsh_candidates(max_bucket_size=cap))
+    if cap is None:
+        cand_sql = """cand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+),"""
+    else:
+        cand_sql = f"""sized AS (
+  SELECT doc_id, band, bh,
+         COUNT(*) OVER (PARTITION BY band, bh) AS bn,
+         MIN(doc_id) OVER (PARTITION BY band, bh) AS hub
+  FROM buckets
+),
+cand AS (
+  SELECT DISTINCT a_id, b_id FROM (
+    SELECT l.doc_id AS a_id, r.doc_id AS b_id
+    FROM sized l JOIN sized r
+      ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id AND l.bn <= {cap}
+    UNION ALL
+    SELECT hub AS a_id, doc_id AS b_id FROM sized WHERE bn > {cap} AND doc_id <> hub
+  ) p
+),"""
     return (
         _SHINGLE_SQL
         + f""",
@@ -4653,10 +4678,7 @@ sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 buckets AS (
   SELECT doc_id, unnest([{band_structs}], recursive := true) FROM sig
 ),
-cand AS (
-  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-),
+{cand_sql}
 dsh AS (SELECT DISTINCT doc_id, s FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
 inter AS (
@@ -4688,8 +4710,19 @@ l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)"""
 
 @register("dedup_pipeline_e2e", oracle=_dedup_e2e_oracle())
 def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH → verify → cluster with the hub-star cap ON (max_bucket_size
+    =8, mirrored in the oracle): a degenerate bucket of n replicas
+    feeds n−1 pairs into Jaccard verification instead of n²/2, so the
+    verification stage stays linear in bucket size at any corpus scale
+    — the sf1 fixture's replica groups previously drove a ~100×
+    candidate fan-out through this composition (SCALING.md; VERDICT r5
+    #10). Cluster membership is unchanged for replica groups: hub-spoke
+    pairs are exact duplicates, so they pass verification and connected
+    components recover the full cluster."""
     docs = _t(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(docs, num_hashes=12, bands=4)
+    cands = dedup.minhash_lsh_candidates(
+        docs, num_hashes=12, bands=4, max_bucket_size=8
+    )
     verified = dedup.ngram_jaccard(docs, pairs=cands, threshold=0.5).select("a_id", "b_id")
     return dedup.cluster_duplicates(docs.select("doc_id"), verified, max_iter=5)
 
@@ -4718,7 +4751,12 @@ FROM (
 )
 def split_neardup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(docs, num_hashes=12, bands=4)
+    # same hub-star verification cap as dedup_pipeline_e2e (and its
+    # oracle) — split assignment is cluster-keyed, and the cap keeps
+    # clusters intact for replica groups while bounding the verify stage
+    cands = dedup.minhash_lsh_candidates(
+        docs, num_hashes=12, bands=4, max_bucket_size=8
+    )
     verified = dedup.ngram_jaccard(docs, pairs=cands, threshold=0.5).select("a_id", "b_id")
     clusters = dedup.cluster_duplicates(docs.select("doc_id"), verified, max_iter=5)
     bucket = (

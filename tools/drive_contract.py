@@ -26,6 +26,14 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 qs, os_ = E.queries(), E.oracle_sql()
+# optional positional args restrict the sweep to the named queries —
+# the fast inner loop when iterating on one gate
+only = set(sys.argv[1:])
+if only:
+    missing = only - qs.keys()
+    if missing:
+        sys.exit(f"unknown queries: {sorted(missing)}")
+    qs = {k: v for k, v in qs.items() if k in only}
 n_ok = n_bad = 0
 for name, fn in sorted(qs.items()):
     t0 = time.time()
