@@ -1156,19 +1156,63 @@ def resize_nearest(px, out_w: int, out_h: int):
     return px[ys[:, None], xs[None, :]]
 
 
+# ---------------------------------------------------------------------------
+# Native-codec seam. The FROZEN drop-in contract for a production
+# decoder (libjpeg-turbo / PIL / ffmpeg wrapper):
+#
+#     decoder(payload: bytes) -> numpy.ndarray | None
+#
+# - ``payload`` is the raw binary column value (always ``bytes``,
+#   never None — callers null-gate before the seam);
+# - returns a 2-D uint8 array (grayscale/luma plane) on success,
+#   ``None`` for undecodable/corrupt payloads (the corrupt-blob
+#   contract: null row out, never an exception that kills the task);
+# - the callable is pickled into Arrow ``mapInPandas`` workers, so it
+#   must be importable/serializable (a top-level function or a small
+#   class instance, not a lambda over open handles).
+#
+# ``tests/test_multimodal.py::test_native_decoder_seam_*`` pins this
+# signature: a fixture decoder injected here must reproduce the default
+# pipeline's gate output exactly, and a deliberately different decoder
+# must visibly take effect (proof the seam is live, not decorative).
+# ---------------------------------------------------------------------------
+
+
+def default_gray_decoder(payload: bytes) -> "_np.ndarray | None":
+    """The built-in pure-Python decode dispatch behind the seam:
+    format-sniff (PNG IHDR / JPEG SOI / GIF header) then the matching
+    stdlib+numpy decoder."""
+    data = bytes(payload)
+    fmt, _w, _h = parse_image_dims(data)
+    if fmt == "png":
+        return decode_png_gray(data)
+    if fmt == "gif":
+        return decode_gif_gray(data)
+    if fmt == "jpeg":
+        return decode_jpeg_gray(data)
+    return None
+
+
 def extract_thumbnails(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
     thumb: int = 8,
+    decoder=None,
 ) -> DataFrame:
     """REAL thumbnail pipeline: decode (PNG zlib+defilter / GIF LZW /
     baseline JPEG) → nearest-neighbor resize to ``thumb``×``thumb`` →
     emit the thumbnail bytes plus integer-exact stats. Corrupt or
     undecodable payloads yield null rows (corrupt-blob contract).
     Arrow-batched ``mapInPandas``; repartition inputs for decode
-    parallelism as with the other media kernels."""
+    parallelism as with the other media kernels.
+
+    ``decoder``: optional drop-in native codec honoring the frozen
+    :func:`default_gray_decoder` seam signature; None = the built-in
+    pure-Python dispatch."""
     import numpy as np
+
+    decode = decoder or default_gray_decoder
 
     out_schema = T.StructType(
         [
@@ -1184,15 +1228,7 @@ def extract_thumbnails(
         for pdf in it:
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                px = None
-                if payload is not None:
-                    fmt, _w, _h = parse_image_dims(bytes(payload))
-                    if fmt == "png":
-                        px = decode_png_gray(bytes(payload))
-                    elif fmt == "gif":
-                        px = decode_gif_gray(bytes(payload))
-                    elif fmt == "jpeg":
-                        px = decode_jpeg_gray(bytes(payload))
+                px = decode(bytes(payload)) if payload is not None else None
                 if px is None:
                     rows.append((did, None, None, None, None))
                     continue
@@ -1215,7 +1251,10 @@ def extract_thumbnails(
 
 
 def extract_image_pixel_stats(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder=None,
 ) -> DataFrame:
     """Batch-wise REAL pixel statistics over a binary column: each
     payload is pixel-decoded — PNG via :func:`decode_png_gray` (zlib
@@ -1246,11 +1285,17 @@ def extract_image_pixel_stats(
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                px = decode_png_gray(payload)
-                if px is None:
-                    px = decode_gif_gray(payload)
-                if px is None:
-                    px = decode_jpeg_gray(payload)
+                if decoder is not None:
+                    px = decoder(bytes(payload)) if payload is not None else None
+                else:
+                    # built-in path: try-each-format (slightly laxer than
+                    # the sniffing default_gray_decoder on malformed
+                    # headers; kept verbatim so gate output is stable)
+                    px = decode_png_gray(payload)
+                    if px is None:
+                        px = decode_gif_gray(payload)
+                    if px is None:
+                        px = decode_jpeg_gray(payload)
                 if px is None or px.size == 0:
                     rows.append((mid, None, None, None, None, None, None, None, None))
                     continue

