@@ -103,7 +103,16 @@ def upsert_sink(
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        target.upsert(batch_df.sparkSession, batch_df)
+        # the keyed merge runs more than one action over the batch;
+        # uncached, EVERY action re-executes the upstream stateful plan
+        # (observed: per-batch watermark-drop metrics doubling, i.e.
+        # the whole micro-batch computed twice). Standard foreachBatch
+        # discipline: pin the batch once, merge, release.
+        batch_df.persist()
+        try:
+            target.upsert(batch_df.sparkSession, batch_df)
+        finally:
+            batch_df.unpersist()
 
     return (
         agg.writeStream.outputMode("update")

@@ -1708,3 +1708,119 @@ def test_running_ledger_engine_contract():
     assert tws_available() in (True, False)
     with pytest.raises(ValueError, match="unknown engine"):
         stream_running_ledger(None, engine="bogus")
+
+
+def test_watermark_lateness_matrix_repair_vs_drop(spark, tmp_path):
+    """§2.9's 14-day-repair semantics, verified end-to-end on the
+    streaming surface with an explicit LATENESS MATRIX: late events
+    inside the watermark horizon REPAIR their (already-emitted) window
+    through the keyed upsert sink, late events beyond it are DROPPED by
+    the engine (visible in numRowsDroppedByWatermark), and a repaired
+    window converges to the same row a batch recompute would produce —
+    the nightly-trailing-window contract the reference implements by
+    re-upserting 14 days every night.
+
+    Lateness matrix (watermark horizon = 14 days; watermark after
+    batch 1 = max_ts Jan-10 − 14d = Dec-27; after batch 2 = Jan-25 −
+    14d = Jan-11):
+
+    | event (batch 2)        | event time          | vs watermark  | expected |
+    |------------------------|---------------------|---------------|----------|
+    | repair_into_open_win   | 2024-01-01 00:20    | 5d inside     | repaired |
+    | accept_near_horizon    | 2023-12-28 12:00    | 1.5d inside   | accepted |
+    | drop_just_beyond       | 2023-12-26 00:00    | 1d beyond     | dropped  |
+    | drop_far_beyond        | 2023-12-01 00:00    | 26d beyond    | dropped  |
+    | advance (new max)      | 2024-01-25 00:00    | —             | accepted |
+
+    | event (batch 3)        | event time          | vs watermark  | expected |
+    |------------------------|---------------------|---------------|----------|
+    | drop_repair_too_late   | 2024-01-01 00:30    | 10d beyond    | dropped  |
+    | accept_recent          | 2024-01-12 00:00    | 1d inside     | accepted |
+    """
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    def write_file(name, rows):
+        pdf = spark.createDataFrame(
+            [Row(event_id=i, ts=ts, user_id=1, event_type=et, value=1.0, props="{}")
+             for i, (ts, et) in enumerate(rows)],
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        # one parquet FILE per micro-batch: write to a staging dir and
+        # move the part file into the streamed directory atomically
+        stage = tmp_path / f"stage_{name}"
+        pdf.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        part.rename(src / f"{name}.parquet")
+
+    target = ParquetKeyedTable(
+        str(tmp_path / "wm_target"), ["window_start", "event_type"]
+    )
+    write_file("b1", [
+        ("2024-01-01 00:10:00", "w1"),
+        ("2024-01-01 00:40:00", "w1"),
+        ("2024-01-10 00:00:00", "anchor"),
+    ])
+    events = st.read_event_stream(spark, str(src))
+    agg = st.windowed_counts(events, window_duration="1 hour", watermark="14 days",
+                             group_cols=("event_type",))
+    q = (
+        st.upsert_sink(agg, target, str(ckpt), query_name="wm_matrix")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        t1 = {(str(r["window_start"]), r["event_type"]): r["n"]
+              for r in target.read(spark).collect()}
+        assert t1[("2024-01-01 00:00:00", "w1")] == 2  # pre-repair emission
+
+        write_file("b2", [
+            ("2024-01-01 00:20:00", "w1"),        # 5d inside -> repairs w1
+            ("2023-12-28 12:00:00", "near"),      # 1.5d inside -> accepted
+            ("2023-12-26 00:00:00", "late1"),     # 1d beyond -> dropped
+            ("2023-12-01 00:00:00", "late2"),     # 26d beyond -> dropped
+            ("2024-01-25 00:00:00", "advance"),   # new max -> wm = Jan 11
+        ])
+        q.processAllAvailable()
+        write_file("b3", [
+            ("2024-01-01 00:30:00", "too_late"),  # 10d beyond -> dropped
+            ("2024-01-12 00:00:00", "recent"),    # 1d inside -> accepted
+        ])
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+
+    final = {(str(r["window_start"]), r["event_type"]): r["n"]
+             for r in target.read(spark).collect()}
+    # repaired: the already-emitted w1 window row converged to 3, not 4
+    # (the batch-3 attempt was beyond the watermark)
+    assert final[("2024-01-01 00:00:00", "w1")] == 3
+    # accepted within-horizon rows all landed
+    assert final[("2023-12-28 12:00:00", "near")] == 1
+    assert final[("2024-01-25 00:00:00", "advance")] == 1
+    assert final[("2024-01-12 00:00:00", "recent")] == 1
+    assert final[("2024-01-10 00:00:00", "anchor")] == 1
+    # dropped: no window row ever appeared for beyond-horizon events
+    assert not any(et in ("late1", "late2", "too_late") for (_w, et) in final)
+    assert dropped == 3
+    # convergence: the repaired table equals a batch recompute over the
+    # NON-DROPPED events (what the reference's nightly re-upsert yields)
+    surviving = spark.read.parquet(str(src)).where(
+        ~F.col("event_type").isin("late1", "late2", "too_late")
+    )
+    batch = (
+        surviving.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "event_type", "n")
+    )
+    expect = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert {k: v for k, v in final.items()} == expect
