@@ -1,0 +1,632 @@
+"""corpus query-family module — split from the monolithic queries.py
+(round 6). Registration side effects only; the public registry surface
+lives in the package __init__."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bw_new_data_integration_spark import catalog
+from bw_new_data_integration_spark.functions import coercion, keys, text, vectors
+from bw_new_data_integration_spark.operators import (
+    aggregate,
+    dedup,
+    merge,
+    similarity,
+    window_ops,
+)
+from bw_new_data_integration_spark.session import tune_for_oracle_parity  # noqa: F401
+from bw_new_data_integration_spark.queries._shared import (  # noqa: F401
+    _REGISTRY,
+    _ORACLES,
+    register,
+    registry,
+    oracles,
+    _t,
+    _fanout,
+    _collect_capped,
+    _SHINGLE_SQL,
+    _minhash_select_sql,
+    _lsh_oracle,
+    _BOILER_TEXT,
+    _capped_lsh_oracle,
+    _simhash_oracle,
+    _dot_sql,
+    _COS_SQL,
+    _STOPWORD_LIST_SQL,
+    _lang_id_oracle,
+    _PIPELINES_YAML,
+    _pipeline,
+    _lsh_topk_oracle,
+    _lsh_multiprobe_oracle,
+    _xmla_cube_fixture,
+    _IVF_COS_CENT,
+    _near_dup_lsh_oracle,
+    _TOKS_SQL,
+    _cluster_oracle,
+    _dedup_e2e_oracle,
+    _profile_cols,
+
+)
+
+
+@register(
+    "text_quality",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS ltoks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[\sA-Za-z0-9]', '', 'g')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens,
+         CASE WHEN nonspace > 0 THEN CAST(punct AS DOUBLE) / CAST(nonspace AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(ltoks) > 0
+              THEN CAST(len(list_filter(ltoks, t -> list_contains({_STOPWORD_LIST_SQL}, t))) AS DOUBLE) / CAST(len(ltoks) AS DOUBLE)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS mean_token_len,
+         least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS len_ok
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio, mean_token_len,
+       len_ok * 0.3 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+         + least(stopword_ratio * 5.0, 1.0) * 0.3
+         + (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+FROM m
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(c).alias("n_tokens"),
+        text.bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        text.punct_ratio(c).alias("punct_ratio"),
+        text.stopword_ratio(c).alias("stopword_ratio"),
+        text.mean_token_len(c).alias("mean_token_len"),
+        text.quality_score(c).alias("quality"),
+    )
+
+
+@register("text_lang_id", oracle=_lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_actual"), text.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: whole-content hash + minimum 8-char-shingle
+# hash (rolling-hash-style locality fingerprint over the same shingle
+# stream minhash consumes).
+# ---------------------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_fp,
+         lower(text) AS s
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, content_fp,
+         unnest(CASE WHEN length(s) >= 8
+                     THEN list_transform(range(1, length(s) - 8 + 2), i -> substr(s, CAST(i AS INT), 8))
+                     ELSE [s] END) AS shingle
+  FROM base
+)
+SELECT doc_id, content_fp, min(md5(shingle)) AS shingle_fp
+FROM sh GROUP BY doc_id, content_fp
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    shingle_min = F.array_min(F.transform(text.char_shingles(c, 8), lambda s: F.md5(s)))
+    return docs.select(
+        "doc_id",
+        text.fingerprint(c).alias("content_fp"),
+        shingle_min.alias("shingle_fp"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=_TOKS_SQL
+    + """,
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+  FROM tf t JOIN dfreq d USING (term)
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df
+FROM ranked WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus.tfidf_top_terms(docs, k=3)
+    # gate compares the integer-deterministic columns; the tf·idf double
+    # is for consumers (ln ulp differences between engines would make a
+    # float compare flaky without changing the ranking)
+    return out.select("doc_id", "rank", "term", "tf", "df")
+
+
+@register(
+    "unigram_rarity_score",
+    oracle=_TOKS_SQL
+    + """,
+vocab AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(freq) AS BIGINT) AS sum_freq,
+       CAST(SUM(freq) AS DOUBLE) / (COUNT(*) * 1.0) AS mean_freq,
+       MIN(freq) AS min_freq
+FROM toks JOIN vocab USING (term)
+GROUP BY doc_id
+""",
+)
+def unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.unigram_rarity(docs)
+
+
+# ---------------------------------------------------------------------------
+# Text repetition: duplicate word-bigram fraction (Gopher-style
+# boilerplate/spam signal).
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+              ELSE [array_to_string(w, ' ')] END AS g
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN len(g) > 0
+            THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+            ELSE 0.0 END AS rep_ratio
+FROM grams
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.repetition_ratio(F.col("text"), 2).alias("rep_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/valid/test split — the training-data curation
+# primitive. Bucket = md5(doc_id) first 8 hex chars as int mod 100, so
+# membership is a pure function of the row key: stable across runs,
+# partitioning, and cluster size (rand()-based sampling is none of
+# those), and any engine can reproduce the exact same split. 80/10/10.
+# ---------------------------------------------------------------------------
+@register(
+    "sample_deterministic_split",
+    oracle="""
+WITH b AS (
+  SELECT n_chars,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1
+""",
+)
+def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regex redaction of direct identifiers with counts
+# (functions/text.py). PII is synthesized deterministically onto the
+# corpus (the fixtures are clean), mirroring the dirty-coercion
+# pattern; the oracle replays the seeding and the redaction.
+# ---------------------------------------------------------------------------
+@register(
+    "pii_redaction",
+    oracle=rf"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' contact agent' || CAST(doc_id AS VARCHAR) || '@example.com'
+                      ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT CAST(SUM(len(regexp_extract_all(t, '{text.EMAIL_RE}'))) AS BIGINT) AS n_emails,
+       CAST(SUM(len(regexp_extract_all(t, '{text.PHONE_RE}'))) AS BIGINT) AS n_phones,
+       CAST(SUM(CASE WHEN regexp_matches(t, '{text.EMAIL_RE}')
+                       OR regexp_matches(t, '{text.PHONE_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(SUM(length(regexp_replace(regexp_replace(t, '{text.EMAIL_RE}', '[EMAIL]', 'g'),
+                                      '{text.PHONE_RE}', '[PHONE]', 'g'))) AS BIGINT) AS total_redacted_chars
+FROM seeded
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit(" contact agent"), k.cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            k % 7 == 0,
+            F.concat(F.lit(" call 555-123-"), F.lpad((k % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+    )
+    d = docs.select("doc_id", seeded.alias("t"))
+    return d.agg(
+        F.sum(text.pii_email_count(F.col("t"))).cast("bigint").alias("n_emails"),
+        F.sum(text.pii_phone_count(F.col("t"))).cast("bigint").alias("n_phones"),
+        F.sum(
+            F.when(
+                (text.pii_email_count(F.col("t")) > 0)
+                | (text.pii_phone_count(F.col("t")) > 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_docs_with_pii"),
+        F.sum(F.length(text.redact_pii(F.col("t")))).cast("bigint").alias("total_redacted_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture balancing — equalize per-language corpus shares via per-group
+# hash-threshold sampling (operators/sampling.py): no per-group window
+# (which would funnel each language into one task at 100 TB), just a
+# broadcast rate table and a pure column predicate. Deterministic and
+# reproducible across runs and partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_balance",
+    oracle="""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+tgt AS (SELECT MIN(n) AS t FROM counts),
+rates AS (
+  SELECT lang, least(1.0, CAST((SELECT t FROM tgt) AS DOUBLE) / n) AS rate FROM counts
+),
+kept AS (
+  SELECT d.lang, d.n_chars
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+      < CAST(trunc(r.rate * 4294967296) AS BIGINT)
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY 1
+""",
+)
+def mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    balanced = sampling.balance_mixture(docs, "lang", "doc_id")
+    return balanced.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — documents assigned to fixed-token-budget bins
+# (context windows) per hash shard (operators/sampling.py): global
+# greedy packing is sequential, so packing runs within shards —
+# training shards are independent by construction — one shuffle on the
+# shard key, shard size tuned by n_shards.
+# ---------------------------------------------------------------------------
+@register(
+    "pack_sequences",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 16 AS INT) AS shard
+  FROM documents
+),
+t AS (
+  SELECT doc_id, n_chars, shard,
+         SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id) AS csum
+  FROM h
+)
+SELECT shard, CAST(floor((csum - 1) / 2048.0) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bin_chars
+FROM t GROUP BY 1, 2
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = sampling.pack_sequences(docs, "doc_id", "n_chars", budget=2048, n_shards=16)
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bin_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship training-data composite: the whole curation funnel as ONE
+# Catalyst plan — quality gate -> language filter -> exact dedup ->
+# token-budget sequence packing -> per-(shard, bin) manifest. Each
+# stage is the already-gated operator (text.quality_score,
+# functions/text.fingerprint, sampling.pack_sequences); the value here
+# is that the composition stays a single lazy plan: the quality and
+# language predicates reach the scan, dedup is one fingerprint
+# shuffle, packing one shard shuffle — no materialization between
+# stages. The oracle replays the entire funnel in SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "training_corpus_e2e",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars, text,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS ltoks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[\sA-Za-z0-9]', '', 'g')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, n_chars, text,
+         least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3
+         + (1.0 - least((CASE WHEN nonspace > 0 THEN CAST(punct AS DOUBLE) / CAST(nonspace AS DOUBLE) ELSE 0.0 END) * 4.0, 1.0)) * 0.2
+         + least((CASE WHEN len(ltoks) > 0
+                  THEN CAST(len(list_filter(ltoks, t -> list_contains({_STOPWORD_LIST_SQL}, t))) AS DOUBLE) / CAST(len(ltoks) AS DOUBLE)
+                  ELSE 0.0 END) * 5.0, 1.0) * 0.3
+         + (CASE WHEN (CASE WHEN len(toks) > 0
+                       THEN CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         AS quality
+  FROM base
+),
+filt AS (
+  SELECT doc_id, n_chars,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+  FROM m WHERE quality >= 0.65 AND lang = 'en'
+),
+kept AS (
+  SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM filt
+  ) WHERE rn = 1
+),
+h AS (
+  SELECT doc_id, n_chars,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 16 AS INT) AS shard
+  FROM kept
+),
+t AS (
+  SELECT doc_id, n_chars, shard,
+         SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id) AS csum
+  FROM h
+)
+SELECT shard, CAST(floor((csum - 1) / 2048.0) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bin_chars
+FROM t GROUP BY 1, 2
+""",
+)
+def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    c = F.col("text")
+    filt = docs.filter((text.quality_score(c) >= 0.65) & (F.col("lang") == "en"))
+    w = Window.partitionBy(text.fingerprint(c)).orderBy("doc_id")
+    kept = (
+        filt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars")
+    )
+    packed = sampling.pack_sequences(kept, "doc_id", "n_chars", budget=2048, n_shards=16)
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bin_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-shard shuffle — md5(id) is both the
+# pseudo-random permutation key and the shard assignment, so the
+# shuffled order is identical on any cluster size (the property a
+# resumable data loader needs). One hash shuffle; no global sort. The
+# gate pins per-shard membership (count, hash-sum checksum) and the
+# within-shard order head (min shuffle_key's doc).
+# ---------------------------------------------------------------------------
+@register(
+    "shuffle_shards",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS BIGINT) AS sk
+  FROM documents
+)
+SELECT CAST(sk % 32 AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(sk) AS BIGINT) AS key_checksum,
+       CAST(MIN(sk) AS BIGINT) AS min_key,
+       CAST(MAX(sk) AS BIGINT) AS max_key
+FROM h GROUP BY 1
+""",
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sh = sampling.shuffle_shards(docs, "doc_id", n_shards=32)
+    return sh.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("shuffle_key").cast("bigint").alias("key_checksum"),
+        F.min("shuffle_key").cast("bigint").alias("min_key"),
+        F.max("shuffle_key").cast("bigint").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — fixed-token context windows with overlap (the
+# prep step between cleaning and pack_sequences). Row-local explode of
+# slice() windows: no shuffle, whole-stage codegen end to end, output
+# grows with chunk count only. Chunk grain verified value-exact: the
+# oracle recomputes every chunk's text via the same stride arithmetic
+# in DuckDB list slicing.
+# ---------------------------------------------------------------------------
+@register(
+    "chunk_documents",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         GREATEST(1, CAST(CEIL((len(toks) - 8) / 24.0) AS BIGINT)) AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, toks
+  FROM c
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text,
+       CAST(len(toks[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT) AS chunk_tokens
+FROM e
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return sampling.chunk_documents(docs, "text", max_tokens=32, overlap=8).select(
+        "doc_id", "chunk_id", "chunk_text", "chunk_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution — fuzzy match via blocking + edit-distance verify:
+# the standard two-phase shape (cheap equi-join block, expensive
+# levenshtein only within blocks). The blocking key is the name with its
+# last 2 characters dropped: two names within edit distance 2 whose
+# edits fall in the suffix share a block, block membership is bounded
+# (<=|alphabet|^2 names per block, independent of corpus size), and
+# block *cardinality* grows with the data — so the equi-join stays
+# balanced at any scale. (A fixed-length prefix is degenerate on
+# sequential-ID-style names: every row lands in one block and the join
+# goes quadratic.) Blocked ER trades recall for scale by design; the
+# oracle defines the same blocked semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "er_fuzzy_match",
+    oracle="""
+SELECT a.c_nationkey AS nationkey, COUNT(*) AS n_pairs
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND substring(a.c_name, 1, length(a.c_name) - 2) = substring(b.c_name, 1, length(b.c_name) - 2)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+GROUP BY 1
+""",
+)
+def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    blk = F.expr("substring(c_name, 1, length(c_name) - 2)")
+    a = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("nationkey"),
+        blk.alias("a_blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("b_nat"),
+        blk.alias("b_blk"),
+    )
+    pairs = a.join(
+        b,
+        (a.nationkey == b.b_nat) & (a.a_blk == b.b_blk) & (a.a_key < b.b_key),
+    ).filter(F.levenshtein("a_name", "b_name") <= 2)
+    return pairs.groupBy("nationkey").agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Salted deterministic fraction sampling (round 5, beyond-reference):
+# the parameterized member of the hash-sampling family
+# (operators/sampling.py). sample_deterministic_split /
+# split_leakage_free fix an 80/10/10 bucket split; hash_sample adds the
+# two knobs pipelines actually turn — arbitrary fraction and a SALT, so
+# repeated draws from the same corpus are independent (salt 's1' vs
+# 's2' select uncorrelated subsets) while each draw stays a pure
+# scan-side filter any engine can replay exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "sample_deterministic",
+    oracle="""
+WITH sampled AS (
+  SELECT doc_id, lang
+  FROM documents
+  WHERE ('0x' || substring(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 25
+)
+SELECT lang, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM sampled GROUP BY lang
+""",
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from bw_new_data_integration_spark.operators.sampling import hash_sample
+
+    sampled = hash_sample(docs, key=F.col("doc_id"), fraction=0.25, salt="s1")
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )

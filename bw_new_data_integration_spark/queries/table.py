@@ -1,0 +1,233 @@
+"""table query-family module — split from the monolithic queries.py
+(round 6). Registration side effects only; the public registry surface
+lives in the package __init__."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bw_new_data_integration_spark import catalog
+from bw_new_data_integration_spark.functions import coercion, keys, text, vectors
+from bw_new_data_integration_spark.operators import (
+    aggregate,
+    dedup,
+    merge,
+    similarity,
+    window_ops,
+)
+from bw_new_data_integration_spark.session import tune_for_oracle_parity  # noqa: F401
+from bw_new_data_integration_spark.queries._shared import (  # noqa: F401
+    _REGISTRY,
+    _ORACLES,
+    register,
+    registry,
+    oracles,
+    _t,
+    _fanout,
+    _collect_capped,
+    _SHINGLE_SQL,
+    _minhash_select_sql,
+    _lsh_oracle,
+    _BOILER_TEXT,
+    _capped_lsh_oracle,
+    _simhash_oracle,
+    _dot_sql,
+    _COS_SQL,
+    _STOPWORD_LIST_SQL,
+    _lang_id_oracle,
+    _PIPELINES_YAML,
+    _pipeline,
+    _lsh_topk_oracle,
+    _lsh_multiprobe_oracle,
+    _xmla_cube_fixture,
+    _IVF_COS_CENT,
+    _near_dup_lsh_oracle,
+    _TOKS_SQL,
+    _cluster_oracle,
+    _dedup_e2e_oracle,
+    _profile_cols,
+
+)
+
+
+
+# ---------------------------------------------------------------------------
+# K5 — schema-evolving merge: the source carries a column the target
+# lacks; after the upsert the new column exists (null for untouched
+# rows) and every source row carries it — the mergeSchema semantics the
+# reference implements with metadata add-column scripts
+# (dataverse_table_creation/add_*_columns.py).
+# ---------------------------------------------------------------------------
+@register(
+    "k5_schema_evolution",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey AS k, o_totalprice AS price FROM orders WHERE o_orderkey % 2 = 0
+),
+source AS (
+  SELECT o_orderkey AS k, o_totalprice * CAST(1.1 AS DOUBLE) AS price,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+merged AS (
+  SELECT t.k, t.price, CAST(NULL AS VARCHAR) AS priority FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.k = t.k)
+  UNION ALL
+  SELECT k, price, priority FROM source
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(COUNT(priority) AS BIGINT) AS n_with_new_col,
+       CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+FROM merged
+""",
+)
+def k5_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    target = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    source = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    merged = merge.merge_upsert(target, source, ["k"], evolve_schema=True)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count("priority").cast("bigint").alias("n_with_new_col"),
+        aggregate.exact_sum("price").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — bucketed co-located join (round 5): both sides written
+# bucketBy(8, key) so the equi-join runs with NO Exchange on either
+# side — the structural shuffle elimination a repeatedly-joined 100 TB
+# fact table pays for once at write time. The zero-shuffle plan shape
+# is pinned by test_bucketed_join_no_shuffle; this gate pins the
+# VALUES against a plain-join oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "j9_bucketed_join",
+    oracle="""
+SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1
+""",
+)
+def j9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="bw_bkt_")  # unique per run: external
+    # tables never collide with a previous session's warehouse leftovers
+    catalog.write_bucketed(
+        c, "bw_bkt_customer", ["c_custkey"], n_buckets=8,
+        sort_cols=["c_custkey"], path=base + "/customer",
+    )
+    catalog.write_bucketed(
+        o, "bw_bkt_orders", ["c_custkey"], n_buckets=8,
+        sort_cols=["c_custkey"], path=base + "/orders",
+    )
+    return (
+        spark.table("bw_bkt_customer")
+        .join(spark.table("bw_bkt_orders"), "c_custkey")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            aggregate.exact_sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (round 5, operators/zorder.py): Morton-interleave
+# two key columns so files cover rectangles of the key space — the
+# multi-column pruning layout for 100 TB fact tables. The gate pins
+# the z-VALUE computation (bit interleave, pure expressions) against
+# the identical SQL; the file-skipping locality win is pinned by
+# test_zorder_box_query_locality.
+# ---------------------------------------------------------------------------
+from bw_new_data_integration_spark.operators.zorder import zorder_sql as _zsql  # noqa: E402
+
+
+@register(
+    "zorder_values",
+    oracle=f"""
+WITH keys AS (
+  SELECT o_orderkey % 1024 AS x, o_custkey % 1024 AS y FROM orders
+),
+z AS (SELECT x, y, {_zsql('x', 'y', 10)} AS zv FROM keys)
+SELECT CAST(zv >> 14 AS BIGINT) AS z_bucket,
+       COUNT(*) AS n,
+       CAST(MIN(zv) AS BIGINT) AS min_z,
+       CAST(MAX(zv) AS BIGINT) AS max_z
+FROM z GROUP BY 1
+""",
+)
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bw_new_data_integration_spark.operators import zorder
+
+    o = _t(spark, sf_dir, "orders")
+    zv = zorder.z_value(F.col("o_orderkey") % 1024, F.col("o_custkey") % 1024, bits=10)
+    return (
+        o.select(zv.alias("zv"))
+        .groupBy(F.shiftright(F.col("zv"), 14).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zv").cast("bigint").alias("min_z"),
+            F.max("zv").cast("bigint").alias("max_z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K6 — change data feed (round 5): the row-level diff between two
+# table versions, Delta CDF-shaped. The fixture builds v0 from one
+# deterministic slice of orders, upserts a second slice (some keys
+# update with new values, some insert) and deletes a third; the oracle
+# computes the same diff straight from the orders table. At 100 TB the
+# diff is one key-shuffled full-outer join; unchanged rows never leave
+# the join.
+# ---------------------------------------------------------------------------
+@register(
+    "k6_change_data_feed",
+    oracle="""
+WITH v0 AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 7 IN (0, 1, 2, 3)
+),
+batch AS (  -- upserted on top of v0: %7 in (2,3) update (price*2), (4,5) insert
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) * 2 AS price
+  FROM orders WHERE o_orderkey % 7 IN (2, 3, 4, 5)
+),
+deleted AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 = 0)
+SELECT k, price, 'insert' AS _change_type FROM batch WHERE k % 7 IN (4, 5)
+UNION ALL
+SELECT k, price, 'update_postimage' FROM batch WHERE k % 7 IN (2, 3)
+UNION ALL
+SELECT v0.k, v0.price, 'delete' FROM v0 JOIN deleted USING (k)
+""",
+)
+def k6_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").cast("double").alias("price")
+    )
+    t = ParquetKeyedTable(tempfile.mkdtemp(prefix="bw_cdf_") + "/t", ["k"])
+    t.overwrite(o.where(F.col("k") % 7 <= 3))
+    t.upsert(
+        spark,
+        o.where((F.col("k") % 7).isin(2, 3, 4, 5)).withColumn("price", F.col("price") * 2),
+    )
+    t.delete_keys(spark, o.where(F.col("k") % 7 == 0).select("k"))
+    return t.changes(spark, 0)
