@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the engine's operator registry
-(bw_new_data_integration_spark/queries.py) for the DuckDB-oracle
+(bw_new_data_integration_spark/queries/) for the DuckDB-oracle
 correctness gate.
 """
 

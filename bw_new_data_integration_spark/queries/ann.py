@@ -101,6 +101,7 @@ def ann_brute_topk_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register("ann_lsh_topk", oracle=_lsh_topk_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via sign-LSH buckets (cosine; bucket join, no corpus self-join)."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.lsh_topk(emb, qs, k=10, n_planes=8, dim=64, seed=7)
@@ -117,6 +118,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("ann_lsh_multiprobe", oracle=_lsh_multiprobe_oracle())
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via sign-LSH with multiprobe (flip-1 neighbor buckets) to recover recall."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.lsh_topk_multiprobe(emb, qs, k=10, n_planes=8, dim=64, seed=7)
@@ -168,6 +170,7 @@ SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE
 """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF inverted lists (stride-sampled centroids, nprobe buckets)."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.ivf_topk(emb, qs, k=10, centroid_stride=20, nprobe=2, dim=64)
@@ -176,6 +179,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_embedding_near_dups_lsh", oracle=_near_dup_lsh_oracle())
 def dedup_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH buckets (scale path)."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dups_lsh(emb, threshold=0.3, n_planes=4, dim=64, seed=7)
 
@@ -201,6 +205,7 @@ GROUP BY 1, 2
 """,
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroid (dimension-wise mean over array<float>)."""
     emb = _t(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "e")

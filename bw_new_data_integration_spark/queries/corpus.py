@@ -84,6 +84,7 @@ FROM m
 """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: length, punctuation, stopword and token-length features."""
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
     return docs.select(
@@ -99,6 +100,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("text_lang_id", oracle=_lang_id_oracle())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language identification per document."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.col("lang").alias("lang_actual"), text.lang_id(F.col("text")).alias("lang_pred")
@@ -131,6 +133,7 @@ FROM sh GROUP BY doc_id, content_fp
 """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min hash over 8-char shingles (winnowing-style content signature)."""
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
     shingle_min = F.array_min(F.transform(text.char_shingles(c, 8), lambda s: F.md5(s)))
@@ -158,6 +161,7 @@ FROM ranked WHERE rank <= 3
 """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms per document (log-idf, length-normalized tf)."""
     from bw_new_data_integration_spark.operators import corpus
 
     docs = _t(spark, sf_dir, "documents")
@@ -182,6 +186,7 @@ GROUP BY doc_id
 """,
 )
 def unigram_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram rarity score from corpus frequency table."""
     from bw_new_data_integration_spark.operators import corpus
 
     docs = _t(spark, sf_dir, "documents")
@@ -214,6 +219,7 @@ FROM grams
 """,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: duplicate line/paragraph and top-2-gram concentration per document."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", text.repetition_ratio(F.col("text"), 2).alias("rep_ratio"))
 
@@ -240,6 +246,7 @@ FROM b GROUP BY 1
 """,
 )
 def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split into train/valid/test with stable fractions."""
     docs = _t(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -288,6 +295,7 @@ FROM seeded
 """,
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: email/phone/SSN patterns masked with typed placeholders."""
     docs = _t(spark, sf_dir, "documents")
     k = F.col("doc_id")
     seeded = F.concat(
@@ -344,6 +352,7 @@ FROM kept GROUP BY 1
 """,
 )
 def mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: per-source sampling rates to hit target corpus proportions."""
     from bw_new_data_integration_spark.operators import sampling
 
     docs = _t(spark, sf_dir, "documents")
@@ -380,6 +389,7 @@ FROM t GROUP BY 1, 2
 """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy first-fit of chunks into fixed-size training sequences."""
     from bw_new_data_integration_spark.operators import sampling
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -453,6 +463,7 @@ FROM t GROUP BY 1, 2
 """,
 )
 def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build: quality filter, dedup, chunk, pack, split."""
     from bw_new_data_integration_spark.operators import sampling
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
@@ -496,6 +507,7 @@ FROM h GROUP BY 1
 """,
 )
 def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment + within-shard shuffle order for training data loading."""
     from bw_new_data_integration_spark.operators import sampling
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -541,6 +553,7 @@ FROM e
 """,
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking with overlap; one row per chunk with offsets."""
     from bw_new_data_integration_spark.operators import sampling
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -576,6 +589,7 @@ GROUP BY 1
 """,
 )
 def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match: blocked candidates scored by edit-distance similarity."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     blk = F.expr("substring(c_name, 1, length(c_name) - 2)")
     a = c.select(
@@ -621,6 +635,7 @@ FROM sampled GROUP BY lang
 """,
 )
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based row sampling (stable across partitioning and engines)."""
     docs = _t(spark, sf_dir, "documents")
     from bw_new_data_integration_spark.operators.sampling import hash_sample
 

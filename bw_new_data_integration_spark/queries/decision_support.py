@@ -79,6 +79,7 @@ FROM probes p ASOF LEFT JOIN quotes q
 """,
 )
 def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each left row matched to the latest right row at-or-before its timestamp."""
     from bw_new_data_integration_spark.operators.asof import asof_join
     from bw_new_data_integration_spark.operators.merge import dedupe_latest
 
@@ -122,6 +123,7 @@ GROUP BY e.user_id, e.event_id
 """,
 )
 def j6_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: count events falling in value intervals (bucketed to avoid the cross product)."""
     from bw_new_data_integration_spark.operators.range_join import count_preceding_events
 
     ev = _t(spark, sf_dir, "events")
@@ -145,6 +147,7 @@ GROUP BY 1, 2
 """,
 )
 def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a dimension hierarchy with grouping-level labels."""
     ev = _t(spark, sf_dir, "events")
     minute = aggregate.time_rollup(ev, "ts", 60, ["event_type"])
     hour = aggregate.rollup_up(minute, 3600, ["event_type"])
@@ -174,6 +177,7 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """,
 )
 def a6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregate over chosen dimension combinations."""
     o = _t(spark, sf_dir, "orders")
     o.createOrReplaceTempView("__orders_gs")
     return spark.sql(
@@ -204,6 +208,7 @@ FROM orders GROUP BY o_orderstatus
 """,
 )
 def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (median/p90) with deterministic interpolation."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.percentile("o_totalprice", 0.5).alias("med_total"),
@@ -234,6 +239,7 @@ FROM orders GROUP BY o_orderstatus
 """,
 )
 def a9_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via percentile_approx sketch, error-bounded against exact."""
     o = _t(spark, sf_dir, "orders")
     # accuracy 100 -> guaranteed rank error <= 1/100; gate against the
     # exact values at p +/- 0.05 (stricter than the 0.01 guarantee by
@@ -283,6 +289,7 @@ FROM ranked WHERE rk <= 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q3: unshipped-order revenue by priority (top-10)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -337,6 +344,7 @@ GROUP BY 1
 """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q5: revenue where customer and supplier share a nation, by nation."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -391,6 +399,7 @@ GROUP BY 1, 2, 3
 """,
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q7: cross-nation shipping volume by year for a nation pair."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
@@ -451,6 +460,7 @@ FROM rev ORDER BY revenue DESC, c_custkey LIMIT 20
 """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q10: top customers by returned-item revenue in a quarter."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -489,6 +499,7 @@ FROM (
 """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q14: promotional revenue share in a month."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate").cast("date") >= F.lit("1995-09-01"))
         & (F.col("l_shipdate").cast("date") < F.lit("1995-10-01"))
@@ -533,6 +544,7 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETW
 """,
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q19: revenue under disjunctive brand/container/quantity predicates."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     j = li.join(p, li.l_partkey == p.p_partkey)
@@ -582,6 +594,7 @@ FROM s
 """,
 )
 def a10_sales_trend_per_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-store sales trend: windowed period-over-period delta and running total."""
     li = _t(spark, sf_dir, "lineitem")
     daily = (
         li.groupBy(
@@ -627,6 +640,7 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
 """,
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q6: revenue change from a quantity/discount band over one year."""
     li = _t(spark, sf_dir, "lineitem")
     d = F.col("l_shipdate").cast("date")
     filt = li.filter(
@@ -665,6 +679,7 @@ GROUP BY o_orderpriority
 """,
 )
 def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q4: order-priority counts with a late-lineitem EXISTS filter."""
     o = _t(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     o = o.filter((d >= F.lit("1996-01-01")) & (d < F.lit("1996-04-01")))
@@ -709,6 +724,7 @@ FROM base GROUP BY o_year
 """,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q8: nation market share within region by year."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").cast("date").between("1995-01-01", "1996-12-31")
@@ -766,6 +782,7 @@ FROM per_cust GROUP BY c_count
 """,
 )
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q13: distribution of customers by order count (left join)."""
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
     per_cust = (
@@ -804,6 +821,7 @@ GROUP BY s.s_name
 """,
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q21: suppliers who kept multi-supplier orders waiting (EXISTS/NOT EXISTS)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
@@ -866,6 +884,7 @@ GROUP BY cntrycode
 """,
 )
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q22: dormant customers above-average balance with no orders (anti join)."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     pool = c.filter((F.col("c_custkey") % 7).isin(1, 3, 5)).withColumn(
         "cntrycode", (F.col("c_custkey") % 7).cast("bigint")
@@ -930,6 +949,7 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 """,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q2: minimum-cost supplier per part via correlated min subquery."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -992,6 +1012,7 @@ GROUP BY nation, o_year
 """,
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q9: profit by nation and year for a product line."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     p = (
@@ -1056,6 +1077,7 @@ WHERE value > (SELECT SUM(CAST(value AS DECIMAL(27,6)))::DECIMAL(38,6)::DOUBLE
 """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q11: stock value groups above a scaled national threshold (HAVING)."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1").select("n_nationkey")
@@ -1109,6 +1131,7 @@ GROUP BY ship_class
 """,
 )
 def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q12: late shipments split by order-priority class per ship mode."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
     sd = F.col("l_shipdate").cast("date")
@@ -1147,6 +1170,7 @@ WHERE rev.total_rev = (SELECT MAX(total_rev) FROM rev)
 """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q15: top supplier(s) by quarterly revenue vs the max (view + tie)."""
     li = _t(spark, sf_dir, "lineitem")
     sd = F.col("l_shipdate").cast("date")
     rev = (
@@ -1192,6 +1216,7 @@ GROUP BY p.p_brand, p.p_type, p.p_size
 """,
 )
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q16: supplier counts per part attribute excluding flagged suppliers."""
     ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     p = (
         _t(spark, sf_dir, "part")
@@ -1242,6 +1267,7 @@ WHERE CAST(sq.supp_qty AS DOUBLE) > CAST(tq.total_qty AS DOUBLE) * 0.5
 """,
 )
 def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q20: suppliers holding excess stock of promoted parts (semi joins)."""
     li = _t(spark, sf_dir, "lineitem")
     sd = F.col("l_shipdate").cast("date")
     sq = (
@@ -1288,6 +1314,7 @@ GROUP BY 1
 """,
 )
 def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: orders having at least one matching high-value lineitem."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     active = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
@@ -1322,6 +1349,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
 )
 def o9_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking family: rank, dense_rank, percent_rank, ntile over one ordered window."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -1355,6 +1383,7 @@ FROM orders
 """,
 )
 def o4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over an ordered row window per key."""
     o = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -1387,6 +1416,7 @@ SELECT 'intersect_all' AS op, COUNT(*) AS n FROM both_ab
 """,
 )
 def o5_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT between two derived keysets."""
     o = _t(spark, sf_dir, "orders")
     a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
@@ -1418,6 +1448,7 @@ GROUP BY 1
 """,
 )
 def j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
@@ -1457,6 +1488,7 @@ WHERE l.l_quantity < t.qty_thr
 """,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q17: small-quantity revenue vs 0.2x per-part average (correlated avg)."""
     li = _t(spark, sf_dir, "lineitem")
     p = (
         _t(spark, sf_dir, "part")
@@ -1505,6 +1537,7 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-support Q18: customers with orders above a total-quantity threshold."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -1602,6 +1635,7 @@ UNION ALL SELECT 'purchase_after_click' AS stage, COUNT(*) AS n_users FROM p
 """,
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-funnel conversion rates per step with session scoping."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -1666,6 +1700,7 @@ GROUP BY 1
 """,
 )
 def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quantile binning of a numeric column into labeled buckets."""
     docs = _t(spark, sf_dir, "documents")
     probs = [i / 10 for i in range(1, 10)]
     # boundaries collected to the driver (9 doubles) and inlined as
@@ -1718,6 +1753,7 @@ SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_or
 """,
 )
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact table profiling: per-column null/distinct/min/max statistics."""
     from bw_new_data_integration_spark.operators import profiling
 
     o = _t(spark, sf_dir, "orders")
@@ -1750,6 +1786,7 @@ SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_or
 """,
 )
 def profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based table profiling: approx distinct + percentile per column in one pass."""
     from bw_new_data_integration_spark.operators import profiling
 
     o = _t(spark, sf_dir, "orders")
@@ -1801,6 +1838,7 @@ SELECT 'custkey_not_null',
 """,
 )
 def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations: rule violations counted per constraint."""
     o = _t(spark, sf_dir, "orders")
     rules = {
         "positive_totalprice": F.col("o_totalprice") > 0,
@@ -1860,6 +1898,7 @@ GROUP BY 1, 2
 """,
 )
 def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time lookup: the dimension row valid at a given timestamp."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     dim = c.select(
@@ -1920,6 +1959,7 @@ FROM active97 a
 """,
 )
 def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build: change detection into validity ranges with current flags."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     dim = c.select(
@@ -1968,6 +2008,7 @@ FROM streaks GROUP BY 1
 """,
 )
 def o7_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (date - dense_rank grouping)."""
     ev = _t(spark, sf_dir, "events")
     days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
     w = Window.partitionBy("user_id").orderBy("d")
@@ -2003,6 +2044,7 @@ GROUP BY ROLLUP(c_nationkey, year(CAST(o_orderdate AS DATE)))
 """,
 )
 def o10_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain rollup (day/month/year) materialized in one pass with GROUPING ID labels."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
@@ -2074,6 +2116,7 @@ FROM anchored
 """,
 )
 def o11_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with linear interpolation between observed points per series."""
     ev = _t(spark, sf_dir, "events")
     sparse = (
         ev.where(F.col("event_id") % 17 == 0)

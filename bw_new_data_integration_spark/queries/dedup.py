@@ -64,6 +64,7 @@ FROM documents GROUP BY 1
 """,
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on content hash: one representative row per hash, one shuffle."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs)
 
@@ -73,6 +74,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("dedup_minhash_signatures", oracle=_minhash_select_sql(4))
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature computation per document (shingle -> k-min hash values)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_signatures(docs, num_hashes=4)
 
@@ -92,6 +94,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\n) WHERE a_id % 10 = 0 OR b_id % 10 = 0",
 )
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup: new batch probed against a stored bucket index, no re-shingling of history."""
     docs = _t(spark, sf_dir, "documents")
     new_batch = docs.where(F.col("doc_id") % 10 == 0)
     historical = docs.where(F.col("doc_id") % 10 != 0)
@@ -105,6 +108,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_lsh_candidates", oracle=_lsh_oracle())
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH candidate pairs from MinHash signatures (bucket equi-join)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs, num_hashes=12, bands=4)
 
@@ -166,12 +170,14 @@ def dedup_ngram_jaccard_exact_baseline(spark: SparkSession, sf_dir: str) -> Data
 
 @register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document with Hamming-distance near-dup pairs."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs)
 
 
 @register("dedup_cluster_keep_list", oracle=_cluster_oracle(5))
 def dedup_cluster_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering to a canonical keep-list (min-id representative per component)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard(docs, threshold=0.5).select("a_id", "b_id")
     return dedup.cluster_duplicates(docs.select("doc_id"), pairs, max_iter=5)
@@ -219,6 +225,7 @@ FROM (
     ),
 )
 def split_neardup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split that keeps near-duplicate clusters on one side (leakage-safe)."""
     docs = _t(spark, sf_dir, "documents")
     # same hub-star verification cap as dedup_pipeline_e2e (and its
     # oracle) — split assignment is cluster-keyed, and the cap keeps
@@ -268,6 +275,7 @@ FROM b GROUP BY 1
 """,
 )
 def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split: exact-duplicate groups forced to a single side."""
     docs = _t(spark, sf_dir, "documents")
     f = text.fingerprint(F.col("text"))
     bucket = F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("bigint") % 100
@@ -304,6 +312,7 @@ HAVING COUNT(*) >= 3
 """,
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram contamination check: broadcast eval shingles probed against the corpus."""
     from bw_new_data_integration_spark.operators import contamination
 
     docs = _fanout(spark, _t(spark, sf_dir, "documents"))

@@ -78,6 +78,7 @@ FROM documents
 """,
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image header decode (PNG/GIF/JPEG dims, mode, bit depth) as typed metadata columns."""
     from bw_new_data_integration_spark.operators import multimodal
 
     docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -148,6 +149,7 @@ FROM documents WHERE doc_id % 4 IN (2, 3)
 """,
 )
 def mm_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PNG/GIF pixel decode (inflate+defilter / LZW) with per-image pixel statistics."""
     from bw_new_data_integration_spark.operators import multimodal
 
     docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -201,6 +203,7 @@ FROM documents
 """,
 )
 def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG grayscale decode (Huffman+IDCT) with pixel-stat verification."""
     from bw_new_data_integration_spark.operators import multimodal
 
     docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id"))
@@ -251,6 +254,7 @@ FROM documents
 """,
 )
 def mm_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG YCbCr 4:4:4 color decode via 256-entry Huffman LUT, vectorized."""
     from bw_new_data_integration_spark.operators import multimodal
 
     docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id"))
@@ -340,6 +344,7 @@ FROM documents WHERE doc_id % 4 = 3
 """,
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV/G.711 audio decode: sample rate, duration, PCM amplitude statistics."""
     from bw_new_data_integration_spark.operators import multimodal
 
     docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -394,6 +399,7 @@ FROM documents WHERE doc_id % 5 = 4
 """,
 )
 def mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/Y4M container metadata extraction (codec, dims, duration) without full decode."""
     from bw_new_data_integration_spark.operators import multimodal
 
     docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -459,6 +465,7 @@ FROM fr
 """,
 )
 def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y4M frame decode with presentation-time sampling; per-frame luma statistics."""
     from bw_new_data_integration_spark.operators import multimodal
 
     docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -522,6 +529,7 @@ FROM documents WHERE doc_id % 4 IN (2, 3)
 """,
 )
 def mm_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real thumbnail resize over decoded image bytes (Arrow mapInPandas, area-mean downsample)."""
     from bw_new_data_integration_spark.operators import multimodal
 
     docs = _fanout(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))

@@ -75,6 +75,7 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (decision-support Q1 shape): grouped multi-measure aggregate with exact decimal accumulation."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
     d6 = lambda c: F.col(c).cast("decimal(27,6)")  # noqa: E731
     # Factor precisions are chosen so every product stays within
@@ -119,6 +120,7 @@ GROUP BY 1, 2, 3, 4, 5
 """,
 )
 def a2_grouped_5dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-dimension grouped aggregate (SURVEY A2 grain)."""
     o = _t(spark, sf_dir, "orders")
     return aggregate.grouped_multi_measure(
         o.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
@@ -155,6 +157,7 @@ FROM g
 """,
 )
 def a3_ratio_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation ratio measures (safe division after the aggregate)."""
     li = _t(spark, sf_dir, "lineitem")
     total = li.count()
     g = li.groupBy("l_returnflag").agg(
@@ -196,6 +199,7 @@ WINDOW w AS (PARTITION BY nation ORDER BY o_year)
 """,
 )
 def a4_yoy_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year sales: this-year vs last-year per group with growth ratio."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -223,6 +227,7 @@ GROUP BY o_orderstatus
 """,
 )
 def a5_union_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of partial aggregates from period slices, re-aggregated to the final grain."""
     o = _t(spark, sf_dir, "orders")
     slices = [o.filter(F.year("o_orderdate") == y) for y in (1995, 1996, 1997, 1998)]
     return (
@@ -256,6 +261,7 @@ FROM grain g LEFT JOIN fact f ON g.r_name = f.r_name AND g.o_orderpriority = f.o
 """,
 )
 def j1_crossjoin_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grain densify via controlled cross join of small dimension domains."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -289,6 +295,7 @@ GROUP BY 1
 """,
 )
 def j2_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension lookup with create-vs-update split of incoming rows."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
@@ -325,6 +332,7 @@ FROM merged GROUP BY o_orderstatus
 """,
 )
 def j4_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE upsert: update matched rows, insert unmatched, one shuffle."""
     o = _t(spark, sf_dir, "orders")
     target = o.filter(F.col("o_orderdate") < "1998-01-01").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -355,6 +363,7 @@ FROM ranked WHERE rn = 1
 """,
 )
 def k1_dedupe_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup per business key (total-order window over all output columns)."""
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "ship_d", F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd")
     )
@@ -377,6 +386,7 @@ GROUP BY o_orderstatus
 """,
 )
 def k2_delete_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass delete of rows matching a keyed predicate (anti join materialization)."""
     o = _t(spark, sf_dir, "orders")
     doomed = o.filter(F.col("o_custkey") % 5 == 0).select("o_orderkey")
     remaining = merge.delete_matching(o, doomed, ["o_orderkey"])
@@ -399,6 +409,7 @@ GROUP BY 1
 """,
 )
 def k4_merge_update_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed update-only merge of a column subset; unmatched source rows ignored."""
     o = _t(spark, sf_dir, "orders")
     src = o.filter(F.col("o_custkey") % 7 == 0).select(
         "o_orderkey", F.lit("PATCHED").alias("o_orderpriority")
@@ -422,6 +433,7 @@ FROM orders
 """,
 )
 def p3_business_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-key derivation from a key template (cleaned, zero-padded components)."""
     o = _t(spark, sf_dir, "orders")
     cust = F.col("o_custkey").cast("string")
     d = keys.key_date(F.col("o_orderdate"))
@@ -452,6 +464,7 @@ SELECT * FROM r WHERE l_returnflag != 'All' AND l_linestatus != 'All'
 """,
 )
 def f2_rollup_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discard 'All'/rollup member rows so only leaf-grain rows remain."""
     li = _t(spark, sf_dir, "lineitem")
     rolled = (
         li.rollup("l_returnflag", "l_linestatus")
@@ -484,6 +497,7 @@ FROM g WHERE f_total IS NOT NULL OR o_total IS NOT NULL
 """,
 )
 def f3_non_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON EMPTY semantics: drop rows where every measure is null/zero."""
     o = _t(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(27,6)")
     return aggregate.grouped_multi_measure(
@@ -552,6 +566,7 @@ GROUP BY event_type
 """,
 )
 def f6_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7/14-day window filter anchored at the data's max date."""
     ev = _t(spark, sf_dir, "events")
     sliced = window_ops.trailing_window(ev, "ts", 14)
     return sliced.groupBy("event_type").agg(
@@ -590,6 +605,7 @@ FROM coerced
 """,
 )
 def c2_dirty_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-value integer coercion: comma strip, truncation parity, null tokens."""
     o = _t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     dirty = o.select(
@@ -649,6 +665,7 @@ FROM parsed GROUP BY 1
 """,
 )
 def c6_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format date-only parsing to a canonical date."""
     o = _t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     d = F.col("o_orderdate").cast("date")
@@ -696,6 +713,7 @@ FROM events GROUP BY 1
 """,
 )
 def c10_day_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-part bucketing of timestamps (morning/afternoon/evening/night)."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.withColumn("day_part", coercion.day_part(F.hour("ts")))
@@ -721,6 +739,7 @@ FROM ranked WHERE rk <= 3
 """,
 )
 def o2_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k rows per group via ranked window with unique-key tie-break."""
     o = _t(spark, sf_dir, "orders")
     ranked = window_ops.top_k_per_group(
         o, ["o_orderpriority"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3
@@ -750,6 +769,7 @@ SELECT user_id, SUM(is_new)::BIGINT AS n_sessions FROM g GROUP BY user_id
 """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap-based session ids per user (window lag + cumulative sum)."""
     ev = _t(spark, sf_dir, "events")
     sess = window_ops.sessionize(ev, "user_id", "ts", gap_minutes=30)
     return sess.groupBy("user_id").agg(F.max("session_seq").cast("bigint").alias("n_sessions"))
@@ -788,6 +808,7 @@ FROM s GROUP BY user_id, sess
 """,
 )
 def o8_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via native session_window aggregation (gap-based)."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -821,6 +842,7 @@ FROM events
 """,
 )
 def c5_datetime_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime to UTC ISO-8601 Z-instant coercion."""
     ev = _t(spark, sf_dir, "events")
     raw = ev.select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("raw"))
     return raw.select(
@@ -843,6 +865,7 @@ FROM events
 """,
 )
 def c7_time_hhmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loose time-string coercion to HH:MM."""
     ev = _t(spark, sf_dir, "events")
     k = F.col("event_id")
     h, m = F.hour("ts"), F.minute("ts")
@@ -875,6 +898,7 @@ GROUP BY event_type
 """,
 )
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from a nested properties column into typed fields."""
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(
@@ -900,6 +924,7 @@ FROM orders GROUP BY 1
 """,
 )
 def p8_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per customer segment pivoted by order status."""
     o = _t(spark, sf_dir, "orders")
     pivoted = (
         o.groupBy("o_orderpriority")
@@ -954,6 +979,7 @@ FROM parsed GROUP BY 1
 """,
 )
 def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction into typed columns (nested path + array element access)."""
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
     doc = F.when(F.col("event_id") % 13 == 0, F.lit("{broken")).otherwise(
         F.concat(

@@ -74,6 +74,7 @@ FROM agg
 """,
 )
 def pipeline_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YAML-mapped daily-sales pipeline: projection, coercion, business key, gates."""
     return _pipeline(spark, sf_dir, "daily_sales")
 
 
@@ -96,6 +97,7 @@ FROM agg
 """,
 )
 def pipeline_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YAML-mapped offers pipeline (reference mapping parity)."""
     return _pipeline(spark, sf_dir, "offers")
 
 
@@ -117,6 +119,7 @@ FROM agg
 """,
 )
 def pipeline_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YAML-mapped inventory pipeline (reference mapping parity)."""
     return _pipeline(spark, sf_dir, "inventory")
 
 
@@ -171,6 +174,7 @@ FROM agg
 """,
 )
 def pipeline_sales_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YAML-mapped sales-channel pipeline (reference mapping parity)."""
     return _pipeline(spark, sf_dir, "sales_channel")
 
 
@@ -191,6 +195,7 @@ GROUP BY 1
 """,
 )
 def s2_xmla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XMLA celldata parse round-trip: ordinal-invariant axis/cell reconstruction."""
     from bw_new_data_integration_spark.sources import xmla
 
     n = _t(spark, sf_dir, "nation")
@@ -251,6 +256,7 @@ FROM orders GROUP BY 1, 2
 """,
 )
 def s1_xmla_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XMLA cube fetch partitioned per slice (driver-loop fixture twin)."""
     from bw_new_data_integration_spark.sources import xmla
 
     execute, mdx_by_slice = _xmla_cube_fixture(spark, sf_dir)
@@ -434,6 +440,7 @@ FROM parsed GROUP BY 1
 """,
 )
 def s7_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip with dirty-value discipline."""
     import tempfile
 
     from bw_new_data_integration_spark.sources import files
@@ -636,6 +643,7 @@ FROM documents GROUP BY 1
 """,
 )
 def s10_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source round-trip with schema enforcement and dirty-value discipline."""
     import tempfile
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
@@ -675,6 +683,7 @@ FROM scanned GROUP BY 1
 """,
 )
 def s9_odata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OData paged scan: $select projection, nextLink paging, $top limit."""
     from pyspark.sql import types as T
 
     from bw_new_data_integration_spark.sources import odata
@@ -744,6 +753,7 @@ FROM base GROUP BY 1
 """,
 )
 def s8_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel source scan (openpyxl or stdlib-zip fallback) with typed coercion."""
     import tempfile
 
     from bw_new_data_integration_spark.sources import files
@@ -815,6 +825,7 @@ FROM orders GROUP BY 1
 """,
 )
 def s11_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip preserving types and values."""
     import tempfile
 
     o = _t(spark, sf_dir, "orders")

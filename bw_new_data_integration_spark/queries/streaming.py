@@ -78,6 +78,7 @@ FROM events GROUP BY 1, 2, 3
 """,
 )
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts with watermarked late-data handling."""
     import shutil
     import tempfile
     import uuid
@@ -136,6 +137,7 @@ FROM events GROUP BY 1, 2
 """,
 )
 def late_data_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window late-data repair: partition-scoped re-merge of a 14-day window."""
     import shutil
     import tempfile
     import uuid
@@ -227,6 +229,7 @@ SELECT user_id, SUM(is_new)::BIGINT AS n_sessions FROM g GROUP BY user_id
 """,
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with gap timeout via stateful processing."""
     import shutil
     import tempfile
     import uuid
@@ -281,6 +284,7 @@ FROM events p JOIN events r
 """,
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming interval join (inner): events joined within a bounded time range + watermark."""
     import shutil
     import tempfile
     import uuid
@@ -338,6 +342,7 @@ FROM events p LEFT JOIN events r
 """,
 )
 def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming interval join, left-outer: unmatched lefts emitted after the watermark closes."""
     import datetime
     import shutil
     import tempfile
@@ -423,6 +428,7 @@ GROUP BY 1
 """,
 )
 def streaming_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-source streaming smoke: deterministic generated rows through a windowed aggregate."""
     import tempfile
     import uuid
 
@@ -461,6 +467,7 @@ FROM events GROUP BY event_type
 """,
 )
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via dropDuplicates with watermarked event-time state."""
     import shutil
     import tempfile
     import uuid
@@ -508,6 +515,7 @@ GROUP BY 1, 2
 """,
 )
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: streaming facts against a broadcast dimension."""
     import shutil
     import tempfile
     import uuid

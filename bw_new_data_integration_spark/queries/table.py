@@ -83,6 +83,7 @@ FROM merged
 """,
 )
 def k5_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema DDL evolution: add/widen/drop columns across table versions."""
     o = _t(spark, sf_dir, "orders")
     target = o.where(F.col("o_orderkey") % 2 == 0).select(
         F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
@@ -119,6 +120,7 @@ GROUP BY 1
 """,
 )
 def j9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides pre-bucketed on the key so the join is shuffle-free."""
     import tempfile
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -172,6 +174,7 @@ FROM z GROUP BY 1
 """,
 )
 def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleave of two key columns; verifies the clustering layout values."""
     from bw_new_data_integration_spark.operators import zorder
 
     o = _t(spark, sf_dir, "orders")
@@ -216,6 +219,7 @@ SELECT v0.k, v0.price, 'delete' FROM v0 JOIN deleted USING (k)
 """,
 )
 def k6_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed: row-level insert/update/delete diff between two table versions."""
     import tempfile
 
     from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
