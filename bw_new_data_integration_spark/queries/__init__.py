@@ -85,6 +85,8 @@ del _mod, _fn
 # verified by tools/drive_contract.py and tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY = [
+    # -- round-6 additions --
+    "dedup_bloom_prefilter",
     # -- round-5: renamed exact baselines need fresh rows under new names --
     "ann_brute_topk_exact_baseline",
     "dedup_embedding_near_dups_exact_baseline",

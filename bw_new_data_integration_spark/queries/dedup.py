@@ -319,3 +319,44 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_pool = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     return contamination.ngram_overlap(train, eval_pool, n=3, min_shared=3)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter cross-batch dedup (operators/bloom.py): the continuous-
+# ingest "seen before?" primitive. History's content hashes fold into a
+# broadcast Bloom filter (distributed bit_or build, only the word array
+# crosses the driver); the new batch probes it shuffle-free and only the
+# maybe-hits pay the exact verification semi-join. No false negatives,
+# so the answer is exact at any filter sizing — the oracle is the plain
+# exact EXISTS, with no Bloom reproduction needed. Fixture shapes a
+# re-crawl: batch = the unseen doc_id%5==4 slice plus a re-ingested
+# doc_id%97==3 slice of history.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_bloom_prefilter",
+    oracle=r"""
+WITH f AS (SELECT doc_id,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM documents),
+     h AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 <> 4),
+     b AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 = 4
+           UNION ALL
+           SELECT doc_id, fp FROM h WHERE doc_id % 97 = 3)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.fp AS fp
+FROM b
+WHERE EXISTS (SELECT 1 FROM h WHERE h.fp = b.fp)
+""",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch dedup via broadcast Bloom pre-filter: batch rows whose content hash was already seen in history."""
+    from bw_new_data_integration_spark.operators import bloom
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    )
+    history = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4).unionByName(
+        history.filter(F.col("doc_id") % 97 == 3)
+    )
+    return bloom.bloom_prefilter_dedup(history, batch, col="fp")

@@ -1589,3 +1589,57 @@ def test_native_decoder_seam_is_live(spark):
         assert list(rows[did]["thumb"]) == [7] * 64
         assert rows[did]["pix_sum"] == 7 * 64
     assert rows[5]["thumb"] is None and rows[5]["pix_sum"] is None
+
+
+def test_bloom_prefilter_no_false_negatives_and_fp_bound(spark):
+    """operators/bloom.py contract: every true member probes maybe=True
+    (no false negatives — the property that keeps the final answer
+    exact), the false-positive rate at 16 bits/item stays far under 1%,
+    and the end-to-end prefilter+verify equals the plain exact semi-join."""
+    from pyspark.sql import functions as F
+
+    from bw_new_data_integration_spark.operators import bloom
+
+    hist = spark.range(0, 20000).selectExpr("md5(cast(id as string)) AS fp")
+    batch = spark.range(15000, 40000).selectExpr(
+        "md5(cast(id as string)) AS fp", "id"
+    )
+
+    m = bloom.sized_m_bits(20000)
+    assert m >= 20000 * 16 and (m & (m - 1)) == 0  # pow2, >=16 bits/item
+    words = bloom.bloom_build(hist, "fp", m)
+    assert len(words) == m // 64
+
+    probed = batch.withColumn(
+        "maybe", bloom.bloom_maybe_contains(F.col("fp"), words, m)
+    )
+    rows = probed.groupBy((F.col("id") < 20000).alias("is_dup")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("maybe").cast("int")).alias("n_maybe"),
+    ).collect()
+    by_dup = {r["is_dup"]: r for r in rows}
+    # no false negatives: all 5000 true members flagged maybe
+    assert by_dup[True]["n"] == 5000 and by_dup[True]["n_maybe"] == 5000
+    # false positives: < 1% of the 20000 genuinely-new items
+    assert by_dup[False]["n_maybe"] < 200
+
+    got = bloom.bloom_prefilter_dedup(hist, batch, col="fp")
+    exact = batch.join(hist.distinct(), "fp", "left_semi")
+    assert got.count() == 5000
+    assert got.exceptAll(exact).count() == 0 and exact.exceptAll(got).count() == 0
+
+
+def test_bloom_bit_positions_deterministic_and_in_range(spark):
+    """Double-hashed positions are stable across partitioning layouts
+    and always land in [0, m)."""
+    from pyspark.sql import functions as F
+
+    from bw_new_data_integration_spark.operators import bloom
+
+    m = 1 << 14
+    df = spark.range(0, 1000).selectExpr("md5(cast(id as string)) AS fp")
+    pos = F.array(*bloom._bit_positions(F.col("fp"), m, 7))
+    a = df.repartition(1).select("fp", pos.alias("p")).collect()
+    b = df.repartition(13).select("fp", pos.alias("p")).collect()
+    assert {r["fp"]: r["p"] for r in a} == {r["fp"]: r["p"] for r in b}
+    assert all(0 <= x < m for r in a for x in r["p"])
