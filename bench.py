@@ -40,6 +40,7 @@ HEADLINE = [
 # beyond-reference training-data ops join the headline set as they land
 OPTIONAL = [
     "dedup_exact_docs",
+    "dedup_bloom_prefilter",
     "dedup_lsh_candidates",
     "dedup_pipeline_e2e",
     "ann_brute_topk_exact_baseline",

@@ -24,6 +24,17 @@ for ``bloom_filter_agg``), hence this expression-level implementation.
 The reference has no equivalent (its dedup is pandas
 ``drop_duplicates``, modules/transformers.py); this is the Spark-first
 scale shape for cross-batch / re-crawl dedup.
+
+Sizing honesty at 100 TB: a broadcast filter at 16 bits/item carries
+~2 GB per 10^9 history items, so this shape holds to ~10^9–10^10
+distinct items (a few GB broadcast, well inside executor memory);
+dialing ``bits_per_item`` down trades maybe-rate for size with zero
+correctness risk because verification is exact. Beyond that, don't
+broadcast a bigger filter — switch shapes: partition history and batch
+by hash range and build one small filter per range (the probe becomes a
+zip of range-local filters), or use the stored-bucket-index path that
+``operators/dedup.incremental_lsh_candidates`` already implements for
+the near-dup case.
 """
 
 from __future__ import annotations
