@@ -85,6 +85,9 @@ OPTIONAL = [
     "scd2_point_in_time",
     "o7_activity_streaks",
     "kmeans_embeddings",
+    "semdedup_prune",
+    "inverted_index_topdf",
+    "mixture_temperature",
     "ann_ivf_trained",
     "chunk_documents",
     "shuffle_shards",

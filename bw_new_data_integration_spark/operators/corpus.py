@@ -108,3 +108,59 @@ def unigram_rarity(
             "min_freq",
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_terms: int = 30,
+    posting_cap: int = 20,
+) -> DataFrame:
+    """Posting lists for the corpus's ``top_terms`` highest-df terms.
+
+    Output: (term, df, tf_total, postings) where ``df`` is distinct
+    documents containing the term, ``tf_total`` its corpus occurrence
+    count, and ``postings`` the ``posting_cap`` SMALLEST doc ids as a
+    comma-joined string — a bounded posting *sample*, which is the
+    scale-honest shape: full posting lists for head (stopword) terms
+    are corpus-sized and belong in a sink table keyed by (term, doc),
+    not in an aggregate's state.
+
+    Plan: tf per (term, doc) is materialized once and reused by both
+    consumers; term stats are a map-side-combined groupBy on the term
+    (vocabulary-sized, zipf-skewed — AQE handles the head); postings
+    are built ONLY for the surviving ``top_terms`` terms (broadcast
+    semi-join first, THEN the per-term window), so the row_number
+    window runs over top_terms × df rows instead of the whole corpus —
+    ranking before materializing per-group detail is the same
+    plan discipline as tfidf_top_terms.
+    """
+    terms = _doc_terms(df, text_col, id_col)
+    tf = (
+        terms.groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    stats = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("tf_total"),
+    )
+    top = stats.orderBy(F.col("df").desc(), F.col("term").asc()).limit(top_terms)
+    w = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    postings = (
+        tf.join(F.broadcast(top.select("term")), "term", "left_semi")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= posting_cap)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return top.join(postings, "term")

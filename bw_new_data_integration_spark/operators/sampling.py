@@ -220,3 +220,69 @@ def hash_split(df: DataFrame, key: Column, eval_fraction: float, salt: str = "")
         "split",
         F.when(hash_bucket(key, salt) < pct, F.lit("eval")).otherwise(F.lit("train")),
     )
+
+
+def temperature_thresholds(
+    counts: dict, temperature: float = 0.5, weight_quantum: int = 1_000_000
+) -> dict:
+    """Integer hash thresholds for temperature-scaled mixture sampling.
+
+    Multilingual/multi-source LM training samples source ``i`` with
+    probability ``p_i ∝ n_i^τ`` (τ < 1 flattens the mixture toward
+    uniform; τ = 1 is natural proportions) — the standard
+    low-resource-upsampling rule. This computes, per group, the largest
+    integer quotas consistent with those shares without oversampling
+    any group (no replication, rates ≤ 1):
+
+    - ``w_i = floor(n_i^τ · quantum)``  (one float op, then all-integer)
+    - ``T = min_i floor(n_i · W / w_i)`` with ``W = Σw`` — the largest
+      total at which the binding (most-downsampled-by-share) group
+      still has enough rows; that group keeps rate ~1.
+    - quota ``t_i = floor(w_i · T / W)``; threshold
+      ``floor(t_i · 2³² / n_i)`` for the keep-iff-bucket<threshold probe.
+
+    All arithmetic after the single ``n^τ`` is exact Python integers
+    (no overflow at any corpus size — counts collect is
+    group-cardinality-sized, same driver round-trip class as
+    balance_mixture's rate table). At τ = 0.5, ``n^τ`` is IEEE sqrt —
+    correctly rounded and therefore bit-identical in Python, Spark and
+    DuckDB, which is what lets the mixture_temperature gate replicate
+    this computation in pure SQL; other τ are fine operationally but
+    pow's last-ulp is not cross-engine guaranteed.
+    """
+    import math
+
+    weights = {
+        g: int(math.floor((math.sqrt(n) if temperature == 0.5 else n**temperature) * weight_quantum))
+        for g, n in counts.items()
+        if n > 0
+    }
+    total_w = sum(weights.values())
+    cap_total = min(counts[g] * total_w // w for g, w in weights.items())
+    return {
+        g: (w * cap_total // total_w) * (1 << 32) // counts[g]
+        for g, w in weights.items()
+    }
+
+
+def temperature_mixture(
+    df: DataFrame, group_col: str, id_col: str, temperature: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: keep each group at the
+    ``n^τ``-share quota from :func:`temperature_thresholds`, selected
+    by deterministic hash threshold (no shuffle in the probe — one
+    tiny count aggregate, then a broadcast rate table and a pure
+    column predicate, exactly the balance_mixture plan shape)."""
+    counts = {
+        r[group_col]: r["__n"]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    thr = temperature_thresholds(counts, temperature)
+    rates = df.sparkSession.createDataFrame(
+        [(g, t) for g, t in thr.items()], [group_col, "__thr"]
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(_hash_bucket(F.col(id_col)) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -87,6 +87,10 @@ del _mod, _fn
 _DRIVER_WINDOW_PRIORITY = [
     # -- round-6 additions --
     "dedup_bloom_prefilter",
+    "semdedup_prune",
+    "inverted_index_topdf",
+    "mixture_temperature",
+    "k7_time_travel",
     # -- round-5: renamed exact baselines need fresh rows under new names --
     "ann_brute_topk_exact_baseline",
     "dedup_embedding_near_dups_exact_baseline",

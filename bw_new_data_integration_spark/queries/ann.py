@@ -330,3 +330,51 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h("trained") >= h("stride")).alias("trained_ge_stride"),
         (h("trained") / h("truth") >= 0.6).alias("trained_recall_floor_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup by cluster-then-prune (operators/semdedup).
+# The prune itself is downstream of k-means, so (like kmeans_embeddings)
+# the oracle gates the deterministic algorithmic invariants rather than
+# re-deriving the clustering in SQL: kept+pruned partitions the corpus,
+# the keep-min-id rule's postcondition (no two KEPT vectors in the same
+# cluster at cosine >= tau) re-verified by a fresh pair join over the
+# output, and non-vacuousness (the fixture does contain within-cluster
+# near-dups at tau=0.4, so a no-op "prune" flips pruned_nonempty).
+# k scales with the corpus (constant expected cluster size) so pair work
+# stays O(N * cluster_size) — the SemDeDup scale contract.
+# ---------------------------------------------------------------------------
+@register(
+    "semdedup_prune",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       TRUE AS partition_ok,
+       TRUE AS kept_pairwise_below_tau,
+       TRUE AS pruned_nonempty
+FROM embeddings
+""",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: k-means cluster, prune within-cluster cosine near-dups."""
+    from bw_new_data_integration_spark.functions.vectors import norm
+    from bw_new_data_integration_spark.operators import semdedup as sd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    k = max(10, n_total // 50)  # cluster size ~50 at every SF
+    kept, pruned = sd.semdedup(spark, emb, k=k, threshold=0.4, dim=64)
+    kept = kept.localCheckpoint(eager=True)  # reused: count + verify join
+    n_kept, n_pruned = kept.count(), pruned.count()
+    # postcondition re-verified from the OUTPUT, not assumed from the rule
+    kept_edges = sd.within_cluster_near_dups(
+        kept.withColumn("__norm", norm(F.col("embedding"), 64)),
+        threshold=0.4,
+        dim=64,
+    ).count()
+    overlap = kept.select("vec_id").join(pruned, "vec_id").count()
+    return spark.range(1).select(
+        F.lit(n_total).cast("bigint").alias("n_total"),
+        F.lit(n_kept + n_pruned == n_total and overlap == 0).alias("partition_ok"),
+        F.lit(kept_edges == 0).alias("kept_pairwise_below_tau"),
+        F.lit(n_pruned > 0).alias("pruned_nonempty"),
+    )

@@ -645,3 +645,72 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_id"),
         F.max("doc_id").cast("bigint").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index — capped posting lists for the highest-df terms
+# (operators/corpus.inverted_index). The oracle mirrors the cap by
+# slicing the SORTED doc-id list to the same bound: "row_number over
+# doc_id asc <= cap, then sort" (Spark) and "sort, then [1:cap]"
+# (DuckDB) select the identical smallest-cap set.
+# ---------------------------------------------------------------------------
+@register(
+    "inverted_index_topdf",
+    oracle=_TOKS_SQL
+    + """,
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+  FROM tf GROUP BY term
+),
+top AS (SELECT * FROM stats ORDER BY df DESC, term ASC LIMIT 30),
+p AS (
+  SELECT term, array_to_string((list_sort(array_agg(doc_id)))[1:20], ',') AS postings
+  FROM tf JOIN top USING (term) GROUP BY term
+)
+SELECT term, df, tf_total, postings FROM top JOIN p USING (term)
+""",
+)
+def inverted_index_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: capped posting lists + df/tf stats for the top-df terms."""
+    from bw_new_data_integration_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.inverted_index(docs, top_terms=30, posting_cap=20)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (operators/sampling.
+# temperature_mixture): p_i ∝ n_i^0.5 — low-resource upsampled in
+# SHARE, never replicated. The whole quota computation is replicated
+# in the oracle with the same integer arithmetic; the one float op
+# (sqrt at τ=0.5) is IEEE-correctly-rounded in every engine, so the
+# thresholds — and therefore the kept SET — are bit-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_temperature",
+    oracle="""
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wt FROM c),
+tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS W FROM w),
+cap AS (SELECT MIN(n * W // wt) AS T FROM w, tot),
+thr AS (SELECT lang, n, ((wt * T // W) * 4294967296) // n AS thr FROM w, tot, cap),
+kept AS (
+  SELECT d.lang, d.n_chars
+  FROM documents d JOIN thr USING (lang)
+  WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) < thr
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY lang
+""",
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (tau=0.5) mixture sampling with integer-exact per-group quotas."""
+    from bw_new_data_integration_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = sampling.temperature_mixture(docs, "lang", "doc_id", temperature=0.5)
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -235,3 +235,67 @@ def k6_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.delete_keys(spark, o.where(F.col("k") % 7 == 0).select("k"))
     return t.changes(spark, 0)
+
+
+# ---------------------------------------------------------------------------
+# K7 — time travel: every committed version of the keyed table stays
+# addressable (parquet_target.read(version=...), Delta's VERSION AS OF;
+# reference modules/olap_sync.py keeps no history at all — each load
+# overwrites, which is exactly why the engine's sink adds snapshots).
+# Same overwrite→upsert→delete fixture as k6_change_data_feed; the
+# query reads ALL THREE versions back and aggregates each, so the gate
+# fails if any historical snapshot is lost, mutated, or mis-ordered.
+# ---------------------------------------------------------------------------
+@register(
+    "k7_time_travel",
+    oracle="""
+WITH v0 AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 7 IN (0, 1, 2, 3)
+),
+v1 AS (
+  SELECT k, CASE WHEN k % 7 IN (2, 3) THEN price * 2 ELSE price END AS price FROM v0
+  UNION ALL
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) * 2 AS price
+  FROM orders WHERE o_orderkey % 7 IN (4, 5)
+),
+v2 AS (SELECT k, price FROM v1 WHERE k % 7 <> 0),
+tagged AS (
+  SELECT 0 AS version, k, price FROM v0
+  UNION ALL SELECT 1, k, price FROM v1
+  UNION ALL SELECT 2, k, price FROM v2
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DECIMAL(38,6))::DOUBLE AS sum_price
+FROM tagged GROUP BY version
+""",
+)
+def k7_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: read every historical version of the keyed table (VERSION AS OF)."""
+    import tempfile
+
+    from bw_new_data_integration_spark.operators import aggregate
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").cast("double").alias("price")
+    )
+    t = ParquetKeyedTable(tempfile.mkdtemp(prefix="bw_tt_") + "/t", ["k"])
+    t.overwrite(o.where(F.col("k") % 7 <= 3))
+    t.upsert(
+        spark,
+        o.where((F.col("k") % 7).isin(2, 3, 4, 5)).withColumn("price", F.col("price") * 2),
+    )
+    t.delete_keys(spark, o.where(F.col("k") % 7 == 0).select("k"))
+    versions = [
+        t.read(spark, version=v).withColumn("version", F.lit(v).cast("bigint"))
+        for v in range(t.current_version() + 1)
+    ]
+    union = versions[0]
+    for v in versions[1:]:
+        union = union.unionByName(v)
+    return union.groupBy("version").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        aggregate.exact_sum("price").alias("sum_price"),
+    )

@@ -1643,3 +1643,94 @@ def test_bloom_bit_positions_deterministic_and_in_range(spark):
     b = df.repartition(13).select("fp", pos.alias("p")).collect()
     assert {r["fp"]: r["p"] for r in a} == {r["fp"]: r["p"] for r in b}
     assert all(0 <= x < m for r in a for x in r["p"])
+
+
+def test_semdedup_prunes_known_near_dups(spark):
+    """Keep-min-id semantics on a hand-built corpus: exact and near
+    duplicates collapse to the lowest id; the kept set has no
+    within-cluster pair >= threshold; the result is partition-stable."""
+    from pyspark.sql import functions as F
+
+    from bw_new_data_integration_spark.operators import semdedup as sd
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # k=2 seed A
+        (1, [0.0, 1.0, 0.0, 0.0]),   # k=2 seed B
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 0
+        (3, [0.9, 0.05, 0.0, 0.0]),  # near-dup of 0 (cos ~0.998)
+        (4, [0.0, 0.9, 0.1, 0.0]),   # near-dup of 1 (cos ~0.994)
+        (5, [0.0, 0.0, 1.0, 0.0]),   # no near-dup
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    kept, pruned = sd.semdedup(spark, emb, k=2, threshold=0.95, dim=4)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    pruned_ids = {r["vec_id"] for r in pruned.collect()}
+    assert kept_ids == {0, 1, 5}
+    assert pruned_ids == {2, 3, 4}
+
+    # postcondition: no surviving within-cluster pair >= threshold
+    from bw_new_data_integration_spark.functions.vectors import norm
+
+    survivors = kept.withColumn("__norm", norm(F.col("embedding"), 4))
+    assert sd.within_cluster_near_dups(survivors, threshold=0.95, dim=4).count() == 0
+
+    # partition-layout determinism
+    kept2, pruned2 = sd.semdedup(spark, emb.repartition(7), k=2, threshold=0.95, dim=4)
+    assert {r["vec_id"] for r in kept2.collect()} == kept_ids
+    assert {r["vec_id"] for r in pruned2.collect()} == pruned_ids
+
+
+def test_inverted_index_caps_postings_to_smallest_ids(spark):
+    """Posting lists hold the cap smallest doc ids; df/tf stay exact."""
+    from bw_new_data_integration_spark.operators import corpus
+
+    rows = [(i, "common " + ("rare " if i == 7 else "")) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = corpus.inverted_index(docs, top_terms=2, posting_cap=5)
+    by_term = {r["term"]: r for r in out.collect()}
+    assert by_term["common"]["df"] == 50 and by_term["common"]["tf_total"] == 50
+    assert by_term["common"]["postings"] == "0,1,2,3,4"  # capped, smallest ids
+    assert by_term["rare"]["df"] == 1 and by_term["rare"]["postings"] == "7"
+
+
+def test_temperature_thresholds_flatten_shares(spark):
+    """tau=0.5 moves shares toward uniform without oversampling: the
+    binding group keeps rate ~1, quotas follow sqrt proportions."""
+    from pyspark.sql import functions as F
+
+    from bw_new_data_integration_spark.operators import sampling
+
+    thr = sampling.temperature_thresholds({"a": 900, "b": 100})
+    # weights 3e7 / 1e7; binding group b caps T at 400 -> quotas 300/100
+    assert thr["b"] == 1 << 32  # rate exactly 1.0: never downsample the binder
+    assert thr["a"] == 300 * (1 << 32) // 900
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "a").otherwise("b").alias("lang"),
+    )
+    kept = sampling.temperature_mixture(df, "lang", "doc_id", temperature=0.5)
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["b"] == 100  # binder kept whole
+    assert 250 <= got["a"] <= 350  # hash threshold ~quota 300
+    # determinism across partition layouts
+    kept13 = sampling.temperature_mixture(df.repartition(13), "lang", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in kept13.collect()
+    )
+
+
+def test_time_travel_reads_every_version(spark, tmp_path):
+    """Each commit's snapshot stays addressable; out-of-range is None."""
+    from pyspark.sql import functions as F
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    t = ParquetKeyedTable(str(tmp_path / "t"), ["k"])
+    t.overwrite(spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("v")))
+    t.upsert(spark, spark.range(5, 8).select(F.col("id").alias("k"), F.lit(2).alias("v")))
+    assert t.read(spark, version=0).count() == 5
+    assert t.read(spark, version=1).count() == 8
+    assert t.read(spark).count() == 8
+    assert t.read(spark, version=99) is None
