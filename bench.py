@@ -88,6 +88,7 @@ OPTIONAL = [
     "semdedup_prune",
     "inverted_index_topdf",
     "mixture_temperature",
+    "o12_skyline_pareto",
     "ann_ivf_trained",
     "chunk_documents",
     "shuffle_shards",

@@ -61,6 +61,8 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     collect_inertia: bool = True,
+    keep_vector: bool = False,
+    final_update: bool = True,
 ) -> tuple[DataFrame, list[int], list[list[float]]]:
     """Run ``max_iter`` Lloyd iterations; returns
     ((id_col, cluster), inertias, centroids). ``collect_inertia=False``
@@ -74,6 +76,15 @@ def kmeans_fit(
     assignment-time objective per iteration, accumulated as floor-scaled
     1e-6 integers (bit-stable under any partial-agg order) — Lloyd's
     guarantees it is nonincreasing, which kmeans_embeddings' oracle gates.
+
+    ``keep_vector=True`` leaves ``vec_col`` on the returned assignment
+    (it already rides the aggregate, so this is free) — callers that
+    need (id, cluster, vector) skip a corpus-sized re-join.
+    ``final_update=False`` skips the LAST iteration's centroid-update
+    pass (a posexplode over the corpus + a k×dim collect): assignments
+    are unchanged by it, so callers that only consume assignments —
+    semdedup — save the most expensive job of the loop; ``centroids``
+    then reflects the second-to-last update (assignment-consistent).
     """
     data = emb.select(id_col, vec_col).localCheckpoint(eager=True)
 
@@ -85,7 +96,7 @@ def kmeans_fit(
 
     assigned = None
     inertias: list[int] = []
-    for _ in range(max_iter):
+    for it in range(max_iter):
         cdf = F.broadcast(
             spark.createDataFrame(
                 [(i, centroids[i]) for i in range(len(centroids))],
@@ -121,6 +132,11 @@ def kmeans_fit(
             ).collect()[0]["i"]
             inertias.append(int(v) if v is not None else 0)  # SUM over 0 rows is NULL
         # update: integer-exact scaled component sums, k*dim rows total
+        if it == max_iter - 1 and not final_update:
+            assigned = assigned.drop("d2") if keep_vector else assigned.drop(
+                "d2", vec_col
+            )
+            break
         sums = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "e"))
             .withColumn("se", F.floor(F.col("e").cast("double") * SCALE).cast("bigint"))
@@ -128,7 +144,9 @@ def kmeans_fit(
             .agg(F.sum("se").alias("ssum"), F.count("*").alias("n"))
             .collect()
         )
-        assigned = assigned.drop("d2", vec_col)
+        assigned = assigned.drop("d2") if (
+            keep_vector and it == max_iter - 1
+        ) else assigned.drop("d2", vec_col)
         by_cluster: dict[int, dict[int, float]] = {}
         for r in sums:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (

@@ -59,26 +59,32 @@ def semdedup(
     from bw_new_data_integration_spark.functions.vectors import norm
     from bw_new_data_integration_spark.operators.kmeans import kmeans_fit
 
+    # the vector rides the assignment out of the fit (keep_vector) and
+    # the last centroid-update pass is skipped (final_update=False:
+    # assignments don't depend on it) — no corpus re-join, one fewer
+    # corpus-wide aggregate. The assignment is already checkpointed
+    # inside kmeans_fit; the norm column recomputes from it cheaply.
     assigned, _, _ = kmeans_fit(
         spark, emb, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
-        collect_inertia=False,
+        collect_inertia=False, keep_vector=True, final_update=False,
     )
-    clustered = (
-        emb.select(id_col, vec_col)
-        .join(assigned, id_col)
-        .select(
-            id_col,
-            vec_col,
-            "cluster",
-            norm(F.col(vec_col), dim).alias("__norm"),
-        )
-        # reused by the pair join (both sides) and the anti-join
-        .localCheckpoint(eager=True)
+    clustered = assigned.select(
+        id_col,
+        vec_col,
+        "cluster",
+        norm(F.col(vec_col), dim).alias("__norm"),
     )
     edges = within_cluster_near_dups(
         clustered, id_col=id_col, vec_col=vec_col, threshold=threshold, dim=dim
     )
-    pruned = edges.select(F.col("b_id").alias(id_col)).distinct()
+    # materialize the pruned-id set: every consumer (the anti-join here,
+    # any caller-side stats/verification) would otherwise re-run the
+    # whole within-cluster pair join per action
+    pruned = (
+        edges.select(F.col("b_id").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     kept = clustered.join(pruned, id_col, "left_anti").select(id_col, vec_col, "cluster")
     return kept, pruned
 

@@ -91,6 +91,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "inverted_index_topdf",
     "mixture_temperature",
     "k7_time_travel",
+    "o12_skyline_pareto",
     # -- round-5: renamed exact baselines need fresh rows under new names --
     "ann_brute_topk_exact_baseline",
     "dedup_embedding_near_dups_exact_baseline",

@@ -363,18 +363,30 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = emb.count()
     k = max(10, n_total // 50)  # cluster size ~50 at every SF
     kept, pruned = sd.semdedup(spark, emb, k=k, threshold=0.4, dim=64)
-    kept = kept.localCheckpoint(eager=True)  # reused: count + verify join
-    n_kept, n_pruned = kept.count(), pruned.count()
+    kept = kept.localCheckpoint(eager=True)  # reused: stats join + verify join
+    # one full-outer aggregate yields n_kept, n_pruned AND the overlap
+    # (three counts, one job) — kept ∪ pruned must partition the corpus
+    stats = (
+        kept.select("vec_id").withColumn("__k", F.lit(1))
+        .join(pruned.withColumn("__p", F.lit(1)), "vec_id", "full_outer")
+        .agg(
+            F.count("__k").alias("n_kept"),
+            F.count("__p").alias("n_pruned"),
+            F.count(F.when(F.col("__k").isNotNull() & F.col("__p").isNotNull(), 1)).alias("overlap"),
+        )
+        .collect()[0]
+    )
     # postcondition re-verified from the OUTPUT, not assumed from the rule
     kept_edges = sd.within_cluster_near_dups(
         kept.withColumn("__norm", norm(F.col("embedding"), 64)),
         threshold=0.4,
         dim=64,
     ).count()
-    overlap = kept.select("vec_id").join(pruned, "vec_id").count()
     return spark.range(1).select(
         F.lit(n_total).cast("bigint").alias("n_total"),
-        F.lit(n_kept + n_pruned == n_total and overlap == 0).alias("partition_ok"),
+        F.lit(
+            stats["n_kept"] + stats["n_pruned"] == n_total and stats["overlap"] == 0
+        ).alias("partition_ok"),
         F.lit(kept_edges == 0).alias("kept_pairwise_below_tau"),
-        F.lit(n_pruned > 0).alias("pruned_nonempty"),
+        F.lit(stats["n_pruned"] > 0).alias("pruned_nonempty"),
     )

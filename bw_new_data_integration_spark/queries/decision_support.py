@@ -2130,3 +2130,36 @@ def o11_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 6).alias("value"),
         "is_interpolated",
     )
+
+
+# ---------------------------------------------------------------------------
+# O12 — skyline / Pareto-dominance (operators/skyline.py; EDBT 2023
+# "Integration of Skyline Queries into Spark SQL" in PAPERS.md).
+# Cheapest-and-smallest parts: no other part is <= on both price and
+# size with one strict. The oracle is the definitional NOT EXISTS
+# self-join (fine at sf0.01); the engine plan is the O(N log N)
+# sort-filter skyline — groupBy + prefix-min window over DISTINCT
+# prices, no self-join, no BroadcastNestedLoopJoin.
+# ---------------------------------------------------------------------------
+@register(
+    "o12_skyline_pareto",
+    oracle="""
+SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price, CAST(p_size AS BIGINT) AS size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+)
+""",
+)
+def o12_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: Pareto-optimal parts minimizing (retail price, size)."""
+    from bw_new_data_integration_spark.operators import skyline
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    return skyline.skyline_2d(p, "price", "size")

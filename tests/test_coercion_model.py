@@ -184,3 +184,51 @@ def test_coercion_matches_model_on_generated_dirt(spark):
                 assert abs(float(r["d"]) - ed) < 1e-9, f"{raw!r}: {r['d']} vs {ed}"
 
     prop()
+
+
+def test_temperature_quota_properties():
+    """Property sweep over the integer quota math (no Spark): for any
+    positive group counts, every threshold stays in [0, 2^32], no
+    group's quota exceeds its size (thresholds never ask for more rows
+    than exist), at least one group is kept whole (the binder), and
+    tau=0.5 shares are at least as flat as natural shares."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bw_new_data_integration_spark.operators.sampling import (
+        temperature_thresholds,
+    )
+
+    @given(
+        st.dictionaries(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+            st.integers(min_value=1000, max_value=10**12),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(counts):
+        thr = temperature_thresholds(counts)
+        assert set(thr) == set(counts)
+        assert all(0 <= t <= 1 << 32 for t in thr.values())
+        quotas = {g: (thr[g] * counts[g]) >> 32 for g in counts}
+        # no oversampling: the quota a threshold implies fits the group
+        assert all(quotas[g] <= counts[g] for g in counts)
+        # some group (the binder) is kept ~whole — quota within 2 of
+        # its size (two integer floors in the T and quota divisions)
+        # plus the hash-bucket quantization (threshold resolution is
+        # 1/2^32 of the group, i.e. n>>32 rows — relative error 2^-32)
+        assert any(quotas[g] >= counts[g] - 3 - (counts[g] >> 32) for g in counts)
+        # flattening: the largest group's post-sampling share never
+        # exceeds its natural share beyond floor-rounding slack (each
+        # of the <=8 groups' quotas loses <1 row to its floor, and
+        # T >= min count >= 1000, so the slack is ~1%)
+        if len(counts) > 1:
+            tq = sum(quotas.values())
+            tn = sum(counts.values())
+            gmax = max(counts, key=lambda g: (counts[g], g))
+            if tq > 0:
+                assert quotas[gmax] / tq <= counts[gmax] / tn * 1.05 + 1e-6
+
+    check()

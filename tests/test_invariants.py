@@ -1734,3 +1734,26 @@ def test_time_travel_reads_every_version(spark, tmp_path):
     assert t.read(spark, version=1).count() == 8
     assert t.read(spark).count() == 8
     assert t.read(spark, version=99) is None
+
+
+def test_skyline_2d_matches_definition_and_keeps_ties(spark):
+    """Sort-filter skyline output equals the NOT EXISTS definition on a
+    hand-built frontier, duplicates of a skyline point all survive, and
+    the plan contains no nested-loop self-join."""
+    from pyspark.sql import functions as F
+
+    from bw_new_data_integration_spark.operators.skyline import skyline_2d
+
+    rows = [
+        (1, 1.0, 9), (2, 2.0, 7), (3, 3.0, 5),   # frontier
+        (4, 3.0, 5),                              # duplicate of 3: kept
+        (5, 2.0, 8), (6, 3.0, 6), (7, 4.0, 5),   # dominated
+        (8, 1.0, 10),                             # same x as 1, worse y
+        (9, None, 1),                             # NULL coordinate: excluded
+    ]
+    df = spark.createDataFrame(rows, "id bigint, x double, y int")
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+    assert got == {1, 2, 3, 4}
+
+    plan = skyline_2d(df, "x", "y")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
