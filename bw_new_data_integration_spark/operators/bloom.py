@@ -100,7 +100,12 @@ def bloom_maybe_contains(
     """Boolean probe column: False = definitely not in the built set
     (no false negatives), True = maybe (verify exactly downstream).
     The filter and the 64-entry mask table are bound once as array
-    literals; the probe is pure whole-stage-codegen expression work."""
+    literals; the probe is pure whole-stage-codegen expression work.
+
+    SMALL FILTERS ONLY (m ≲ 2^16): the literal array is written into
+    the generated code, so planning/codegen cost grows with m —
+    measured ~10s per query at m=2^20. Production probes go through
+    :func:`bloom_probe_join`, whose plan size is constant in m."""
     bf, mk = F.lit(words), F.lit(_MASKS)
     pos = F.array(*_bit_positions(col, m_bits, k))
     return F.forall(
@@ -114,6 +119,57 @@ def bloom_maybe_contains(
     )
 
 
+def bloom_probe_join(
+    batch: DataFrame,
+    col: str,
+    words: list[int],
+    m_bits: int,
+    k: int = 7,
+) -> DataFrame:
+    """Rows of ``batch`` that MAYBE hit the filter — the probe as a
+    broadcast join against the SPARSE word table instead of a literal
+    array expression.
+
+    Why not :func:`bloom_maybe_contains` at scale: binding the filter
+    as an array literal writes all m/64 words into the generated code,
+    and plan/codegen cost grows with the FILTER SIZE — measured ~10s
+    per query at m=2^20 before a single row is probed. Here the filter
+    rides as data: only the NON-ZERO words (≤ set bits ≤ n·k) go into
+    a broadcast table, each row explodes to its k (word, bit) probes,
+    the broadcast join attaches the word, and a map-side-combined
+    per-row conjunction keeps rows with k hits. Plan size is constant;
+    probe work is O(batch·k); the only shuffle is the rid-regroup,
+    batch-sized after map-side combine (all k probes of a row sit in
+    one partition).
+    """
+    nz = [(w, wd) for w, wd in enumerate(words) if wd != 0]
+    spark = batch.sparkSession
+    words_df = F.broadcast(spark.createDataFrame(nz or [(0, 0)], "w int, word bigint"))
+    # rid is only a regroup key within this plan; it never leaves
+    b = batch.withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
+    pos = F.array(*_bit_positions(F.col(col), m_bits, k))
+    hits = (
+        b.select("__rid", F.explode(pos).alias("p"))
+        .selectExpr(
+            "__rid",
+            "cast(p div 64 as int) AS w",
+            "shiftleft(1L, cast(p % 64 as int)) AS m",
+        )
+        .join(words_df, "w", "left")
+        .groupBy("__rid")
+        .agg(
+            F.min(
+                F.col("word").isNotNull() & (F.col("word").bitwiseAND(F.col("m")) != 0)
+            ).alias("__maybe")
+        )
+        .filter(F.col("__maybe"))
+        .select("__rid")
+    )
+    return b.join(hits, "__rid", "left_semi").drop("__rid")
+
+
 def bloom_prefilter_dedup(
     history: DataFrame,
     batch: DataFrame,
@@ -125,12 +181,28 @@ def bloom_prefilter_dedup(
     ``history`` — computed as bloom-probe → exact semi-join on the
     surviving maybe-rows only.
 
-    At 100 TB the semi-join's left side is the maybe-subset (dups +
-    ~0.04% false positives), not the full batch: the shuffle/broadcast
-    cost of verification scales with the duplicate rate instead of the
-    ingest rate. The answer is exact regardless of filter sizing."""
+    At 100 TB the verification is sized by the DUPLICATE RATE, not the
+    corpus, on BOTH sides: the left side is the maybe-subset (dups +
+    ~0.04% false positives), and the history side is probed with the
+    maybe-set's fingerprints BROADCAST — a broadcast semi-join that
+    scans history once with NO history-wide shuffle (the naive
+    ``maybe ⋉ history.distinct()`` would hash-shuffle every historical
+    fingerprint just to verify a handful of hits). The surviving
+    fingerprints (≤ maybe-set) then confirm the maybe rows. The answer
+    is exact regardless of filter sizing. If a batch's maybe-set ever
+    outgrows the broadcast threshold (pathological dup storm), drop the
+    broadcast hints and AQE falls back to a shuffle join — correctness
+    is unaffected."""
     n_hist = history.select(col).count()
     m_bits = sized_m_bits(n_hist, bits_per_item)
     words = bloom_build(history, col, m_bits, k)
-    maybe = batch.filter(bloom_maybe_contains(F.col(col), words, m_bits, k))
-    return maybe.join(history.select(col).distinct(), col, "left_semi")
+    # materialize the (small) maybe-set once: it feeds both the
+    # fingerprint probe of history and the final confirm join
+    maybe = bloom_probe_join(batch, col, words, m_bits, k).localCheckpoint(eager=True)
+    maybe_fps = maybe.select(col).distinct()
+    confirmed_fps = (
+        history.join(F.broadcast(maybe_fps), col, "left_semi")
+        .select(col)
+        .distinct()
+    )
+    return maybe.join(F.broadcast(confirmed_fps), col, "left_semi")

@@ -159,3 +159,41 @@ def kmeans_fit(
             for i in range(len(centroids))
         ]
     return assigned, inertias, centroids
+
+
+def assign_to_centroids(
+    spark: SparkSession,
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vector: bool = False,
+) -> DataFrame:
+    """Single assignment pass against a FIXED centroid table — the
+    coarse-quantizer step used when centroids were trained elsewhere
+    (e.g. on a bounded sample, the semdedup/IVF pattern). One broadcast
+    of k×dim floats, one map-side-combined argmin aggregate: O(N·k·dim)
+    work, linear in the corpus for fixed k, no iteration, no driver
+    round-trip besides the centroid literal. Same determinism rules as
+    the fit: sequential-fold distance, struct-min tie-break."""
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cluster int, cvec array<double>",
+        )
+    )
+    sel = [
+        id_col,
+        F.col("best.cluster").alias("cluster"),
+    ] + ([vec_col] if keep_vector else [])
+    return (
+        emb.select(id_col, vec_col)
+        .crossJoin(cdf)
+        .withColumn("d2", _dist2(F.col(vec_col), F.col("cvec")))
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct("d2", "cluster")).alias("best"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(*sel)
+    )

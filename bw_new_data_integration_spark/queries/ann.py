@@ -361,8 +361,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     n_total = emb.count()
-    k = max(10, n_total // 50)  # cluster size ~50 at every SF
-    kept, pruned = sd.semdedup(spark, emb, k=k, threshold=0.4, dim=64)
+    # k is FIXED (assignment stays O(N·k) = linear); bucket growth is
+    # capped by the operator's sub-LSH bits, not by growing k
+    kept, pruned = sd.semdedup(
+        spark, emb, k=64, threshold=0.4, dim=64, n_total=n_total
+    )
     kept = kept.localCheckpoint(eager=True)  # reused: stats join + verify join
     # one full-outer aggregate yields n_kept, n_pruned AND the overlap
     # (three counts, one job) — kept ∪ pruned must partition the corpus
