@@ -362,9 +362,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     n_total = emb.count()
     # k is FIXED (assignment stays O(N·k) = linear); bucket growth is
-    # capped by the operator's sub-LSH bits, not by growing k
+    # capped by the operator's sub-LSH bits, not by growing k; the fit
+    # runs on a bounded hash sample regardless of corpus size
     kept, pruned = sd.semdedup(
-        spark, emb, k=64, threshold=0.4, dim=64, n_total=n_total
+        spark, emb, k=32, threshold=0.4, dim=64, fit_sample=1024, n_total=n_total
     )
     kept = kept.localCheckpoint(eager=True)  # reused: stats join + verify join
     # one full-outer aggregate yields n_kept, n_pruned AND the overlap

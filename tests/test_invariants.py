@@ -1757,3 +1757,30 @@ def test_skyline_2d_matches_definition_and_keeps_ties(spark):
 
     plan = skyline_2d(df, "x", "y")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bloom_probe_join_agrees_with_literal_probe(spark):
+    """The two probe implementations — literal-array expression (small
+    filters) and sparse-word broadcast join (production) — flag the
+    identical maybe-set for the same built filter."""
+    from pyspark.sql import functions as F
+
+    from bw_new_data_integration_spark.operators import bloom
+
+    hist = spark.range(0, 3000).selectExpr("md5(cast(id as string)) AS fp")
+    batch = spark.range(2000, 4000).selectExpr("md5(cast(id as string)) AS fp")
+    m = bloom.sized_m_bits(3000)
+    words = bloom.bloom_build(hist, "fp", m)
+    lit_set = {
+        r["fp"]
+        for r in batch.filter(
+            bloom.bloom_maybe_contains(F.col("fp"), words, m)
+        ).collect()
+    }
+    join_set = {r["fp"] for r in bloom.bloom_probe_join(batch, "fp", words, m).collect()}
+    assert lit_set == join_set
+    # all 1000 true members present in both (no false negatives)
+    true_members = {
+        r["fp"] for r in spark.range(2000, 3000).selectExpr("md5(cast(id as string)) AS fp").collect()
+    }
+    assert true_members <= join_set
