@@ -838,3 +838,116 @@ def s11_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("min_date"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S14 — XML scan (Spark 4 built-in `xml` source): S7's dirt vocabulary
+# through rowTag parsing with an ATTRIBUTE key column (`_k`), plus the
+# XML-specific corruption unit — a malformed record poisons the rest of
+# ITS FILE (no line framing to resync on), so the fixture ships one
+# deliberately truncated file among the good ones and the gate accounts
+# ONE corrupt record for it.
+# ---------------------------------------------------------------------------
+@register(
+    "s14_xml_roundtrip",
+    oracle="""
+WITH dirty AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+              ELSE strftime(CAST(o_orderdate AS DATE), '%-m/%-d/%Y') END AS date_raw,
+         CASE WHEN o_orderkey % 7 = 0 THEN '-'
+              WHEN o_orderkey % 11 = 0 THEN 'NULL'
+              ELSE CAST(o_orderkey % 900 + 100 AS VARCHAR) || ',' ||
+                   lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') || '.' ||
+                   lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') END AS amount_raw
+  FROM orders
+),
+parsed AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN try_strptime(date_raw, '%Y-%m-%d')::DATE
+              ELSE try_strptime(date_raw, '%m/%d/%Y')::DATE END AS d,
+         CASE WHEN trim(amount_raw) IN ('', '-', 'NULL', 'null', 'N/A', 'n/a') THEN NULL
+              ELSE CAST(replace(trim(amount_raw), ',', '') AS DECIMAL(13,2)) END AS amount
+  FROM dirty
+)
+SELECT CAST(year(d) AS BIGINT) AS y, COUNT(*) AS n, COUNT(amount) AS n_amount,
+       CAST(SUM(amount) AS DOUBLE) AS sum_amount
+FROM parsed GROUP BY 1
+UNION ALL
+SELECT CAST(NULL AS BIGINT), 1, 0, 0.0
+""",
+)
+def s14_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip: rowTag + attribute parsing, dirty coercion, per-file corrupt capture."""
+    import os
+    import tempfile
+
+    from bw_new_data_integration_spark.sources import files
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    amount_raw = (
+        F.when(k % 7 == 0, "-")
+        .when(k % 11 == 0, "NULL")
+        .otherwise(
+            F.concat(
+                (k % 900 + 100).cast("string"),
+                F.lit(","),
+                F.lpad((k % 1000).cast("string"), 3, "0"),
+                F.lit("."),
+                F.lpad((k % 100).cast("string"), 2, "0"),
+            )
+        )
+    )
+    date_raw = F.when(k % 4 == 0, F.date_format(d, "yyyy-MM-dd")).otherwise(
+        F.date_format(d, "M/d/yyyy")
+    )
+    line = F.concat(
+        F.lit('<o k="'), k.cast("string"),
+        F.lit('"><date_raw>'), date_raw,
+        F.lit("</date_raw><amount_raw>"), amount_raw,
+        F.lit("</amount_raw></o>"),
+    )
+    # XML files must be WELL-FORMED documents (the built-in source
+    # rejects concatenated root-level rows — the remainder of such a
+    # file lands in _corrupt_record), so the fixture is root-wrapped
+    # and written driver-side like the s8/s9 fixture seeds (capped)
+    rows = _collect_capped(o.select(line.alias("value")), 200_000, "s14_xml_roundtrip")
+    path = tempfile.mkdtemp(prefix="bw_xml_src_") + "/orders_xml"
+    os.makedirs(path)
+    n_files = 4
+    for i in range(n_files):
+        with open(os.path.join(path, f"part-{i}.xml"), "w") as f:
+            f.write("<os>\n")
+            f.writelines(r["value"] + "\n" for r in rows[i::n_files])
+            f.write("</os>\n")
+    # one truncated export among the good files: its broken row
+    # (unclosed tag) must land in _corrupt_record, not fail the scan
+    with open(os.path.join(path, "part-truncated.xml"), "w") as f:
+        f.write('<os><o k="-1"><date_raw>2024-01-01')
+
+    raw = files.read_xml_raw(spark, path, columns=["_k", "date_raw", "amount_raw"])
+    good = raw.filter(F.col("_corrupt_record").isNull())
+    parsed = good.select(
+        coercion.to_date_multiformat(F.col("date_raw")).alias("d"),
+        coercion.to_decimal(F.col("amount_raw")).alias("amount"),
+    )
+    agg = parsed.groupBy(F.year("d").cast("bigint").alias("y")).agg(
+        F.count("*").alias("n"),
+        F.count("amount").alias("n_amount"),
+        F.sum("amount").cast("double").alias("sum_amount"),
+    )
+    # the filter must reference a data column too (Spark disallows
+    # corrupt-column-only queries on raw scans)
+    corrupt = (
+        raw.filter(F.col("_corrupt_record").isNotNull() & F.col("_k").isNull())
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit(None).cast("bigint").alias("y"),
+            "n",
+            F.lit(0).cast("bigint").alias("n_amount"),
+            F.lit(0.0).alias("sum_amount"),
+        )
+    )
+    return agg.unionByName(corrupt)

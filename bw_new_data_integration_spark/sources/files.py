@@ -205,3 +205,34 @@ def read_jsonl_raw(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def read_xml_raw(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    row_tag: str = "o",
+) -> DataFrame:
+    """XML scan (Spark 4 built-in ``xml`` source) with the same
+    dirty-input discipline as the CSV/JSONL paths: every field read as
+    STRING against an explicit schema (never inference), cleaning
+    deferred to the coercion expression vocabulary. Attribute fields
+    use the source's ``_``-prefix convention (``k="1"`` → column
+    ``_k``). PERMISSIVE + ``_corrupt_record``, with the XML-specific
+    caveat that a malformed record poisons the REMAINDER OF ITS FILE
+    (XML has no line framing to resynchronize on, unlike JSONL): the
+    tail of a broken file lands as one corrupt record. Corruption
+    accounting is therefore per-file — the realistic failure unit for
+    XML drops (one truncated export among many)."""
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in columns]
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .format("xml")
+        .load(path)
+    )
