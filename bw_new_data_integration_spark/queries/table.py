@@ -299,3 +299,63 @@ def k7_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         aggregate.exact_sum("price").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K8 — data-skipping read over the keyed table: per-file min/max footer
+# stats in the commit manifest (collected metadata-only at commit time;
+# carried-forward files inherit stats without a re-read) + partition-dir
+# pruning, Delta/Iceberg style. Pruning is a driver-side manifest pass —
+# at 100 TB a time-range query costs O(window), not O(history). The gate
+# compares against the plain filtered oracle (skipping must be
+# semantically invisible) and FAILS LOUDLY in-query if no file was
+# actually skipped, so a silently-broken pruner can't stay green.
+# ---------------------------------------------------------------------------
+@register(
+    "k8_data_skipping",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price
+FROM orders
+WHERE year(o_orderdate) = 1995
+  AND o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-15'
+GROUP BY 1, 2
+""",
+)
+def k8_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping: manifest min/max + partition pruning turn a date-range read into O(window)."""
+    import datetime
+    import tempfile
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    ).withColumn("y", F.year("d"))
+    t = ParquetKeyedTable(
+        tempfile.mkdtemp(prefix="bw_skip_") + "/t",
+        ["k"],
+        partition_by=["y"],
+        stats_cols=["d", "price"],
+    )
+    # range-cluster on d before the write so file min/max windows are
+    # tight — the layout work compact(zorder_by=...) does for real tables
+    t.overwrite(o.repartitionByRange(8, "d"))
+    preds = [
+        ("y", "=", 1995),
+        ("d", "between", (datetime.date(1995, 3, 1), datetime.date(1995, 4, 15))),
+    ]
+    df, report = t.read_where(spark, preds, with_report=True)
+    if not report["files_skipped"]:
+        raise RuntimeError(f"data skipping pruned nothing: {report}")
+    return df.groupBy(
+        F.col("y").cast("bigint").alias("y"),
+        F.month("d").cast("bigint").alias("m"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        aggregate.exact_sum("price").alias("sum_price"),
+    )

@@ -275,6 +275,16 @@ def maintain_one(spark, specs, name, args) -> dict:
             "zorder_by": list(zorder_by) if zorder_by else None,
             "seconds": round(time.time() - t0, 2),
         }
+    if args.maintain == "analyze":
+        if not args.stats_cols:
+            raise SystemExit("--maintain analyze requires --stats-cols col[,col...]")
+        report = target.analyze(cols=args.stats_cols.split(","))
+        return {
+            "pipeline": name,
+            "maintain": "analyze",
+            **report,
+            "seconds": round(time.time() - t0, 2),
+        }
     removed = target.vacuum(keep_last=args.vacuum_keep)
     return {
         "pipeline": name,
@@ -468,8 +478,14 @@ def main(argv=None) -> int:
     # target needs; runs INSTEAD of a load for the selected pipelines)
     ap.add_argument(
         "--maintain",
-        choices=["compact", "vacuum"],
+        choices=["compact", "vacuum", "analyze"],
         help="run target-table maintenance instead of a load",
+    )
+    ap.add_argument(
+        "--stats-cols",
+        help="with --maintain analyze: comma-separated columns whose "
+        "per-file min/max footer stats to backfill into the current "
+        "manifest (enables read_where data skipping on existing tables)",
     )
     ap.add_argument(
         "--zorder-by",

@@ -43,6 +43,267 @@ from bw_new_data_integration_spark.operators.merge import (
 )
 
 
+def _stat_tag(v) -> str | None:
+    """Type tag for a parquet footer min/max value. None = don't keep
+    the stat (binary, or a string long enough that the writer may have
+    stored a truncated bound — arrow's chunk-statistics truncation
+    threshold is 4 KiB, so 1 KiB is comfortably exact)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "dec"
+    if isinstance(v, datetime.datetime):
+        return "ts"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, str) and len(v) < 1024:
+        return "str"
+    return None
+
+
+def _stat_encode(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return v
+
+
+def _stat_decode(tag: str, v):
+    import datetime
+    import decimal
+
+    if tag == "date":
+        return datetime.date.fromisoformat(v)
+    if tag == "ts":
+        return datetime.datetime.fromisoformat(v)
+    if tag == "dec":
+        return decimal.Decimal(v)
+    return v
+
+
+def _coerce_pred_value(tag: str, v):
+    """Bring a predicate literal into the stat's comparison domain.
+    int/float/Decimal cross-compare EXACTLY in Python (no rounding),
+    so numeric literals pass through untouched."""
+    import datetime
+    import decimal
+
+    if tag in ("int", "float", "dec", "bool"):
+        if isinstance(v, (int, float, decimal.Decimal)):
+            return v
+        return float(v)
+    if tag == "date":
+        if isinstance(v, datetime.datetime):
+            return v.date()
+        if isinstance(v, datetime.date):
+            return v
+        return datetime.date.fromisoformat(str(v))
+    if tag == "ts":
+        if isinstance(v, datetime.datetime):
+            return v
+        if isinstance(v, datetime.date):
+            return datetime.datetime(v.year, v.month, v.day)
+        return datetime.datetime.fromisoformat(str(v))
+    return str(v)
+
+
+def _range_may_match(mn, mx, op: str, v) -> bool:
+    """May any value in [mn, mx] satisfy ``col <op> v``? Conservative
+    (errors on the side of True = read the file)."""
+    try:
+        if op == "=":
+            return mn <= v <= mx
+        if op == "<":
+            return mn < v
+        if op == "<=":
+            return mn <= v
+        if op == ">":
+            return mx > v
+        if op == ">=":
+            return mx >= v
+        if op == "between":
+            lo, hi = v
+            return mn <= hi and lo <= mx
+        if op == "in":
+            return any(mn <= x <= mx for x in v)
+    except TypeError:
+        return True  # incomparable domains — never skip on a guess
+    return True  # unknown op — residual filter handles it
+
+
+def _file_column_stats(full_path: str, cols: Sequence[str]) -> dict:
+    """Per-file min/max/null-count from the parquet FOOTER — metadata
+    only, no data pages read (the same source Delta/Iceberg stats come
+    from). A row group lacking stats for a column marks that column
+    unusable for the whole file (``ok: false``)."""
+    import pyarrow.parquet as pq
+
+    wanted = set(cols)
+    md = pq.ParquetFile(full_path).metadata
+    agg: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in wanted:
+                continue
+            a = agg.setdefault(name, {"min": None, "max": None, "nulls": 0, "ok": True})
+            st = col.statistics
+            if st is None:
+                a["ok"] = False
+                continue
+            a["nulls"] += st.null_count or 0
+            if st.has_min_max:
+                tag = _stat_tag(st.min)
+                if tag is None or tag != _stat_tag(st.max):
+                    a["ok"] = False
+                    continue
+                a["t"] = tag
+                if a["min"] is None or st.min < a["min"]:
+                    a["min"] = st.min
+                if a["max"] is None or st.max > a["max"]:
+                    a["max"] = st.max
+            elif st.num_values:
+                a["ok"] = False  # non-null values present but no bounds
+    out = {}
+    for name, a in agg.items():
+        if not a["ok"]:
+            continue
+        out[name] = {
+            "t": a.get("t"),
+            "min": _stat_encode(a["min"]),
+            "max": _stat_encode(a["max"]),
+            "nulls": a["nulls"],
+        }
+    return out
+
+
+def _rel_partition_values(rel_path: str) -> dict[str, str | None]:
+    """``col=value`` segments of a manifest-relative data-file path
+    (no ``v=N`` prefix) → logical partition values (hive-unescaped)."""
+    out: dict[str, str | None] = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, val = seg.partition("=")
+            out[unquote(k)] = (
+                None if val == "__HIVE_DEFAULT_PARTITION__" else unquote(val)
+            )
+    return out
+
+
+def _partition_may_match(pv: str | None, op: str, v) -> bool:
+    """Directory-level pruning on a hive path value. All supported ops
+    are null-rejecting, so the default-partition (null) dir never
+    matches. Values compare numerically when both sides parse, else as
+    strings (ISO dates order correctly either way)."""
+    if pv is None:
+        return False
+
+    def num(x):
+        try:
+            return float(x)
+        except (TypeError, ValueError):
+            return None
+
+    def cmp_domain(a, b):
+        na, nb = num(a), num(b)
+        if na is not None and nb is not None:
+            return na, nb
+        return str(a), str(b)
+
+    if op == "in":
+        return any(_partition_may_match(pv, "=", x) for x in v)
+    if op == "between":
+        lo, hi = v
+        a, b = cmp_domain(pv, lo)
+        c, d = cmp_domain(pv, hi)
+        return a >= b and c <= d
+    a, b = cmp_domain(pv, v)
+    if op == "=":
+        return a == b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    if op == ">=":
+        return a >= b
+    return True
+
+
+def _file_may_match(entry: dict, predicates) -> bool:
+    """Data-skipping verdict for one manifest file entry: False only
+    when some conjunct PROVABLY matches no row of the file — via its
+    partition-path value or its footer min/max. Missing/unusable stats
+    always keep the file; the residual Spark filter restores exactness
+    regardless."""
+    pvals = _rel_partition_values(entry["path"])
+    stats = entry.get("stats") or {}
+    for col, op, v in predicates:
+        if col in pvals:
+            if not _partition_may_match(pvals[col], op, v):
+                return False
+            continue
+        s = stats.get(col)
+        if not s:
+            continue
+        if s["min"] is None:
+            return False  # file has no non-null values; every op is null-rejecting
+        tag = s["t"]
+        mn, mx = _stat_decode(tag, s["min"]), _stat_decode(tag, s["max"])
+        try:
+            if op in ("between",):
+                cv = tuple(_coerce_pred_value(tag, x) for x in v)
+            elif op == "in":
+                cv = [_coerce_pred_value(tag, x) for x in v]
+            else:
+                cv = _coerce_pred_value(tag, v)
+        except (TypeError, ValueError):
+            continue  # literal outside the stat domain — keep the file
+        if not _range_may_match(mn, mx, op, cv):
+            return False
+    return True
+
+
+def _predicates_to_column(predicates) -> F.Column:
+    """The same conjuncts as an exact Spark filter (the residual
+    applied after pruning — skipping is a file-list optimization, never
+    a semantics change)."""
+    terms = []
+    for col, op, v in predicates:
+        c = F.col(col)
+        if op == "=":
+            terms.append(c == F.lit(v))
+        elif op == "<":
+            terms.append(c < F.lit(v))
+        elif op == "<=":
+            terms.append(c <= F.lit(v))
+        elif op == ">":
+            terms.append(c > F.lit(v))
+        elif op == ">=":
+            terms.append(c >= F.lit(v))
+        elif op == "between":
+            terms.append(c.between(F.lit(v[0]), F.lit(v[1])))
+        elif op == "in":
+            terms.append(c.isin(*v))
+        else:
+            raise ValueError(f"unsupported predicate op: {op!r}")
+    return reduce(and_, terms) if terms else F.lit(True)
+
+
 def _partition_values(rel_path: str) -> dict[str, str | None]:
     """Protocol-encoded ``col=value`` path segments → Delta
     partitionValues.
@@ -70,10 +331,19 @@ class ParquetKeyedTable:
         path: str,
         key_cols: Sequence[str],
         partition_by: Sequence[str] = (),
+        stats_cols: Sequence[str] = (),
     ) -> None:
+        """``stats_cols``: columns whose per-FILE min/max/null-count are
+        captured in each commit manifest (from parquet footers —
+        metadata-only, no data scan) and used by :meth:`read_where` for
+        data skipping, Delta/Iceberg style. Opt-in: stats collection
+        costs one footer read per newly-written file per commit; files
+        carried forward by partition-scoped merges inherit their stats
+        from the previous manifest without re-reading anything."""
         self.path = path
         self.key_cols = list(key_cols)
         self.partition_by = list(partition_by)
+        self.stats_cols = list(stats_cols)
 
     # -- snapshot bookkeeping ------------------------------------------------
 
@@ -125,6 +395,53 @@ class ParquetKeyedTable:
             return None
         return spark.read.parquet(self._snapshot_dir(v))
 
+    def read_where(
+        self,
+        spark: SparkSession,
+        predicates: Sequence[tuple],
+        version: int | None = None,
+        with_report: bool = False,
+    ):
+        """Data-skipping read (Delta/Iceberg stats pruning over the
+        commit manifest): ``predicates`` is a conjunction of
+        ``(col, op, value)`` with op in ``= < <= > >= between in``
+        (``between`` takes ``(lo, hi)``, ``in`` a list). Files whose
+        partition-path value or footer min/max PROVABLY exclude every
+        row are dropped from the scan driver-side — an O(n_files)
+        manifest pass, no data read — and the same predicates are then
+        applied as an exact Spark filter, so pruning can only change
+        the plan, never the answer. At 100 TB this is what makes a
+        time-range query on the keyed table cost O(window), not
+        O(history): stats collection is footer-metadata-only at commit
+        time and linked (carried-forward) files inherit stats without
+        re-reading. ``with_report=True`` returns
+        ``(df, {"files_total", "files_read", "files_skipped"})``."""
+        v = self.current_version() if version is None else version
+        if v < 0 or (version is not None and version > self.current_version()):
+            return None
+        m = self.manifest(v)
+        snap = self._snapshot_dir(v)
+        entries = (m or {}).get("files", [])
+        residual = _predicates_to_column(predicates)
+        if not entries:  # pre-manifest table: no pruning, exact filter only
+            df = self.read(spark, v).where(residual)
+            report = {"files_total": None, "files_read": None, "files_skipped": 0}
+            return (df, report) if with_report else df
+        kept = [e for e in entries if _file_may_match(e, predicates)]
+        report = {
+            "files_total": len(entries),
+            "files_read": len(kept),
+            "files_skipped": len(entries) - len(kept),
+        }
+        if not kept:
+            df = self.read(spark, v).where(F.lit(False))
+        else:
+            df = spark.read.option("basePath", snap).parquet(
+                *(os.path.join(snap, e["path"]) for e in kept)
+            )
+        df = df.where(residual)
+        return (df, report) if with_report else df
+
     def _write_snapshot(self, df: DataFrame) -> int:
         from pyspark.sql import Observation
 
@@ -159,6 +476,13 @@ class ParquetKeyedTable:
         names; a crash between manifest and flip leaves an unreferenced
         version directory, never a referenced-but-unmanifested one."""
         snap = self._snapshot_dir(version)
+        prev_stats: dict[str, dict] = {}
+        if self.stats_cols:
+            prev = self.manifest(version - 1) if version > 0 else None
+            if prev:
+                prev_stats = {
+                    f["path"]: f["stats"] for f in prev["files"] if "stats" in f
+                }
         files = []
         for d, _dirs, fs in os.walk(snap):
             for f in fs:
@@ -166,15 +490,22 @@ class ParquetKeyedTable:
                     continue
                 full = os.path.join(d, f)
                 st = os.stat(full)
-                files.append(
-                    {
-                        "path": os.path.relpath(full, snap),
-                        "bytes": st.st_size,
-                        # hard-linked from the previous snapshot (carried
-                        # forward untouched) iff the inode is shared
-                        "linked": st.st_nlink > 1,
-                    }
-                )
+                entry = {
+                    "path": os.path.relpath(full, snap),
+                    "bytes": st.st_size,
+                    # hard-linked from the previous snapshot (carried
+                    # forward untouched) iff the inode is shared
+                    "linked": st.st_nlink > 1,
+                }
+                if self.stats_cols:
+                    # linked = byte-identical to last version's file at
+                    # the same path → its stats carry forward for free;
+                    # only freshly-written files pay a footer read
+                    if entry["linked"] and entry["path"] in prev_stats:
+                        entry["stats"] = prev_stats[entry["path"]]
+                    else:
+                        entry["stats"] = _file_column_stats(full, self.stats_cols)
+                files.append(entry)
         manifest = {
             "version": version,
             "operation": operation,
@@ -215,6 +546,39 @@ class ParquetKeyedTable:
 
     def _commit(self, df: DataFrame, operation: str = "commit") -> int:
         return self._flip(self._write_snapshot(df), operation)
+
+    def analyze(
+        self, cols: Sequence[str] | None = None, version: int | None = None
+    ) -> dict:
+        """Backfill per-file min/max footer stats into an EXISTING
+        version's manifest (ANALYZE / compute-statistics parity): for
+        tables created before ``stats_cols`` was set, or after widening
+        the column set. Footer-metadata reads only, and only for files
+        missing any requested column; the manifest is rewritten in
+        place under the writer lock, so subsequent :meth:`read_where`
+        calls prune immediately — no data rewrite, no new version."""
+        cols = list(cols) if cols else self.stats_cols
+        if not cols:
+            raise ValueError("analyze: no columns — pass cols or set stats_cols")
+        with self._write_lock():
+            v = self.current_version() if version is None else version
+            m = self.manifest(v)
+            if m is None:
+                raise FileNotFoundError(f"analyze: no manifest for version {v}")
+            snap = self._snapshot_dir(v)
+            analyzed = 0
+            for f in m["files"]:
+                have = f.get("stats") or {}
+                if set(cols) <= set(have):
+                    continue
+                f["stats"] = {
+                    **have,
+                    **_file_column_stats(os.path.join(snap, f["path"]), cols),
+                }
+                analyzed += 1
+            with open(os.path.join(snap, "_manifest.json"), "w") as fh:
+                json.dump(m, fh, indent=1)
+        return {"version": v, "files_analyzed": analyzed, "files_total": len(m["files"])}
 
     def volume_anomalies(
         self, min_history: int = 3, max_ratio: float = 3.0

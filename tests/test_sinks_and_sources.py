@@ -1824,3 +1824,161 @@ def test_watermark_lateness_matrix_repair_vs_drop(spark, tmp_path):
     )
     expect = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
     assert {k: v for k, v in final.items()} == expect
+
+
+def test_read_xml_raw_attributes_and_per_file_corruption(spark, tmp_path):
+    """XML scan semantics (S14): attributes surface under the source's
+    `_`-prefix convention, explicit all-string schema (no inference),
+    and the XML-specific corruption unit — a malformed record has no
+    line framing to resync on, so the remainder of its FILE lands as
+    one corrupt record while sibling files parse fully."""
+    from bw_new_data_integration_spark.sources.files import read_xml_raw
+
+    d = tmp_path / "xmlsrc"
+    d.mkdir()
+    (d / "good.xml").write_text(
+        "<os>\n"
+        '<o k="1"><date_raw>2024-01-02</date_raw><amount_raw>1,234.50</amount_raw></o>\n'
+        '<o k="2"><date_raw>3/4/2024</date_raw><amount_raw>-</amount_raw></o>\n'
+        "</os>\n"
+    )
+    # broken mid-file: row 3 unclosed; row 4 (well-formed) is unreachable
+    (d / "broken.xml").write_text(
+        "<os>\n"
+        '<o k="3"><date_raw>2024-05-06'
+        '\n<o k="4"><date_raw>2024-07-08</date_raw><amount_raw>9</amount_raw></o>\n'
+        "</os>\n"
+    )
+    df = read_xml_raw(spark, str(d), columns=["_k", "date_raw", "amount_raw"])
+    rows = df.collect()
+    good = {r["_k"]: r for r in rows if r["_corrupt_record"] is None}
+    assert set(good) == {"1", "2"}
+    assert good["1"]["amount_raw"] == "1,234.50"  # string, uncoerced
+    assert good["2"]["date_raw"] == "3/4/2024"
+    # the whole broken file collapses to corrupt capture — row 4 never
+    # surfaces as a clean record
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) >= 1
+    assert not any(r["_k"] == "4" and r["_corrupt_record"] is None for r in rows)
+
+
+def test_read_where_stats_pruning_exact_and_null_semantics(spark, tmp_path):
+    """K8 data skipping: footer min/max pruning drops provably-excluded
+    files from the scan (visible in inputFiles()), never changes the
+    answer, skips all-null files for null-rejecting predicates, and
+    keeps files whose stats are absent."""
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    # four buckets, each a tight, disjoint 10-day date cluster
+    for b in range(4):
+        for i in range(10):
+            rows.append(Row(b=b, k=b * 100 + i, d=d0 + datetime.timedelta(days=30 * b + i), x=float(i)))
+    # bucket 9: d entirely NULL — null-rejecting preds must skip its file
+    rows += [Row(b=9, k=900 + i, d=None, x=float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows).coalesce(1)  # one file per partition dir
+    t = ParquetKeyedTable(str(tmp_path / "t"), ["b", "k"], partition_by=["b"], stats_cols=["d", "x"])
+    t.overwrite(df)
+
+    m = t.manifest()
+    by_part = {f["path"].split("/")[0]: f for f in m["files"]}
+    assert by_part["b=9"]["stats"]["d"]["min"] is None  # all-null stat recorded
+    assert by_part["b=0"]["stats"]["d"] == {
+        "t": "date", "min": "2024-01-01", "max": "2024-01-10", "nulls": 0,
+    }
+
+    preds = [("d", ">=", datetime.date(2024, 3, 1))]  # only buckets 2 and 3 can match
+    pruned, rep = t.read_where(spark, preds, with_report=True)
+    full = t.read(spark).where(F.col("d") >= F.lit(datetime.date(2024, 3, 1)))
+    assert sorted(r["k"] for r in pruned.collect()) == sorted(r["k"] for r in full.collect())
+    assert rep["files_skipped"] >= 3  # b=0, b=1, and the all-null b=9
+    read_parts = {p.split("b=")[1].split("/")[0] for p in pruned.inputFiles()}
+    assert "0" not in read_parts and "9" not in read_parts
+
+    # IN-list over the partition column prunes directories
+    _, rep_in = t.read_where(spark, [("b", "in", [1, 3])], with_report=True)
+    assert rep_in["files_read"] == 2
+
+    # a column with NO stats collected never prunes (conservative)
+    got = t.read_where(spark, [("k", "=", 205)]).collect()
+    assert [r["k"] for r in got] == [205]
+
+    # stats off (default): no stats in manifest, read_where still exact
+    t2 = ParquetKeyedTable(str(tmp_path / "t2"), ["b", "k"], partition_by=["b"])
+    t2.overwrite(df)
+    assert all("stats" not in f for f in t2.manifest()["files"])
+    got2, rep2 = t2.read_where(spark, preds, with_report=True)
+    assert got2.count() == full.count()
+    assert rep2["files_skipped"] == 0
+
+
+def test_read_where_stats_carry_forward_on_partition_scoped_upsert(spark, tmp_path):
+    """Files hard-linked forward by a partition-scoped merge inherit
+    their manifest stats from the previous version byte-for-byte — no
+    footer re-read of untouched history (the O(window)-commit
+    property)."""
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(b=b, k=b * 10 + i, d=d0 + datetime.timedelta(days=30 * b + i), x=1.0)
+         for b in range(3) for i in range(5)]
+    )
+    t = ParquetKeyedTable(str(tmp_path / "t"), ["b", "k"], partition_by=["b"], stats_cols=["d"])
+    t.overwrite(df)
+    m0 = {f["path"]: f["stats"] for f in t.manifest()["files"]}
+    t.upsert(spark, df.where(F.col("b") == 1).withColumn("x", F.lit(2.0)))
+    m1 = t.manifest()
+    linked = [f for f in m1["files"] if f["linked"]]
+    assert linked, "partition-scoped upsert should carry b=0/b=2 forward"
+    for f in linked:
+        assert f["stats"] == m0[f["path"]]
+    # and the pruned read over the merged table is still exact
+    preds = [("d", "between", (d0, d0 + datetime.timedelta(days=6)))]
+    pruned = t.read_where(spark, preds)
+    assert sorted(r["k"] for r in pruned.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_analyze_backfills_stats_and_runner_maintain_analyze(spark, tmp_path, capsys):
+    """analyze(): a table created WITHOUT stats_cols gains per-file
+    min/max stats in its existing manifest (no rewrite, no new
+    version), after which read_where prunes; re-analyze is a no-op;
+    the CLI surface is --maintain analyze --stats-cols."""
+    import datetime
+
+    from bw_new_data_integration_spark import runner
+
+    d0 = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(b=b, k=b * 10 + i, d=d0 + datetime.timedelta(days=30 * b + i))
+         for b in range(3) for i in range(5)]
+    ).coalesce(1)
+    t = ParquetKeyedTable(str(tmp_path / "t"), ["b", "k"], partition_by=["b"])
+    t.overwrite(df)
+    assert all("stats" not in f for f in t.manifest()["files"])
+
+    rep = t.analyze(cols=["d"])
+    assert rep == {"version": 0, "files_analyzed": 3, "files_total": 3}
+    assert t.current_version() == 0  # in-place manifest update, no new version
+    pruned, prep = t.read_where(spark, [("d", ">=", datetime.date(2024, 3, 1))], with_report=True)
+    assert prep["files_skipped"] >= 2
+    assert sorted(r["k"] for r in pruned.collect()) == [20, 21, 22, 23, 24]
+    assert t.analyze(cols=["d"])["files_analyzed"] == 0  # idempotent
+
+    with pytest.raises(ValueError, match="no columns"):
+        t.analyze()
+
+    # CLI: load a pipeline target, then backfill stats through runner
+    troot = str(tmp_path / "targets")
+    args = ["--query", "daily_sales", "--sf-dir", "/root/testdata/sf0.001",
+            "--target-root", troot]
+    assert runner.main(args) == 0
+    rc = runner.main(args + ["--maintain", "analyze", "--stats-cols", "qty"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'maintain': 'analyze'" in out and "'files_analyzed':" in out
+    tt = ParquetKeyedTable(str(tmp_path / "targets" / "target_daily_sales"), ["business_key"])
+    assert any("stats" in f and "qty" in f["stats"] for f in tt.manifest()["files"])
+    with pytest.raises(SystemExit, match="requires --stats-cols"):
+        runner.main(args + ["--maintain", "analyze"])
