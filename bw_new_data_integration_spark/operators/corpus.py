@@ -164,3 +164,57 @@ def inverted_index(
         )
     )
     return top.join(postings, "term")
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """CCNet/C4-style line-level boilerplate removal: a line whose
+    normalized form (lower+trim) appears in ``min_docs`` or more
+    DISTINCT documents is dropped from every document (nav bars,
+    cookie banners, copyright footers); surviving lines are reassembled
+    in original order. One row per input document is always returned
+    (a fully-boilerplate document comes back as the empty string), with
+    kept/dropped line counts.
+
+    Scale (100 TB): one explode + one groupBy on the normalized line
+    (map-side combine; the line-frequency table is vocabulary-sized),
+    then ONE doc-keyed shuffle that both filters and reassembles. The
+    boilerplate set is broadcast — by construction each entry occurs in
+    ≥ ``min_docs`` documents, so its cardinality is bounded by
+    total_lines / min_docs, never corpus-sized. Zero Python UDFs.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+    boiler = (
+        lines.groupBy("norm")
+        .agg(F.countDistinct(id_col).alias("line_df"))
+        .where(F.col("line_df") >= F.lit(int(min_docs)))
+        .select("norm", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "norm", "left").withColumn(
+        "is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias(out_col),
+        F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lines_kept"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lines_dropped"),
+    )

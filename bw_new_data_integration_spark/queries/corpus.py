@@ -714,3 +714,67 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_kept"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (CCNet/C4 line-level dedup): lines whose
+# normalized form appears in >= 5% of documents are dropped corpus-wide,
+# remaining lines reassembled in order. The fixture synthesizes the
+# realistic mix on top of the documents table: a footer shared by ALL
+# docs (always dropped), a per-source nav header (dropped — each source
+# group clears the 5% bar), a semi-rare promo line shared by ~1% of
+# docs (kept), and the unique body (kept). The threshold is derived
+# from the corpus size on both sides, so the gate is sf-generic.
+# ---------------------------------------------------------------------------
+@register(
+    "boilerplate_line_removal",
+    oracle="""
+WITH th AS (
+  SELECT CAST(CEIL(0.05 * COUNT(*)) AS BIGINT) AS min_docs FROM documents
+),
+docs AS (
+  SELECT doc_id,
+         'NAV ' || source || ' MENU' || chr(10) ||
+         text || chr(10) ||
+         'PROMO CODE ' || CAST(doc_id % 97 AS VARCHAR) || chr(10) ||
+         'COPYRIGHT 2024 EXAMPLE' AS content
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(content, chr(10))) AS line,
+         unnest(range(1, len(string_split(content, chr(10))) + 1)) AS pos
+  FROM docs
+),
+normed AS (SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM lines),
+freq AS (SELECT norm, COUNT(DISTINCT doc_id) AS line_df FROM normed GROUP BY norm),
+flags AS (
+  SELECT n.doc_id, n.pos, n.line, (f.line_df >= (SELECT min_docs FROM th)) AS is_boiler
+  FROM normed n JOIN freq f USING (norm)
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_boiler), '') AS text_clean,
+       CAST(COUNT(*) FILTER (WHERE NOT is_boiler) AS BIGINT) AS n_lines_kept,
+       CAST(COUNT(*) FILTER (WHERE is_boiler) AS BIGINT) AS n_lines_dropped
+FROM flags
+GROUP BY doc_id
+""",
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal: corpus-frequent lines dropped, documents reassembled in order."""
+    import math
+
+    from bw_new_data_integration_spark.operators.corpus import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    content = F.concat(
+        F.lit("NAV "), F.col("source"), F.lit(" MENU\n"),
+        F.col("text"), F.lit("\n"),
+        F.lit("PROMO CODE "), (F.col("doc_id") % 97).cast("string"), F.lit("\n"),
+        F.lit("COPYRIGHT 2024 EXAMPLE"),
+    )
+    docs = d.select("doc_id", content.alias("content"))
+    min_docs = math.ceil(0.05 * d.count())  # scalar anchor, mirrored in the oracle
+    return remove_boilerplate_lines(
+        docs, min_docs=min_docs, text_col="content", id_col="doc_id"
+    )

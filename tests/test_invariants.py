@@ -1784,3 +1784,27 @@ def test_bloom_probe_join_agrees_with_literal_probe(spark):
         r["fp"] for r in spark.range(2000, 3000).selectExpr("md5(cast(id as string)) AS fp").collect()
     }
     assert true_members <= join_set
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    """Line order is preserved on reassembly; the threshold counts
+    DISTINCT documents (a line repeated 50x inside one doc is not
+    boilerplate); an all-boilerplate doc survives as the empty string
+    with exact drop accounting."""
+    from bw_new_data_integration_spark.operators.corpus import remove_boilerplate_lines
+
+    footer = "Copyright Example"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha\nbeta\n" + footer),
+            Row(doc_id=2, text="gamma\n" + footer + "\ndelta"),
+            Row(doc_id=3, text="\n".join(["echo"] * 50)),  # intra-doc repeat, df=1
+            Row(doc_id=4, text=footer + "\n  copyright example  "),  # norm-equal, all boiler
+        ]
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert out[1]["text_clean"] == "alpha\nbeta"
+    assert out[2]["text_clean"] == "gamma\ndelta"  # order kept around the dropped middle line
+    assert out[3]["text_clean"] == "\n".join(["echo"] * 50)  # df=1: kept despite 50 repeats
+    assert (out[4]["text_clean"], out[4]["n_lines_kept"], out[4]["n_lines_dropped"]) == ("", 0, 2)
+    assert out[1]["n_lines_dropped"] == 1
