@@ -99,6 +99,9 @@ OPTIONAL = [
     "unigram_rarity_score",
     "training_corpus_e2e",
     "s12_jsonl_roundtrip",
+    "s14_xml_roundtrip",
+    "k8_data_skipping",
+    "boilerplate_line_removal",
     "q6_forecast_revenue",
     "q8_market_share",
     "q13_order_count_distribution",

@@ -92,6 +92,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "mixture_temperature",
     "k7_time_travel",
     "o12_skyline_pareto",
+    "s14_xml_roundtrip",
+    "k8_data_skipping",
+    "boilerplate_line_removal",
     # -- round-5: renamed exact baselines need fresh rows under new names --
     "ann_brute_topk_exact_baseline",
     "dedup_embedding_near_dups_exact_baseline",
