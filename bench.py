@@ -102,6 +102,8 @@ OPTIONAL = [
     "s14_xml_roundtrip",
     "k8_data_skipping",
     "boilerplate_line_removal",
+    "text_mojibake_repair",
+    "quality_percentile_filter",
     "q6_forecast_revenue",
     "q8_market_share",
     "q13_order_count_distribution",

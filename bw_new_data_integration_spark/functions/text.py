@@ -184,3 +184,20 @@ def redact_pii(c: Column) -> Column:
     address is consumed by the email rule."""
     out = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
     return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
+def fix_mojibake(c: Column) -> Column:
+    """Repair UTF-8-read-as-Latin-1 mojibake (``cafÃ©`` → ``café``) —
+    the most common encoding corruption in web corpora; the inverse
+    transcode is what ftfy's default pass applies. Pure JVM
+    expressions: ``decode(encode(s, ISO-8859-1), UTF-8)`` applied only
+    when (a) the text shows mojibake marker characters and (b) its
+    Latin-1 byte reading is valid UTF-8 (``is_valid_utf8`` guard —
+    Spark 4's ``decode`` throws MALFORMED_CHARACTER_CODING otherwise).
+    Genuinely accented text fails (b) — a lone 0xE9 byte is not valid
+    UTF-8 — so it passes through untouched; CASE WHEN short-circuits,
+    so the throwing decode is never evaluated on unguarded rows."""
+    b = F.encode(c, "ISO-8859-1")
+    return F.when(
+        c.rlike("Ã|Â|â€") & F.is_valid_utf8(b), F.decode(b, "UTF-8")
+    ).otherwise(c)

@@ -286,3 +286,33 @@ def temperature_mixture(
         .where(_hash_bucket(F.col(id_col)) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    keep_frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quality cutoff: keep the top ``keep_frac`` of rows by
+    ``score_col`` WITHIN each ``group_col`` (the per-domain / per-source
+    quality-threshold step of web-corpus curation — a global cutoff
+    would empty low-scoring domains instead of keeping their best).
+    Ties break on ``id_col`` so the kept SET is deterministic across
+    engines and parallelism. Quota is ``ceil(keep_frac * group_size)``
+    — every non-empty group keeps at least one row.
+
+    Scale: a single group-keyed window pass (rank and count over the
+    same partitioning — one shuffle); no driver round-trips, no
+    collect. Skewed domains are one partition each — for a genuinely
+    degenerate group (one domain = half the corpus) pre-split by a
+    salt on the sort prefix or use the approx-quantile variant."""
+    w = Window.partitionBy(group_col)
+    ranked = df.withColumn(
+        "_r", F.row_number().over(w.orderBy(F.col(score_col).desc(), F.col(id_col)))
+    ).withColumn("_n", F.count(F.lit(1)).over(w))
+    return (
+        ranked.where(F.col("_r") <= F.ceil(F.lit(float(keep_frac)) * F.col("_n")))
+        .drop("_r", "_n")
+    )

@@ -95,6 +95,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "s14_xml_roundtrip",
     "k8_data_skipping",
     "boilerplate_line_removal",
+    "text_mojibake_repair",
+    "quality_percentile_filter",
     # -- round-5: renamed exact baselines need fresh rows under new names --
     "ann_brute_topk_exact_baseline",
     "dedup_embedding_near_dups_exact_baseline",

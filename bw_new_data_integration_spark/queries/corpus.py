@@ -778,3 +778,67 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(
         docs, min_docs=min_docs, text_col="content", id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair: the fixture synthesizes accented clean text from the
+# documents table, corrupts every third doc through the REAL encoding
+# fault (UTF-8 bytes re-read as Latin-1 — done with Spark's own
+# encode/decode, not string replaces), then repairs with fix_mojibake.
+# The oracle never touches encodings: it states the clean text the
+# repair must reproduce byte-for-byte, so any repair miss or
+# false-positive "repair" of genuinely accented text hash-fails.
+# ---------------------------------------------------------------------------
+@register(
+    "text_mojibake_repair",
+    oracle="""
+SELECT doc_id,
+       'Café São ' || substr(text, 1, 40) AS fixed,
+       (doc_id % 3 = 0) AS was_corrupted
+FROM documents
+""",
+)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair: UTF-8-as-Latin-1 mojibake inverted in-plan; clean accents untouched."""
+    d = _t(spark, sf_dir, "documents")
+    clean = F.concat(F.lit("Café São "), F.substring("text", 1, 40))
+    corrupt = F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
+    mixed = F.when(F.col("doc_id") % 3 == 0, corrupt).otherwise(clean)
+    return d.select(
+        "doc_id",
+        text.fix_mojibake(mixed).alias("fixed"),
+        (F.col("doc_id") % 3 == 0).alias("was_corrupted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality cutoff: keep the top 30% of docs per source by
+# score (per-domain thresholds — a GLOBAL cutoff would empty weak
+# domains instead of keeping their best). Score here is n_chars (its
+# construction is already gated by text_quality; this gate pins the
+# FILTER semantics: per-group quota, ceil rounding, deterministic
+# tie-break on doc_id).
+# ---------------------------------------------------------------------------
+@register(
+    "quality_percentile_filter",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE r <= CEIL(0.3 * n)
+""",
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality cutoff: top 30% by score within each source, exact quotas, stable ties."""
+    from bw_new_data_integration_spark.operators.sampling import (
+        quality_percentile_filter as qpf,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    return qpf(d, score_col="n_chars", group_col="source", keep_frac=0.3)

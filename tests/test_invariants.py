@@ -1808,3 +1808,40 @@ def test_remove_boilerplate_lines_semantics(spark):
     assert out[3]["text_clean"] == "\n".join(["echo"] * 50)  # df=1: kept despite 50 repeats
     assert (out[4]["text_clean"], out[4]["n_lines_kept"], out[4]["n_lines_dropped"]) == ("", 0, 2)
     assert out[1]["n_lines_dropped"] == 1
+
+
+def test_fix_mojibake_repairs_and_protects(spark):
+    """The inverse transcode fires only on marker+validity: mojibake is
+    repaired byte-exactly, genuinely accented text and ASCII pass
+    through, and marker-bearing text whose Latin-1 bytes are NOT valid
+    UTF-8 is left alone (the guard that keeps decode from throwing)."""
+    from bw_new_data_integration_spark.functions.text import fix_mojibake
+
+    cases = [
+        ("cafÃ© rÃ©sumÃ© niÃ±o", "café résumé niño"),  # classic double-encoding
+        ("café résumé niño", "café résumé niño"),      # genuine accents: untouched
+        ("plain ascii", "plain ascii"),
+        ("Ã stray marker", "Ã stray marker"),          # marker but invalid UTF-8 bytes
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["s"])
+    got = [r["f"] for r in df.select(fix_mojibake(F.col("s")).alias("f")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_quality_percentile_filter_quotas_and_ties(spark):
+    """ceil quota per group (4 rows at 0.3 keeps 2), singleton groups
+    always keep their row, and equal scores break ties on doc_id."""
+    from bw_new_data_integration_spark.operators.sampling import quality_percentile_filter
+
+    rows = [Row(doc_id=i, source="a", score=10 - i) for i in range(4)]  # distinct scores
+    rows += [Row(doc_id=100 + i, source="b", score=5) for i in range(4)]  # all tied
+    rows += [Row(doc_id=999, source="c", score=0)]  # singleton
+    out = quality_percentile_filter(
+        spark.createDataFrame(rows), "score", "source", 0.3
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert sorted(by_src["a"]) == [0, 1]       # top-2 of 4 (ceil(1.2) = 2)
+    assert sorted(by_src["b"]) == [100, 101]   # ties resolved by doc_id
+    assert by_src["c"] == [999]                # ceil(0.3) = 1: never empties a group
