@@ -104,6 +104,7 @@ OPTIONAL = [
     "boilerplate_line_removal",
     "text_mojibake_repair",
     "quality_percentile_filter",
+    "quality_classifier_e2e",
     "q6_forecast_revenue",
     "q8_market_share",
     "q13_order_count_distribution",

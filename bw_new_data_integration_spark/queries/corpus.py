@@ -842,3 +842,71 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
     )
     return qpf(d, score_col="n_chars", group_col="source", keep_frac=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier (fasttext-style hashed linear model) — the
+# "wiki-like?" scorer LLM pipelines train on weak labels and sweep over
+# the corpus. Training is iterative (not SQL-expressible), so like
+# kmeans_embeddings the oracle gates the deterministic invariants:
+# scoring is TOTAL (every doc scored exactly once), probabilities lie in
+# (0,1), and the model separates a vocabulary-difference concept at
+# >= 95% train accuracy. The fixture synthesizes the separable task on
+# top of the documents table: per-class vocabularies (8 tokens) plus 12
+# shared-filler tokens from the real text, 50/50 classes by doc_id.
+# Training itself is bit-deterministic (fixed-point gradient sums,
+# rational fast sigmoid — operators/classifier.py), which the
+# determinism sweep exercises end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_classifier_e2e",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_unique,
+       TRUE AS probs_in_range,
+       TRUE AS separates
+FROM documents
+""",
+)
+def quality_classifier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier: fit on weak labels, score the corpus, gate the invariants."""
+    from bw_new_data_integration_spark.operators.classifier import (
+        fit_linear_text_classifier,
+        score_linear_text_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pos = ["cite", "reference", "article", "encyclopedia", "notable", "verified"]
+    neg = ["click", "free", "casino", "winner", "offer", "subscribe"]
+    y = (F.col("doc_id") % 2 == 0).cast("int")
+
+    def vocab_text(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        toks = [
+            F.element_at(arr, ((F.col("doc_id") + F.lit(j)) % 6 + 1).cast("int"))
+            for j in range(8)
+        ]
+        return F.concat_ws(" ", *toks)
+
+    body = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 12))
+    fixture = d.select(
+        "doc_id",
+        y.alias("y"),
+        F.concat_ws(
+            " ", F.when(y == 1, vocab_text(pos)).otherwise(vocab_text(neg)), body
+        ).alias("text2"),
+    )
+    model = fit_linear_text_classifier(
+        spark, fixture, "y", text_col="text2", dim=1024, iters=5, lr=2.0
+    )
+    scored = score_linear_text_classifier(spark, fixture, model, text_col="text2")
+    joined = scored.join(fixture.select("doc_id", "y"), "doc_id")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_scored"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_unique"),
+        ((F.min("prob") > 0.0) & (F.max("prob") < 1.0)).alias("probs_in_range"),
+        (
+            F.avg(((F.col("prob") > 0.5).cast("int") == F.col("y")).cast("double"))
+            >= 0.95
+        ).alias("separates"),
+    )

@@ -1845,3 +1845,53 @@ def test_quality_percentile_filter_quotas_and_ties(spark):
     assert sorted(by_src["a"]) == [0, 1]       # top-2 of 4 (ceil(1.2) = 2)
     assert sorted(by_src["b"]) == [100, 101]   # ties resolved by doc_id
     assert by_src["c"] == [999]                # ceil(0.3) = 1: never empties a group
+
+
+def test_linear_text_classifier_learns_and_is_bit_deterministic(spark):
+    """Disjoint-vocabulary classes are separated at >= 95% train
+    accuracy; refitting yields bit-identical weights (fixed-point
+    gradient sums + rational sigmoid); scoring is total — a token-less
+    doc still comes back, at the bias-only probability; tf mode and
+    bad-mode validation."""
+    import pytest as _pytest
+
+    from bw_new_data_integration_spark.operators.classifier import (
+        _fast_sigmoid,
+        featurize_hashed,
+        fit_linear_text_classifier,
+        score_linear_text_classifier,
+    )
+
+    pos_v = ["wiki", "cite", "reference", "article", "encyclopedia", "notable"]
+    neg_v = ["buy", "click", "free", "casino", "winner", "offer"]
+    common = ["the", "a", "of", "and", "to", "in"]
+    rows = []
+    for i in range(200):
+        v = pos_v if i % 2 == 0 else neg_v
+        words = [v[(i + j) % 6] for j in range(10)] + [common[(i + j) % 6] for j in range(6)]
+        rows.append(Row(doc_id=i, text=" ".join(words), y=1 if i % 2 == 0 else 0))
+    rows.append(Row(doc_id=9999, text="", y=0))  # token-less
+    df = spark.createDataFrame(rows)
+
+    m = fit_linear_text_classifier(spark, df, "y", dim=512, iters=6, lr=2.0)
+    sc = score_linear_text_classifier(spark, df, m)
+    got = {r["doc_id"]: r["prob"] for r in sc.collect()}
+    assert len(got) == 201  # total scoring, token-less doc included
+    # the bias rides the fixed-point margin aggregate, so the engine's
+    # bias-only score uses the floor-quantized b (2^-40 granularity)
+    import math
+
+    assert got[9999] == _fast_sigmoid(math.floor(m["b"] * 2**40) / 2**40)
+    acc = sum(
+        1 for r in rows if r.doc_id != 9999 and (got[r.doc_id] > 0.5) == (r.y == 1)
+    ) / 200
+    assert acc >= 0.95
+    assert all(0.0 < p < 1.0 for p in got.values())
+
+    m2 = fit_linear_text_classifier(spark, df, "y", dim=512, iters=6, lr=2.0)
+    assert m2["w"] == m["w"] and m2["b"] == m["b"]  # bit-identical refit
+
+    tf = featurize_hashed(df, dim=512, mode="tf").collect()
+    assert all(0.0 < r["x"] <= 1.0 for r in tf)
+    with _pytest.raises(ValueError, match="unknown mode"):
+        featurize_hashed(df, mode="nope").collect()
