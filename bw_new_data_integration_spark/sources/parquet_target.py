@@ -142,11 +142,11 @@ def _range_may_match(mn, mx, op: str, v) -> bool:
     return True  # unknown op — residual filter handles it
 
 
-def _file_column_stats(full_path: str, cols: Sequence[str]) -> dict:
-    """Per-file min/max/null-count from the parquet FOOTER — metadata
-    only, no data pages read (the same source Delta/Iceberg stats come
-    from). A row group lacking stats for a column marks that column
-    unusable for the whole file (``ok: false``)."""
+def _file_column_stats(full_path: str, cols: Sequence[str]) -> tuple[dict, int]:
+    """(per-column min/max/null-count, file row count) from the parquet
+    FOOTER — metadata only, no data pages read (the same source
+    Delta/Iceberg stats come from). A row group lacking stats for a
+    column marks that column unusable for the whole file."""
     import pyarrow.parquet as pq
 
     wanted = set(cols)
@@ -187,7 +187,7 @@ def _file_column_stats(full_path: str, cols: Sequence[str]) -> dict:
             "max": _stat_encode(a["max"]),
             "nulls": a["nulls"],
         }
-    return out
+    return out, md.num_rows
 
 
 def _rel_partition_values(rel_path: str) -> dict[str, str | None]:
@@ -276,6 +276,27 @@ def _file_may_match(entry: dict, predicates) -> bool:
         if not _range_may_match(mn, mx, op, cv):
             return False
     return True
+
+
+def _delta_stats_json(entry: dict) -> str | None:
+    """Manifest file stats → the Delta protocol's ``add.stats`` JSON
+    (numRecords / minValues / maxValues / nullCount). Columns with no
+    non-null values appear in nullCount only, per the spec's treatment
+    of all-null columns."""
+    stats = entry.get("stats")
+    if not stats or entry.get("rows") is None:
+        return None
+    mv: dict = {}
+    xv: dict = {}
+    nc: dict = {}
+    for c, s in stats.items():
+        nc[c] = s["nulls"]
+        if s["min"] is not None:
+            mv[c] = s["min"]
+            xv[c] = s["max"]
+    return json.dumps(
+        {"numRecords": entry["rows"], "minValues": mv, "maxValues": xv, "nullCount": nc}
+    )
 
 
 def _predicates_to_column(predicates) -> F.Column:
@@ -481,7 +502,9 @@ class ParquetKeyedTable:
             prev = self.manifest(version - 1) if version > 0 else None
             if prev:
                 prev_stats = {
-                    f["path"]: f["stats"] for f in prev["files"] if "stats" in f
+                    f["path"]: (f["stats"], f.get("rows"))
+                    for f in prev["files"]
+                    if "stats" in f
                 }
         files = []
         for d, _dirs, fs in os.walk(snap):
@@ -502,9 +525,11 @@ class ParquetKeyedTable:
                     # the same path → its stats carry forward for free;
                     # only freshly-written files pay a footer read
                     if entry["linked"] and entry["path"] in prev_stats:
-                        entry["stats"] = prev_stats[entry["path"]]
+                        entry["stats"], entry["rows"] = prev_stats[entry["path"]]
                     else:
-                        entry["stats"] = _file_column_stats(full, self.stats_cols)
+                        entry["stats"], entry["rows"] = _file_column_stats(
+                            full, self.stats_cols
+                        )
                 files.append(entry)
         manifest = {
             "version": version,
@@ -571,10 +596,11 @@ class ParquetKeyedTable:
                 have = f.get("stats") or {}
                 if set(cols) <= set(have):
                     continue
-                f["stats"] = {
-                    **have,
-                    **_file_column_stats(os.path.join(snap, f["path"]), cols),
-                }
+                fresh, n_rows = _file_column_stats(
+                    os.path.join(snap, f["path"]), cols
+                )
+                f["stats"] = {**have, **fresh}
+                f["rows"] = n_rows
                 analyzed += 1
             with open(os.path.join(snap, "_manifest.json"), "w") as fh:
                 json.dump(m, fh, indent=1)
@@ -715,21 +741,25 @@ class ParquetKeyedTable:
                         for seg in f"{snap_rel}/{f['path']}".split("/")
                     ),
                     "bytes": f["bytes"],
+                    # per-file stats (when the table collects them) ride
+                    # into the log as the protocol's add.stats JSON, so
+                    # external readers get the same data-skipping
+                    # information read_where uses
+                    "stats": _delta_stats_json(f),
                 }
                 for f in m["files"]
             ]
             for f in cur_files:
-                actions.append(
-                    {
-                        "add": {
-                            "path": f["path"],
-                            "partitionValues": _partition_values(f["path"]),
-                            "size": f["bytes"],
-                            "modificationTime": ts_ms,
-                            "dataChange": True,
-                        }
-                    }
-                )
+                add = {
+                    "path": f["path"],
+                    "partitionValues": _partition_values(f["path"]),
+                    "size": f["bytes"],
+                    "modificationTime": ts_ms,
+                    "dataChange": True,
+                }
+                if f["stats"] is not None:
+                    add["stats"] = f["stats"]
+                actions.append({"add": add})
             with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
                 for a in actions:
                     fh.write(json.dumps(a) + "\n")
@@ -803,6 +833,7 @@ class ParquetKeyedTable:
                             ("size", pa.int64()),
                             ("modificationTime", pa.int64()),
                             ("dataChange", pa.bool_()),
+                            ("stats", pa.string()),  # optional per spec
                         ]
                     ),
                 ),
@@ -828,6 +859,7 @@ class ParquetKeyedTable:
                         "size": f["bytes"],
                         "modificationTime": ts_ms,
                         "dataChange": False,
+                        "stats": f.get("stats"),
                     }
                 }
             )

@@ -1115,6 +1115,7 @@ def test_delta_checkpoint_golden_layout(spark, tmp_path):
         "size": "int64",
         "modificationTime": "int64",
         "dataChange": "bool",
+        "stats": "string",  # optional per-file stats JSON (PROTOCOL.md)
     }
     assert pa.types.is_map({f.name: f.type for f in add_t}["partitionValues"])
 
@@ -1938,6 +1939,20 @@ def test_read_where_stats_carry_forward_on_partition_scoped_upsert(spark, tmp_pa
     preds = [("d", "between", (d0, d0 + datetime.timedelta(days=6)))]
     pruned = t.read_where(spark, preds)
     assert sorted(r["k"] for r in pruned.collect()) == [0, 1, 2, 3, 4]
+
+    # the same stats travel into the exported Delta log as the
+    # protocol's add.stats JSON (numRecords/minValues/maxValues/
+    # nullCount), so external readers can data-skip too
+    log_dir = t.export_delta_log(spark)
+    with open(os.path.join(log_dir, "00000000000000000001.json")) as fh:
+        adds = [json.loads(l)["add"] for l in fh if '"add"' in l]
+    assert adds
+    sts = [json.loads(a["stats"]) for a in adds]
+    for st in sts:
+        assert set(st) == {"numRecords", "minValues", "maxValues", "nullCount"}
+        assert "d" in st["minValues"]
+        assert st["minValues"]["d"] <= st["maxValues"]["d"]
+    assert sum(st["numRecords"] for st in sts) == 15  # whole table accounted
 
 
 def test_analyze_backfills_stats_and_runner_maintain_analyze(spark, tmp_path, capsys):
