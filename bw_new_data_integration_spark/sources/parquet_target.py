@@ -416,6 +416,22 @@ class ParquetKeyedTable:
             return None
         return spark.read.parquet(self._snapshot_dir(v))
 
+    def version_asof(self, ts: float) -> int | None:
+        """Latest version committed at or before unix-seconds ``ts``
+        (Delta's TIMESTAMP AS OF resolution: commit timestamps come
+        from the manifests, newest-first scan, None if the table is
+        younger than ``ts``)."""
+        for v in range(self.current_version(), -1, -1):
+            m = self.manifest(v)
+            if m is not None and m["timestamp"] <= ts:
+                return v
+        return None
+
+    def read_asof(self, spark: SparkSession, ts: float) -> DataFrame | None:
+        """TIMESTAMP AS OF read: the snapshot as of unix-seconds ``ts``."""
+        v = self.version_asof(ts)
+        return None if v is None else self.read(spark, version=v)
+
     def read_where(
         self,
         spark: SparkSession,

@@ -1997,3 +1997,20 @@ def test_analyze_backfills_stats_and_runner_maintain_analyze(spark, tmp_path, ca
     assert any("stats" in f and "qty" in f["stats"] for f in tt.manifest()["files"])
     with pytest.raises(SystemExit, match="requires --stats-cols"):
         runner.main(args + ["--maintain", "analyze"])
+
+
+def test_read_asof_timestamp_addressing(spark, tmp_path):
+    """TIMESTAMP AS OF: commit manifests resolve a unix timestamp to
+    the latest version at-or-before it; a pre-table timestamp resolves
+    to None; a far-future one to the current version."""
+    t = ParquetKeyedTable(str(tmp_path / "t"), ["k"])
+    t.overwrite(spark.createDataFrame([Row(k=1, v=10)]))
+    ts0 = t.manifest(0)["timestamp"]
+    t.upsert(spark, spark.createDataFrame([Row(k=1, v=20)]))
+    ts1 = t.manifest(1)["timestamp"]
+
+    assert t.version_asof(ts0 - 1) is None
+    assert t.read_asof(spark, ts0).collect()[0]["v"] == 10
+    if ts1 > ts0:  # same-second commits collapse to the later version
+        assert t.version_asof((ts0 + ts1) / 2) == 0
+    assert t.read_asof(spark, ts1 + 3600).collect()[0]["v"] == 20
