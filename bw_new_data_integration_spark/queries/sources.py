@@ -851,7 +851,10 @@ def s11_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s14_xml_roundtrip",
     oracle="""
-WITH dirty AS (
+WITH sampled AS (
+  SELECT * FROM orders WHERE o_orderkey % 10 = 0
+),
+dirty AS (
   SELECT o_orderkey,
          CASE WHEN o_orderkey % 4 = 0 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
               ELSE strftime(CAST(o_orderdate AS DATE), '%-m/%-d/%Y') END AS date_raw,
@@ -860,7 +863,7 @@ WITH dirty AS (
               ELSE CAST(o_orderkey % 900 + 100 AS VARCHAR) || ',' ||
                    lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') || '.' ||
                    lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') END AS amount_raw
-  FROM orders
+  FROM sampled
 ),
 parsed AS (
   SELECT o_orderkey,
@@ -884,7 +887,11 @@ def s14_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bw_new_data_integration_spark.sources import files
 
-    o = _t(spark, sf_dir, "orders")
+    # deterministic 1-in-10 sample bounds the driver-side fixture
+    # write (the XML source needs real FILES on disk) at any bench
+    # SF: sf1 stays ~150k rows, well under the _collect_capped limit
+    # that aborted the first sf1 bench attempt
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
     k = F.col("o_orderkey")
     d = F.col("o_orderdate").cast("date")
     amount_raw = (
