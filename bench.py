@@ -105,6 +105,7 @@ OPTIONAL = [
     "text_mojibake_repair",
     "quality_percentile_filter",
     "quality_classifier_e2e",
+    "k9_zorder_skipping",
     "q6_forecast_revenue",
     "q8_market_share",
     "q13_order_count_distribution",

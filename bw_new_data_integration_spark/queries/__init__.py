@@ -98,6 +98,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_mojibake_repair",
     "quality_percentile_filter",
     "quality_classifier_e2e",
+    "k9_zorder_skipping",
     # -- round-5: renamed exact baselines need fresh rows under new names --
     "ann_brute_topk_exact_baseline",
     "dedup_embedding_near_dups_exact_baseline",

@@ -359,3 +359,74 @@ def k8_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         aggregate.exact_sum("price").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K9 — layout meets skipping: OPTIMIZE ZORDER BY + read_where on a
+# 2-D box predicate. The unsorted snapshot (hash-ish layout: every
+# file spans the whole price/date range) prunes ~nothing; after
+# compact(zorder_by=(price, d)) the SAME read_where over the SAME
+# predicates drops most files — proving the stats machinery and the
+# Morton layout compose. The gate fails in-query if compaction did not
+# strictly improve pruning, and the value oracle (plain filtered SQL)
+# fails if either read returned wrong rows.
+# ---------------------------------------------------------------------------
+@register(
+    "k9_zorder_skipping",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
+       TRUE AS pruning_improved,
+       TRUE AS results_equal
+FROM orders
+WHERE o_totalprice BETWEEN 50000 AND 80000
+  AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+""",
+)
+def k9_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction makes the stats-pruned box-predicate read touch strictly fewer files."""
+    import datetime
+    import tempfile
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    t = ParquetKeyedTable(
+        tempfile.mkdtemp(prefix="bw_zskip_") + "/t", ["k"], stats_cols=["price", "d"]
+    )
+    # unsorted seed: repartition by key hash — every file spans the full
+    # price AND date range, the worst case for min/max pruning
+    t.overwrite(o.repartition(16, "k"))
+    preds = [
+        ("price", "between", (50000.0, 80000.0)),
+        ("d", "between", (datetime.date(1996, 1, 1), datetime.date(1996, 12, 31))),
+    ]
+    before_df, before = t.read_where(spark, preds, with_report=True)
+    b = before_df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        aggregate.exact_sum("price").alias("sum_price"),
+    ).collect()[0]
+    # scale-adaptive target: ~8 z-ordered output files at ANY fixture SF
+    # (a single output file could never demonstrate pruning; a fixed
+    # byte target under-splits tiny parity fixtures and over-splits sf1)
+    target = max(1, t.manifest()["total_bytes"] // 8)
+    t.compact(spark, target_file_bytes=target, zorder_by=("price", "d"))
+    after_df, after = t.read_where(spark, preds, with_report=True)
+    if not (after["files_skipped"] > before["files_skipped"] and after["files_read"] < before["files_read"]):
+        raise RuntimeError(f"zorder did not improve pruning: before={before} after={after}")
+    return after_df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        aggregate.exact_sum("price").alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(True).alias("pruning_improved"),
+        (
+            (F.col("n_rows") == F.lit(int(b["n_rows"])))
+            & (F.col("sum_price") == F.lit(float(b["sum_price"])))
+        ).alias("results_equal"),
+    )

@@ -1220,7 +1220,28 @@ class ParquetKeyedTable:
                     "locality to interleave; cast or derive one first)"
                 )
 
-            z = z_value(as_zkey(zorder_by[0]), as_zkey(zorder_by[1])).alias("__z")
+            # quantize each dimension into the interleave's 16-bit
+            # budget over its ACTUAL min/max (one tiny aggregate job):
+            # z_value takes the LOW 16 bits, so an unquantized column
+            # wider than 16 bits (price in cents, epoch days far from
+            # 1970, ...) would alias every 65,536 units and silently
+            # destroy locality — the curve must span the observed
+            # range, not the type's range
+            kx, ky = as_zkey(zorder_by[0]), as_zkey(zorder_by[1])
+            b = target.agg(
+                F.min(kx).alias("x0"), F.max(kx).alias("x1"),
+                F.min(ky).alias("y0"), F.max(ky).alias("y1"),
+            ).collect()[0]
+
+            def quant(k, lo, hi):
+                span = max(1, int(hi) - int(lo)) if hi is not None else 1
+                return F.floor(
+                    (k - F.lit(int(lo or 0))).cast("double") * (65535.0 / span)
+                ).cast("bigint")
+
+            z = z_value(
+                quant(kx, b["x0"], b["x1"]), quant(ky, b["y0"], b["y1"])
+            ).alias("__z")
             compacted = (
                 target.withColumn("__z", z)
                 .repartitionByRange(n, "__z")
