@@ -61,7 +61,14 @@ def write_zordered(
     (one sampling pass picks balanced cut points — the same mechanism
     a global orderBy uses, but stopping at partition granularity) and
     sort within each file so row-group min/max stats stay tight on
-    both columns."""
+    both columns.
+
+    Both columns must already FIT in ``bits`` bits: the interleave
+    takes the low bits, so a wider value aliases every ``2**bits``
+    units and loses locality. Quantize wide-range columns to the bit
+    budget over their observed min/max first —
+    ``ParquetKeyedTable.compact(zorder_by=...)`` does exactly that
+    before calling the interleave."""
     z = z_value(F.col(x_col), F.col(y_col), bits).alias("__z")
     (
         df.withColumn("__z", z)

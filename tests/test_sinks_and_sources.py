@@ -2014,3 +2014,40 @@ def test_read_asof_timestamp_addressing(spark, tmp_path):
     if ts1 > ts0:  # same-second commits collapse to the later version
         assert t.version_asof((ts0 + ts1) / 2) == 0
     assert t.read_asof(spark, ts1 + 3600).collect()[0]["v"] == 20
+
+
+def test_streaming_sink_produces_stats_prunable_table(spark, tmp_path):
+    """Closure of continuous ingest × data skipping: a foreachBatch
+    keyed-upsert stream into a stats-collecting table leaves every
+    commit's manifest carrying footer stats, so read_where prunes the
+    streamed table exactly like a batch-built one."""
+    import datetime
+
+    from bw_new_data_integration_spark.streaming.stream import upsert_sink
+
+    d0 = datetime.date(2024, 1, 1)
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(
+        [Row(b=b, k=b * 10 + i, d=d0 + datetime.timedelta(days=30 * b + i), v=1.0)
+         for b in range(3) for i in range(5)]
+    ).coalesce(1)
+    batch.write.parquet(src)
+
+    t = ParquetKeyedTable(
+        str(tmp_path / "t"), ["b", "k"], partition_by=["b"], stats_cols=["d"]
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        upsert_sink(stream, t, str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    m = t.manifest()
+    assert m and all("stats" in f for f in m["files"])
+    pruned, rep = t.read_where(
+        spark, [("d", ">=", datetime.date(2024, 3, 1))], with_report=True
+    )
+    assert rep["files_skipped"] >= 1
+    assert sorted(r["k"] for r in pruned.collect()) == [20, 21, 22, 23, 24]
