@@ -106,6 +106,7 @@ OPTIONAL = [
     "quality_percentile_filter",
     "quality_classifier_e2e",
     "k9_zorder_skipping",
+    "dedup_substring_spans",
     "q6_forecast_revenue",
     "q8_market_share",
     "q13_order_count_distribution",

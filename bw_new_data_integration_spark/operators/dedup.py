@@ -519,3 +519,64 @@ def cluster_duplicates(
             (F.coalesce(F.col("lbl"), F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2021, arXiv:2107.06499 —
+    "Deduplicating Training Data Makes Language Models Better"):
+    every maximal token span whose k-token windows ALL occur more than
+    once in the corpus. Suffix-array semantics re-expressed for Spark
+    as rolling k-gram hashes: a duplicated region of length >= k
+    produces a run of duplicated windows, which merge (overlap-or-
+    adjacent) into one maximal span. Returns (id, span_start,
+    span_end) in 1-based inclusive token positions.
+
+    Plan: one explode to (doc, pos, md5(k-gram)) — fan-out = tokens
+    per doc, the same class as the MinHash shingle stage; one
+    gram-keyed groupBy with map-side combine (dup grams are a tiny
+    fraction, the HAVING prunes before the join); one shuffle join
+    back on the hash; one doc-keyed window pass for the island merge.
+    No UDFs, no collect, SQL-replayable for the oracle gate.
+    """
+    from bw_new_data_integration_spark.functions.text import tokens
+
+    t = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), t.alias("t")).where(F.size("t") >= k)
+    gram = lambda i: F.md5(F.array_join(F.slice("t", i, k), " "))  # noqa: E731
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), F.size("t") - k + 1), gram)
+        ).alias("pos0", "h"),
+    ).select(id_col, (F.col("pos0") + 1).alias("s"), "h")
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("h")
+    )
+    spans = grams.join(dup, "h").select(
+        id_col, "s", (F.col("s") + (k - 1)).alias("e")
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = (
+        F.max("e")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_max")
+    )
+    islands = spans.select(id_col, "s", "e", prev_max).withColumn(
+        "isl",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max") + 1), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    return islands.groupBy(id_col, "isl").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    ).drop("isl")

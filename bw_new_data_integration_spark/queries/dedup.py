@@ -360,3 +360,88 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         history.filter(F.col("doc_id") % 97 == 3)
     )
     return bloom.bloom_prefilter_dedup(history, batch, col="fp")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2021): maximal duplicated token
+# spans via rolling k-gram hashes — the missing dedup family between
+# exact-doc (fingerprint) and near-doc (MinHash): a copied PARAGRAPH
+# inside otherwise-distinct documents. Fixture appends a shared
+# 12-token boilerplate tail to every 5th doc, so those docs carry one
+# maximal duplicated span; the rest of each doc is word salad whose
+# k-gram collisions the oracle reproduces exactly if any occur. Exact
+# SQL oracle: identical tokenization (the repo's canonical \s+ split),
+# identical md5 k-grams, identical overlap-or-adjacent island merge.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_substring_spans",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' subscribe to our newsletter for weekly updates and exclusive offers today friend'
+                      ELSE '' END AS content
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(content)), '\s+'), x -> x != '') AS t
+  FROM docs
+),
+grams AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS s,
+         md5(array_to_string(t[u.i:u.i+7], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+  WHERE len(t) >= 8
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > 1),
+spans AS (SELECT doc_id, s, s + 7 AS e FROM grams JOIN dup USING (h)),
+ordered AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM spans
+),
+islands AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+  FROM ordered
+),
+merged AS (
+  SELECT doc_id, isl, MIN(s) AS span_start, MAX(e) AS span_end
+  FROM islands GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+       CAST(MIN(span_start) AS BIGINT) AS first_start,
+       CAST(MAX(span_end) AS BIGINT) AS last_end
+FROM merged GROUP BY 1
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup: maximal cross-corpus duplicated token spans (rolling k-gram hashes)."""
+    from bw_new_data_integration_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    content = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit(
+                " subscribe to our newsletter for weekly updates and exclusive offers today friend"
+            ),
+        ).otherwise(F.lit("")),
+    )
+    spans = duplicate_spans(
+        d.select("doc_id", content.alias("content")), k=8, text_col="content"
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("bigint")
+        .alias("dup_tokens"),
+        F.min("span_start").cast("bigint").alias("first_start"),
+        F.max("span_end").cast("bigint").alias("last_end"),
+    )

@@ -1895,3 +1895,33 @@ def test_linear_text_classifier_learns_and_is_bit_deterministic(spark):
     assert all(0.0 < r["x"] <= 1.0 for r in tf)
     with _pytest.raises(ValueError, match="unknown mode"):
         featurize_hashed(df, mode="nope").collect()
+
+
+def test_duplicate_spans_semantics(spark):
+    """Substring dedup: a 12-token region copied between two docs
+    yields ONE maximal merged span at the right 1-based positions in
+    each; within-doc repetition of a k-gram also counts (occurrences,
+    not distinct docs); docs shorter than k never produce spans; two
+    separate copied regions stay two spans."""
+    from bw_new_data_integration_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"  # 12 toks
+    other = "one two three four five six seven eight nine ten"  # 10 toks, unique
+    rows = [
+        Row(doc_id=1, text=f"{other} {shared}"),               # span at 11..22
+        Row(doc_id=2, text=f"{shared} unique1 unique2"),        # span at 1..12
+        Row(doc_id=3, text="w1 w2 w3 w4 w5 w6 w7 w8 " * 2),    # within-doc repeat
+        Row(doc_id=4, text="short doc"),                        # < k tokens
+        Row(doc_id=5, text=f"{shared} xray yankee zulu {shared}"),  # two regions
+    ]
+    out = duplicate_spans(spark.createDataFrame(rows), k=8).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for v in spans.values():
+        v.sort()
+    assert spans[1] == [(11, 22)]
+    assert spans[2] == [(1, 12)]
+    assert 3 in spans  # within-doc duplicated windows detected
+    assert 4 not in spans
+    assert spans[5] == [(1, 12), (16, 27)]
