@@ -107,6 +107,7 @@ OPTIONAL = [
     "quality_classifier_e2e",
     "k9_zorder_skipping",
     "dedup_substring_spans",
+    "dedup_substring_rewrite",
     "q6_forecast_revenue",
     "q8_market_share",
     "q13_order_count_distribution",

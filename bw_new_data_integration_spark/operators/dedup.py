@@ -580,3 +580,106 @@ def duplicate_spans(
     return islands.groupBy(id_col, "isl").agg(
         F.min("s").alias("span_start"), F.max("e").alias("span_end")
     ).drop("isl")
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """The rewrite step of exact substring dedup (Lee et al. 2021):
+    every duplicated k-gram keeps its FIRST occurrence corpus-wide —
+    canonical = min (id, position) — and all redundant windows, merged
+    into maximal spans, are CUT from their documents. Duplicate
+    detection is case-insensitive; reassembly preserves the original
+    tokens. Returns one row per input document: (id, out_col,
+    n_tokens_kept, n_tokens_cut) — the first-occurrence document keeps
+    its text, later copies lose the duplicated region, short/empty
+    docs pass through untouched.
+
+    Plan shape: the duplicate_spans pipeline (explode → gram groupBy →
+    join back → island merge) plus one per-doc range join of token
+    positions against the few removal spans and one doc-keyed
+    reassembly aggregate. Zero UDFs, SQL-replayable.
+    """
+    from bw_new_data_integration_spark.functions.text import tokens
+
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), t.alias("t"))
+    gram = lambda i: F.md5(F.lower(F.array_join(F.slice("t", i, k), " ")))  # noqa: E731
+    grams = (
+        base.where(F.size("t") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(F.sequence(F.lit(1), F.size("t") - k + 1), gram)
+            ).alias("pos0", "h"),
+        )
+        .select(id_col, (F.col("pos0") + 1).alias("s"), "h")
+    )
+    clusters = (
+        grams.groupBy("h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("s"))).alias("keep"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("h", "keep")
+    )
+    redundant = (
+        grams.join(clusters, "h")
+        .where(~((F.col(id_col) == F.col(f"keep.{id_col}")) & (F.col("s") == F.col("keep.s"))))
+        .select(id_col, "s", (F.col("s") + (k - 1)).alias("e"))
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    cut = (
+        redundant.withColumn("prev_max", prev_max)
+        .withColumn(
+            "isl",
+            F.sum(
+                F.when(
+                    F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max") + 1), 1
+                ).otherwise(0)
+            ).over(w),
+        )
+        .groupBy(id_col, "isl")
+        .agg(F.min("s").alias("cs"), F.max("e").alias("ce"))
+        .drop("isl")
+    )
+    toks = base.select(id_col, F.posexplode("t").alias("pos0", "tok")).select(
+        id_col, (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    cut_a = cut.select(F.col(id_col).alias("__cut_id"), "cs", "ce")
+    flagged = toks.join(
+        cut_a,
+        (F.col(id_col) == F.col("__cut_id"))
+        & (F.col("pos") >= F.col("cs"))
+        & (F.col("pos") <= F.col("ce")),
+        "left",
+    ).select(id_col, "pos", "tok", F.col("cs").isNotNull().alias("is_cut"))
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("is_cut"), F.struct(F.col("pos"), F.col("tok")))
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.sum(F.when(~F.col("is_cut"), 1).otherwise(0)).cast("bigint").alias("n_tokens_kept"),
+        F.sum(F.when(F.col("is_cut"), 1).otherwise(0)).cast("bigint").alias("n_tokens_cut"),
+    )
+    # token-less docs never reach the explode: restore them untouched
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+            F.coalesce("n_tokens_cut", F.lit(0)).cast("bigint").alias("n_tokens_cut"),
+        )
+    )

@@ -445,3 +445,101 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("span_start").cast("bigint").alias("first_start"),
         F.max("span_end").cast("bigint").alias("last_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The REWRITE step of exact substring dedup: every duplicated k-gram
+# keeps its first occurrence corpus-wide (min doc_id, position); merged
+# redundant spans are cut and documents reassembled. Same fixture as
+# dedup_substring_spans — the minimal %5 doc keeps the boilerplate
+# tail, every later %5 doc loses exactly it. The oracle replicates the
+# whole pipeline (tokenize, gram-hash, first-occurrence ranking, island
+# merge, range-join cut, ordered reassembly); the rebuilt text is
+# compared by md5 to keep the payload small.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_substring_rewrite",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' subscribe to our newsletter for weekly updates and exclusive offers today friend'
+                      ELSE '' END AS content
+  FROM documents
+),
+toks_arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(content), '\s+'), x -> x != '') AS t
+  FROM docs
+),
+grams AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS s,
+         md5(lower(array_to_string(t[u.i:u.i+7], ' '))) AS h
+  FROM toks_arr, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+  WHERE len(t) >= 8
+),
+ranked AS (
+  SELECT doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+  FROM grams
+),
+redundant AS (SELECT doc_id, s, s + 7 AS e FROM ranked WHERE rn > 1),
+ordered AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM redundant
+),
+islands AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+  FROM ordered
+),
+cut AS (SELECT doc_id, isl, MIN(s) AS cs, MAX(e) AS ce FROM islands GROUP BY 1, 2),
+toks AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS tok
+  FROM toks_arr, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+flagged AS (
+  SELECT tk.doc_id, tk.pos, tk.tok, (c.cs IS NOT NULL) AS is_cut
+  FROM toks tk LEFT JOIN cut c
+    ON tk.doc_id = c.doc_id AND tk.pos BETWEEN c.cs AND c.ce
+),
+rebuilt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT is_cut), '') AS text_dedup,
+         COUNT(*) FILTER (WHERE NOT is_cut) AS n_tokens_kept,
+         COUNT(*) FILTER (WHERE is_cut) AS n_tokens_cut
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(COALESCE(r.text_dedup, '')) AS dedup_md5,
+       CAST(COALESCE(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(COALESCE(r.n_tokens_cut, 0) AS BIGINT) AS n_tokens_cut
+FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup rewrite: duplicated spans cut (first occurrence kept), docs reassembled."""
+    from bw_new_data_integration_spark.operators.dedup import cut_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    content = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit(
+                " subscribe to our newsletter for weekly updates and exclusive offers today friend"
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = cut_duplicate_spans(
+        d.select("doc_id", content.alias("content")), k=8, text_col="content"
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text_dedup").alias("dedup_md5"),
+        "n_tokens_kept",
+        "n_tokens_cut",
+    )

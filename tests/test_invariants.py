@@ -1925,3 +1925,26 @@ def test_duplicate_spans_semantics(spark):
     assert 3 in spans  # within-doc duplicated windows detected
     assert 4 not in spans
     assert spans[5] == [(1, 12), (16, 27)]
+
+
+def test_cut_duplicate_spans_first_occurrence_policy(spark):
+    """Rewrite semantics: the globally-first occurrence (min doc_id,
+    position) keeps its text; later copies lose exactly the duplicated
+    region; original token case is preserved while matching is
+    case-insensitive; short and empty docs pass through with zero
+    cuts."""
+    from bw_new_data_integration_spark.operators.dedup import cut_duplicate_spans
+
+    shared = "Alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        Row(doc_id=1, text=f"one two three {shared}"),
+        Row(doc_id=2, text=f"{shared.upper()} four five"),  # case-insensitive match
+        Row(doc_id=3, text="tiny doc"),
+        Row(doc_id=4, text=""),
+    ]
+    out = {r["doc_id"]: r for r in cut_duplicate_spans(spark.createDataFrame(rows), k=8).collect()}
+    assert out[1]["text_dedup"] == f"one two three {shared}"  # first occurrence intact
+    assert out[2]["text_dedup"] == "four five"                # copy cut, original case gone with it
+    assert (out[2]["n_tokens_kept"], out[2]["n_tokens_cut"]) == (2, 12)
+    assert out[3] == Row(doc_id=3, text_dedup="tiny doc", n_tokens_kept=2, n_tokens_cut=0)
+    assert out[4] == Row(doc_id=4, text_dedup="", n_tokens_kept=0, n_tokens_cut=0)
