@@ -108,6 +108,7 @@ OPTIONAL = [
     "k9_zorder_skipping",
     "dedup_substring_spans",
     "dedup_substring_rewrite",
+    "kmv_distinct_sketch",
     "q6_forecast_revenue",
     "q8_market_share",
     "q13_order_count_distribution",

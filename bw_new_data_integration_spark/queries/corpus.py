@@ -910,3 +910,96 @@ def quality_classifier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.95
         ).alias("separates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch: mergeable k-minimum-values summaries per source
+# plus a corpus-total row produced by MERGING the per-source sketches
+# (expression-level union — the stored-sketch rollup pattern). The
+# md5-derived 52-bit hash makes the ESTIMATE itself deterministic and
+# engine-portable, so the oracle compares values, not just bounds —
+# stronger than the HLL gate (a8), where only an error band can be
+# checked.
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_distinct_sketch",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT source,
+         CAST(CAST('0x' || substring(md5(text), 1, 13) AS BIGINT) AS DOUBLE)
+           / 4503599627370496.0 AS u
+  FROM documents
+),
+ranked AS (
+  SELECT source, u, ROW_NUMBER() OVER (PARTITION BY source ORDER BY u) AS rn
+  FROM u
+),
+per_source AS (
+  SELECT source,
+         COUNT(*) AS sk_size,
+         MAX(CASE WHEN rn = 64 THEN u END) AS u_k
+  FROM ranked WHERE rn <= 64 GROUP BY source
+),
+exact AS (SELECT source, COUNT(DISTINCT text) AS n_exact FROM documents GROUP BY source),
+-- corpus-total row: merging the per-source sketches = the 64 smallest
+-- distinct hashes overall (per-source sketches each keep their local
+-- 64 smallest, whose union contains the global 64 smallest)
+total_ranked AS (
+  SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn FROM (SELECT DISTINCT u FROM u)
+),
+total AS (
+  SELECT CAST('__all__' AS VARCHAR) AS source,
+         COUNT(*) AS sk_size,
+         MAX(CASE WHEN rn = 64 THEN u END) AS u_k
+  FROM total_ranked WHERE rn <= 64
+),
+total_exact AS (SELECT COUNT(DISTINCT text) AS n_exact FROM documents),
+unioned AS (
+  SELECT p.source, p.sk_size, p.u_k, e.n_exact
+  FROM per_source p JOIN exact e USING (source)
+  UNION ALL
+  SELECT t.source, t.sk_size, t.u_k, x.n_exact FROM total t, total_exact x
+)
+SELECT source,
+       CASE WHEN sk_size < 64 THEN CAST(sk_size AS DOUBLE) ELSE 63.0 / u_k END AS est,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       (ABS(CASE WHEN sk_size < 64 THEN CAST(sk_size AS DOUBLE) ELSE 63.0 / u_k END
+            - n_exact) <= 0.4 * n_exact) AS within_bound
+FROM unioned
+""",
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch: deterministic mergeable distinct estimates per source + merged corpus total."""
+    from bw_new_data_integration_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    k = 64
+    sk = kmv_build(d, "source", "text", k)
+    exact = d.groupBy("source").agg(
+        F.countDistinct("text").cast("bigint").alias("n_exact")
+    )
+    per_source = sk.join(exact, "source").select(
+        "source", kmv_estimate(F.col("sketch"), k).alias("est"), "n_exact"
+    )
+    # corpus-total row: scalar anchor (1 bigint crosses the driver) —
+    # a 1x1 crossJoin would plan as BroadcastNestedLoopJoin, which the
+    # plan audit rightly rejects
+    n_total = d.agg(F.countDistinct("text")).collect()[0][0]
+    merged = sk.groupBy().agg(F.collect_list("sketch").alias("all_sk")).select(
+        F.lit("__all__").alias("source"),
+        kmv_estimate(kmv_merge(F.col("all_sk"), k), k).alias("est"),
+        F.lit(int(n_total)).cast("bigint").alias("n_exact"),
+    )
+    rows = per_source.unionByName(merged)
+    return rows.select(
+        "source",
+        "est",
+        "n_exact",
+        (F.abs(F.col("est") - F.col("n_exact")) <= 0.4 * F.col("n_exact")).alias(
+            "within_bound"
+        ),
+    )

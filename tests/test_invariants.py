@@ -1948,3 +1948,39 @@ def test_cut_duplicate_spans_first_occurrence_policy(spark):
     assert (out[2]["n_tokens_kept"], out[2]["n_tokens_cut"]) == (2, 12)
     assert out[3] == Row(doc_id=3, text_dedup="tiny doc", n_tokens_kept=2, n_tokens_cut=0)
     assert out[4] == Row(doc_id=4, text_dedup="", n_tokens_kept=0, n_tokens_cut=0)
+
+
+def test_kmv_sketch_merge_and_jaccard(spark):
+    """KMV properties: a group with < k distinct values estimates
+    EXACTLY; merging per-group sketches equals sketching the union
+    (the rollup-without-rescan property); the Jaccard estimator is
+    exact when sketches are not saturated; estimates are deterministic
+    across runs."""
+    from bw_new_data_integration_spark.operators.sketch import (
+        kmv_build, kmv_estimate, kmv_jaccard, kmv_merge)
+
+    rows = [Row(g="a", v=f"x{i}") for i in range(40)]          # 40 distinct
+    rows += [Row(g="b", v=f"x{i}") for i in range(20, 80)]     # 60 distinct, 20 shared
+    df = spark.createDataFrame(rows)
+    k = 64
+    sk = kmv_build(df, "g", "v", k)
+    est = {r["g"]: r["e"] for r in sk.select("g", kmv_estimate(F.col("sketch"), k).alias("e")).collect()}
+    assert est == {"a": 40.0, "b": 60.0}  # sub-k sketches are exact
+
+    # merge(a, b) == sketch of the union of values
+    merged = sk.groupBy().agg(F.collect_list("sketch").alias("s")).select(
+        kmv_merge(F.col("s"), k).alias("m")).collect()[0]["m"]
+    direct = kmv_build(df.withColumn("g", F.lit("all")), "g", "v", k).collect()[0]["sketch"]
+    assert merged == direct
+    assert len(merged) == 64  # 80 distinct values saturate k=64
+
+    # Jaccard: |A∩B|=20, |A∪B|=80 -> 0.25; unsaturated inputs give the
+    # merged-sketch estimator 64 samples of the union
+    jac = (
+        sk.groupBy().pivot("g").agg(F.first("sketch"))
+        .select(kmv_jaccard(F.col("a"), F.col("b"), k).alias("j")).collect()[0]["j"]
+    )
+    assert abs(jac - 0.25) <= 0.12  # 64-sample estimate of 0.25
+
+    sk2 = {r["g"]: r["sketch"] for r in kmv_build(df, "g", "v", k).collect()}
+    assert sk2 == {r["g"]: r["sketch"] for r in sk.collect()}  # bit-deterministic
