@@ -59,3 +59,55 @@ def ngram_overlap(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
         .where(F.col("n_shared_shingles") >= min_shared)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_decontaminated",
+) -> DataFrame:
+    """The REWRITE companion of :func:`ngram_overlap` (GPT-3 appendix
+    C's removal step): every k-token window of a training document
+    that also appears in the eval pool is cut — matched windows merge
+    into maximal spans, spans are removed, documents reassemble in
+    order with original case. Returns one row per training doc:
+    (id, out_col, n_tokens_kept, n_tokens_cut).
+
+    Same scale shape as the check: the eval pool's distinct window-hash
+    set is benchmark-sized and **broadcast**; the training side streams
+    through one shuffle-free hash join, then pays one doc-keyed window
+    pass (island merge) and one doc-keyed reassembly aggregate. The
+    corpus is never collected or self-joined. Matching is
+    case-insensitive (both sides hash lowered windows)."""
+    from bw_new_data_integration_spark.functions.text import tokens
+    from bw_new_data_integration_spark.operators.dedup import (
+        cut_spans_and_rebuild,
+        merge_token_spans,
+    )
+
+    gram = lambda i: F.md5(F.lower(F.array_join(F.slice("t", i, k), " ")))  # noqa: E731
+    base = train.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    t_grams = (
+        base.where(F.size("t") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(F.sequence(F.lit(1), F.size("t") - k + 1), gram)
+            ).alias("pos0", "h"),
+        )
+        .select(id_col, (F.col("pos0") + 1).alias("s"), "h")
+    )
+    e_base = eval_df.select(tokens(F.col(text_col)).alias("t")).where(F.size("t") >= k)
+    e_grams = e_base.select(
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("t") - k + 1), gram)
+        ).alias("h")
+    ).distinct()
+    matched = t_grams.join(F.broadcast(e_grams), "h").select(
+        id_col, "s", (F.col("s") + (k - 1)).alias("e")
+    )
+    cut = merge_token_spans(matched, id_col)
+    return cut_spans_and_rebuild(base, cut, train, id_col, out_col)

@@ -582,6 +582,73 @@ def duplicate_spans(
     ).drop("isl")
 
 
+def merge_token_spans(spans: DataFrame, id_col: str) -> DataFrame:
+    """Merge (id, s, e) token windows into maximal overlap-or-adjacent
+    spans per document (gaps-and-islands over a running max — one
+    doc-keyed window pass). Returns (id, cs, ce)."""
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        spans.withColumn("prev_max", prev_max)
+        .withColumn(
+            "isl",
+            F.sum(
+                F.when(
+                    F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max") + 1), 1
+                ).otherwise(0)
+            ).over(w),
+        )
+        .groupBy(id_col, "isl")
+        .agg(F.min("s").alias("cs"), F.max("e").alias("ce"))
+        .drop("isl")
+    )
+
+
+def cut_spans_and_rebuild(
+    base: DataFrame, cut: DataFrame, spine: DataFrame, id_col: str, out_col: str
+) -> DataFrame:
+    """Remove the (id, cs, ce) token ranges from tokenized docs
+    ``base`` (id, t array<string>) and reassemble in order — one
+    per-doc range join (spans are few and disjoint) + one doc-keyed
+    aggregate. ``spine`` restores token-less docs untouched."""
+    toks = base.select(id_col, F.posexplode("t").alias("pos0", "tok")).select(
+        id_col, (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    cut_a = cut.select(F.col(id_col).alias("__cut_id"), "cs", "ce")
+    flagged = toks.join(
+        cut_a,
+        (F.col(id_col) == F.col("__cut_id"))
+        & (F.col("pos") >= F.col("cs"))
+        & (F.col("pos") <= F.col("ce")),
+        "left",
+    ).select(id_col, "pos", "tok", F.col("cs").isNotNull().alias("is_cut"))
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("is_cut"), F.struct(F.col("pos"), F.col("tok")))
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.sum(F.when(~F.col("is_cut"), 1).otherwise(0)).cast("bigint").alias("n_tokens_kept"),
+        F.sum(F.when(F.col("is_cut"), 1).otherwise(0)).cast("bigint").alias("n_tokens_cut"),
+    )
+    return (
+        spine.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+            F.coalesce("n_tokens_cut", F.lit(0)).cast("bigint").alias("n_tokens_cut"),
+        )
+    )
+
+
 def cut_duplicate_spans(
     df: DataFrame,
     k: int = 8,
@@ -630,56 +697,5 @@ def cut_duplicate_spans(
         .where(~((F.col(id_col) == F.col(f"keep.{id_col}")) & (F.col("s") == F.col("keep.s"))))
         .select(id_col, "s", (F.col("s") + (k - 1)).alias("e"))
     )
-    w = Window.partitionBy(id_col).orderBy("s", "e")
-    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    cut = (
-        redundant.withColumn("prev_max", prev_max)
-        .withColumn(
-            "isl",
-            F.sum(
-                F.when(
-                    F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max") + 1), 1
-                ).otherwise(0)
-            ).over(w),
-        )
-        .groupBy(id_col, "isl")
-        .agg(F.min("s").alias("cs"), F.max("e").alias("ce"))
-        .drop("isl")
-    )
-    toks = base.select(id_col, F.posexplode("t").alias("pos0", "tok")).select(
-        id_col, (F.col("pos0") + 1).alias("pos"), "tok"
-    )
-    cut_a = cut.select(F.col(id_col).alias("__cut_id"), "cs", "ce")
-    flagged = toks.join(
-        cut_a,
-        (F.col(id_col) == F.col("__cut_id"))
-        & (F.col("pos") >= F.col("cs"))
-        & (F.col("pos") <= F.col("ce")),
-        "left",
-    ).select(id_col, "pos", "tok", F.col("cs").isNotNull().alias("is_cut"))
-    rebuilt = flagged.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(~F.col("is_cut"), F.struct(F.col("pos"), F.col("tok")))
-                    )
-                ),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias(out_col),
-        F.sum(F.when(~F.col("is_cut"), 1).otherwise(0)).cast("bigint").alias("n_tokens_kept"),
-        F.sum(F.when(F.col("is_cut"), 1).otherwise(0)).cast("bigint").alias("n_tokens_cut"),
-    )
-    # token-less docs never reach the explode: restore them untouched
-    return (
-        df.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
-            F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias("n_tokens_kept"),
-            F.coalesce("n_tokens_cut", F.lit(0)).cast("bigint").alias("n_tokens_cut"),
-        )
-    )
+    cut = merge_token_spans(redundant, id_col)
+    return cut_spans_and_rebuild(base, cut, df, id_col, out_col)

@@ -1003,3 +1003,91 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination REWRITE (GPT-3 appendix C removal step): training
+# windows colliding with the eval pool's k-grams are cut and docs
+# reassembled — the companion of contamination_check, which only
+# flags. Eval fixture: the 16-token slice (positions 3..18) of every
+# 25th document, so those training docs verifiably contain eval text;
+# the oracle replicates the whole pipeline and compares rebuilt text
+# by md5. Eval-side hashes broadcast; the corpus is never collected or
+# self-joined.
+# ---------------------------------------------------------------------------
+@register(
+    "decontamination_rewrite",
+    oracle=r"""
+WITH train_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents
+),
+eval_toks AS (
+  SELECT t[3:18] AS t FROM train_toks WHERE doc_id % 25 = 0 AND len(t) >= 18
+),
+e_grams AS (
+  SELECT DISTINCT md5(lower(array_to_string(t[u.i:u.i+7], ' '))) AS h
+  FROM eval_toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+),
+t_grams AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS s,
+         md5(lower(array_to_string(t[u.i:u.i+7], ' '))) AS h
+  FROM train_toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+  WHERE len(t) >= 8
+),
+matched AS (SELECT doc_id, s, s + 7 AS e FROM t_grams JOIN e_grams USING (h)),
+ordered AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM matched
+),
+islands AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+  FROM ordered
+),
+cut AS (SELECT doc_id, isl, MIN(s) AS cs, MAX(e) AS ce FROM islands GROUP BY 1, 2),
+toks AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS tok
+  FROM train_toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+flagged AS (
+  SELECT tk.doc_id, tk.pos, tk.tok, (c.cs IS NOT NULL) AS is_cut
+  FROM toks tk LEFT JOIN cut c
+    ON tk.doc_id = c.doc_id AND tk.pos BETWEEN c.cs AND c.ce
+),
+rebuilt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT is_cut), '') AS txt,
+         COUNT(*) FILTER (WHERE NOT is_cut) AS n_tokens_kept,
+         COUNT(*) FILTER (WHERE is_cut) AS n_tokens_cut
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(COALESCE(r.txt, '')) AS decon_md5,
+       CAST(COALESCE(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(COALESCE(r.n_tokens_cut, 0) AS BIGINT) AS n_tokens_cut
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def decontamination_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination rewrite: eval-colliding spans cut from training docs, reassembled in order."""
+    from bw_new_data_integration_spark.functions.text import tokens
+    from bw_new_data_integration_spark.operators.contamination import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    eval_df = (
+        d.where((F.col("doc_id") % 25 == 0) & (F.size(toks) >= 18))
+        .select(F.array_join(F.slice(toks, 3, 16), " ").alias("text"))
+    )
+    out = decontaminate(d, eval_df, k=8)
+    return out.select(
+        "doc_id",
+        F.md5("text_decontaminated").alias("decon_md5"),
+        "n_tokens_kept",
+        "n_tokens_cut",
+    )

@@ -1984,3 +1984,27 @@ def test_kmv_sketch_merge_and_jaccard(spark):
 
     sk2 = {r["g"]: r["sketch"] for r in kmv_build(df, "g", "v", k).collect()}
     assert sk2 == {r["g"]: r["sketch"] for r in sk.collect()}  # bit-deterministic
+
+
+def test_decontaminate_cuts_eval_collisions_only(spark):
+    """Decontamination rewrite: a training doc containing an eval
+    passage loses exactly that span (case-insensitively matched);
+    clean docs and docs sharing < k consecutive tokens with eval are
+    untouched; every training doc comes back exactly once."""
+    from bw_new_data_integration_spark.operators.contamination import decontaminate
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    rows = [
+        Row(doc_id=1, text=f"intro words {passage} outro"),
+        Row(doc_id=2, text=f"INTRO {passage.upper()} OUTRO"),   # case-insensitive hit
+        Row(doc_id=3, text="the quick brown fox sits still today with friends"),  # <k overlap
+        Row(doc_id=4, text="completely unrelated content here now ok fine yes sure"),
+    ]
+    train = spark.createDataFrame(rows)
+    eval_df = spark.createDataFrame([Row(text=passage)])
+    out = {r["doc_id"]: r for r in decontaminate(train, eval_df, k=8).collect()}
+    assert len(out) == 4
+    assert out[1]["text_decontaminated"] == "intro words outro"
+    assert out[1]["n_tokens_cut"] == 10
+    assert out[2]["text_decontaminated"] == "INTRO OUTRO"  # original case kept around the cut
+    assert out[3]["n_tokens_cut"] == 0 and out[4]["n_tokens_cut"] == 0
