@@ -110,6 +110,7 @@ OPTIONAL = [
     "dedup_substring_rewrite",
     "kmv_distinct_sketch",
     "decontamination_rewrite",
+    "dedup_substring_incremental",
     "q6_forecast_revenue",
     "q8_market_share",
     "q13_order_count_distribution",

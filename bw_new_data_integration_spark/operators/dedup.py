@@ -699,3 +699,85 @@ def cut_duplicate_spans(
     )
     cut = merge_token_spans(redundant, id_col)
     return cut_spans_and_rebuild(base, cut, df, id_col, out_col)
+
+
+def gram_index(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct k-gram hashes of a corpus — the stored INDEX side of
+    incremental substring dedup (persist keyed/partitioned on ``h``;
+    append each ingested batch's grams with an idempotent upsert).
+    Membership is all the cut decision needs, so the index is one
+    column however big the corpus."""
+    from bw_new_data_integration_spark.functions.text import tokens
+
+    gram = lambda i: F.md5(F.lower(F.array_join(F.slice("t", i, k), " ")))  # noqa: E731
+    return (
+        df.select(tokens(F.col(text_col)).alias("t"))
+        .where(F.size("t") >= k)
+        .select(
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.size("t") - k + 1), gram)
+            ).alias("h")
+        )
+        .distinct()
+    )
+
+
+def incremental_duplicate_spans(
+    index: DataFrame,
+    new_docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Substring dedup for a NEW batch against a stored
+    :func:`gram_index` — the production shape of continuous ingest at
+    100 TB (the substring twin of :func:`incremental_lsh_candidates`):
+    nightly batches must not re-shingle history, only themselves.
+
+    Arrival-order semantics: history always keeps (a batch window whose
+    gram exists in the index is cut EVERYWHERE in the batch); within
+    the batch, the first occurrence (min id, position) keeps. When
+    history ids precede batch ids, this equals running
+    :func:`cut_duplicate_spans` over the whole corpus and keeping the
+    batch rows — the equivalence the unit test pins.
+
+    Plan: the batch's distinct gram hashes are batch-sized, so they
+    BROADCAST against the streaming index (one map-side semi-join, no
+    index shuffle, no history re-scan); within-batch ranking and the
+    island-merge/cut/reassembly reuse the verified span machinery.
+    Returns one row per batch doc: (id, out_col, kept, cut)."""
+    from bw_new_data_integration_spark.functions.text import tokens
+
+    gram = lambda i: F.md5(F.lower(F.array_join(F.slice("t", i, k), " ")))  # noqa: E731
+    base = new_docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    grams = (
+        base.where(F.size("t") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(F.sequence(F.lit(1), F.size("t") - k + 1), gram)
+            ).alias("pos0", "h"),
+        )
+        .select(id_col, (F.col("pos0") + 1).alias("s"), "h")
+        .localCheckpoint(eager=True)  # consumed by the index probe AND the batch ranking
+    )
+    batch_h = grams.select("h").distinct()
+    hist_hit = index.join(F.broadcast(batch_h), "h").select("h").distinct()
+    from_history = grams.join(F.broadcast(hist_hit), "h").select(id_col, "s")
+    ranked = grams.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("h").orderBy(F.col(id_col), F.col("s"))
+        ),
+    )
+    within_batch = ranked.where(F.col("rn") > 1).select(id_col, "s")
+    redundant = (
+        from_history.unionByName(within_batch)
+        .distinct()
+        .select(id_col, "s", (F.col("s") + (k - 1)).alias("e"))
+    )
+    cut = merge_token_spans(redundant, id_col)
+    return cut_spans_and_rebuild(base, cut, new_docs, id_col, out_col)

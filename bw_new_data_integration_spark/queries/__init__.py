@@ -103,6 +103,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_substring_rewrite",
     "kmv_distinct_sketch",
     "decontamination_rewrite",
+    "dedup_substring_incremental",
     # -- round-5: renamed exact baselines need fresh rows under new names --
     "ann_brute_topk_exact_baseline",
     "dedup_embedding_near_dups_exact_baseline",

@@ -543,3 +543,117 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens_kept",
         "n_tokens_cut",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental substring dedup: a NEW batch (odd doc_ids) against the
+# stored gram index of history (even doc_ids) — no history re-scan;
+# the batch's distinct hashes broadcast against the index. Arrival-
+# order semantics: history keeps (index hits cut everywhere in the
+# batch), first batch occurrence keeps among batch-only duplicates.
+# The boilerplate tail rides every 5th doc, so history tail-docs
+# (id % 10 = 0) force cuts in batch tail-docs (id % 10 = 5). The unit
+# test separately pins equivalence with the full-corpus rewrite when
+# history ids precede batch ids.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_substring_incremental",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' subscribe to our newsletter for weekly updates and exclusive offers today friend'
+                      ELSE '' END AS content
+  FROM documents
+),
+toks_arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(content), '\s+'), x -> x != '') AS t
+  FROM docs
+),
+grams AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS s,
+         md5(lower(array_to_string(t[u.i:u.i+7], ' '))) AS h
+  FROM toks_arr, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+  WHERE len(t) >= 8
+),
+hist AS (SELECT DISTINCT h FROM grams WHERE doc_id % 2 = 0),
+batch AS (SELECT * FROM grams WHERE doc_id % 2 = 1),
+from_history AS (SELECT doc_id, s FROM batch WHERE h IN (SELECT h FROM hist)),
+ranked AS (
+  SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+  FROM batch
+),
+redundant AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, s FROM from_history
+    UNION ALL SELECT doc_id, s FROM ranked WHERE rn > 1
+  )
+),
+spans AS (SELECT doc_id, s, s + 7 AS e FROM redundant),
+ordered AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM spans
+),
+islands AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+  FROM ordered
+),
+cut AS (SELECT doc_id, isl, MIN(s) AS cs, MAX(e) AS ce FROM islands GROUP BY 1, 2),
+btoks AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS tok
+  FROM toks_arr, UNNEST(range(1, len(t) + 1)) AS u(i)
+  WHERE doc_id % 2 = 1
+),
+flagged AS (
+  SELECT tk.doc_id, tk.pos, tk.tok, (c.cs IS NOT NULL) AS is_cut
+  FROM btoks tk LEFT JOIN cut c
+    ON tk.doc_id = c.doc_id AND tk.pos BETWEEN c.cs AND c.ce
+),
+rebuilt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT is_cut), '') AS txt,
+         COUNT(*) FILTER (WHERE NOT is_cut) AS n_tokens_kept,
+         COUNT(*) FILTER (WHERE is_cut) AS n_tokens_cut
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(COALESCE(r.txt, '')) AS dedup_md5,
+       CAST(COALESCE(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(COALESCE(r.n_tokens_cut, 0) AS BIGINT) AS n_tokens_cut
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup: batch vs stored gram index, no history re-scan."""
+    from bw_new_data_integration_spark.operators.dedup import (
+        gram_index,
+        incremental_duplicate_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    content = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit(
+                " subscribe to our newsletter for weekly updates and exclusive offers today friend"
+            ),
+        ).otherwise(F.lit("")),
+    ).alias("content")
+    hist = d.where(F.col("doc_id") % 2 == 0).select("doc_id", content)
+    batch = d.where(F.col("doc_id") % 2 == 1).select("doc_id", content)
+    out = incremental_duplicate_spans(
+        gram_index(hist, k=8, text_col="content"), batch, k=8, text_col="content"
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text_dedup").alias("dedup_md5"),
+        "n_tokens_kept",
+        "n_tokens_cut",
+    )

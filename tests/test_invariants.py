@@ -2008,3 +2008,36 @@ def test_decontaminate_cuts_eval_collisions_only(spark):
     assert out[1]["n_tokens_cut"] == 10
     assert out[2]["text_decontaminated"] == "INTRO OUTRO"  # original case kept around the cut
     assert out[3]["n_tokens_cut"] == 0 and out[4]["n_tokens_cut"] == 0
+
+
+def test_incremental_duplicate_spans_equals_full_corpus(spark):
+    """When history ids precede batch ids, the incremental path
+    (stored gram index + batch-only processing) must return exactly
+    what full-corpus cut_duplicate_spans returns for the batch docs —
+    the no-rescan property can't be allowed to change answers. Also:
+    a batch gram present in history is cut from EVERY batch occurrence
+    (history keeps), while a batch-only duplicate keeps its first
+    batch occurrence."""
+    from bw_new_data_integration_spark.operators.dedup import (
+        cut_duplicate_spans, gram_index, incremental_duplicate_spans)
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    fresh = "nu xi omicron pi rho sigma tau upsilon phi chi"             # 10 toks
+    history = [Row(doc_id=i, text=(f"h{i} filler {shared}" if i == 1 else f"h{i} mundane text here we go again ok fine"))
+               for i in range(1, 4)]
+    batch = [
+        Row(doc_id=11, text=f"b one {shared} tail"),       # collides with history -> cut
+        Row(doc_id=12, text=f"b two {fresh} end"),          # first batch occurrence -> keeps
+        Row(doc_id=13, text=f"b three {fresh} end2"),       # second batch occurrence -> cut
+    ]
+    hist_df, batch_df = spark.createDataFrame(history), spark.createDataFrame(batch)
+    inc = {r["doc_id"]: r for r in incremental_duplicate_spans(
+        gram_index(hist_df, k=8), batch_df, k=8).collect()}
+    assert inc[11]["text_dedup"] == "b one tail"
+    assert inc[12]["n_tokens_cut"] == 0
+    assert inc[13]["text_dedup"] == "b three end2"
+
+    full = {r["doc_id"]: r for r in cut_duplicate_spans(
+        hist_df.unionByName(batch_df), k=8).collect() if r["doc_id"] >= 11}
+    assert {i: (r["text_dedup"], r["n_tokens_kept"], r["n_tokens_cut"]) for i, r in inc.items()} == \
+           {i: (r["text_dedup"], r["n_tokens_kept"], r["n_tokens_cut"]) for i, r in full.items()}
