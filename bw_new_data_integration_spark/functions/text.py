@@ -186,18 +186,48 @@ def redact_pii(c: Column) -> Column:
     return F.regexp_replace(out, PHONE_RE, "[PHONE]")
 
 
+# Windows-1252's 27 printable specials (bytes 0x80–0x9F) and the C1
+# control characters those bytes decode to under Latin-1. Real-world
+# mojibake shows the SPECIALS (web stacks decode bad bytes as cp1252,
+# not ISO-8859-1): '’' double-encodes to 'â€™', not 'â\x80\x99'.
+# Folding specials → C1 before the Latin-1 encode is the
+# "sloppy-windows-1252" bridge ftfy uses, expressed as a translate()
+# so we never need a non-standard JVM charset (Spark 4's encode/decode
+# only accept the java.nio standard set without a legacy flag).
+CP1252_SPECIALS = (
+    "€‚ƒ„…†‡ˆ‰Š"
+    "‹ŒŽ‘’“”•–—"
+    "˜™š›œžŸ"
+)
+CP1252_C1 = (
+    "\x80\x82\x83\x84\x85\x86\x87\x88\x89\x8a"
+    "\x8b\x8c\x8e\x91\x92\x93\x94\x95\x96\x97"
+    "\x98\x99\x9a\x9b\x9c\x9e\x9f"
+)
+
+
 def fix_mojibake(c: Column) -> Column:
-    """Repair UTF-8-read-as-Latin-1 mojibake (``cafÃ©`` → ``café``) —
-    the most common encoding corruption in web corpora; the inverse
-    transcode is what ftfy's default pass applies. Pure JVM
-    expressions: ``decode(encode(s, ISO-8859-1), UTF-8)`` applied only
-    when (a) the text shows mojibake marker characters and (b) its
-    Latin-1 byte reading is valid UTF-8 (``is_valid_utf8`` guard —
-    Spark 4's ``decode`` throws MALFORMED_CHARACTER_CODING otherwise).
-    Genuinely accented text fails (b) — a lone 0xE9 byte is not valid
-    UTF-8 — so it passes through untouched; CASE WHEN short-circuits,
-    so the throwing decode is never evaluated on unguarded rows."""
-    b = F.encode(c, "ISO-8859-1")
+    """Repair UTF-8-read-as-cp1252/Latin-1 mojibake (``cafÃ©`` →
+    ``café``, ``donâ€™t`` → ``don’t``) — the most common encoding
+    corruption in web corpora; the inverse transcode is what ftfy's
+    default pass applies. Pure JVM expressions: cp1252 specials are
+    folded to their C1 bytes with ``translate``, then
+    ``decode(encode(s, ISO-8859-1), UTF-8)`` — applied only when
+    (a) the text shows a mojibake marker character — any UTF-8
+    lead byte read as Latin-1, i.e. U+00C2–U+00EF (``Ã``, ``â``,
+    ``å``/``æ`` for CJK, …) — a cheap prefilter, since (b) every character
+    is Latin-1/cp1252-representable (Spark 4's ``encode`` throws
+    MALFORMED_CHARACTER_CODING on unmappable chars — e.g. a stray
+    emoji or CJK char next to an ``Ã`` marker — and this conjunct must
+    come first because ``And`` evaluates left-to-right), and (c) the
+    folded byte reading is valid UTF-8 (``is_valid_utf8`` guards the
+    equally-throwing ``decode``). Genuinely accented text fails (c) —
+    a lone 0xE9 byte is not valid UTF-8 — so it passes through
+    untouched."""
+    folded = F.translate(c, CP1252_SPECIALS, CP1252_C1)
+    b = F.encode(folded, "ISO-8859-1")
+    representable = ~c.rlike("[^\\x00-\\xff" + CP1252_SPECIALS + "]")
     return F.when(
-        c.rlike("Ã|Â|â€") & F.is_valid_utf8(b), F.decode(b, "UTF-8")
+        c.rlike("[Â-ï]") & representable & F.is_valid_utf8(b),
+        F.decode(b, "UTF-8"),
     ).otherwise(c)

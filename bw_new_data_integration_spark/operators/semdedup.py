@@ -98,7 +98,11 @@ def semdedup(
     k_eff = min(k, max(1, min(n, fit_sample)))
     _, _, cents = kmeans_fit(
         spark, sample, k=k_eff, max_iter=max_iter, id_col=id_col, vec_col=vec_col,
-        collect_inertia=False, final_update=True,
+        # final_update=False: centroids are only a fixed coarse quantizer
+        # here (we re-assign the FULL corpus against them next), so the
+        # second-to-last-update centroids are equally valid and the fit
+        # saves its most expensive job — the last posexplode+collect pass
+        collect_inertia=False, final_update=False,
     )
     assigned = assign_to_centroids(
         spark, emb, cents, id_col=id_col, vec_col=vec_col, keep_vector=True

@@ -783,27 +783,48 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Mojibake repair: the fixture synthesizes accented clean text from the
 # documents table, corrupts every third doc through the REAL encoding
-# fault (UTF-8 bytes re-read as Latin-1 — done with Spark's own
-# encode/decode, not string replaces), then repairs with fix_mojibake.
-# The oracle never touches encodings: it states the clean text the
-# repair must reproduce byte-for-byte, so any repair miss or
-# false-positive "repair" of genuinely accented text hash-fails.
+# fault (UTF-8 bytes re-read as cp1252 — done with Spark's own
+# encode/decode plus the C1→specials translate that models how web
+# stacks render bad bytes, not string replaces), then repairs with
+# fix_mojibake. The clean text includes curly quotes and an em-dash so
+# the corrupt form contains the real-world 'â€™'-style patterns (which
+# are NOT Latin-1-representable — the crash class ADVICE r6 flagged).
+# Every doc_id % 3 == 1 row mixes an Ã marker with CJK + emoji: it is
+# unrepairable (not cp1252-representable) and must pass through
+# untouched WITHOUT the encode throwing. The oracle never touches
+# encodings: it states the text the repair must reproduce
+# byte-for-byte, so a repair miss, a false-positive "repair", or a
+# crash all fail the gate.
 # ---------------------------------------------------------------------------
 @register(
     "text_mojibake_repair",
     oracle="""
 SELECT doc_id,
-       'Café São ' || substr(text, 1, 40) AS fixed,
+       CASE WHEN doc_id % 3 = 1 THEN 'Ã 日本 🙂 ' || substr(text, 1, 40)
+            ELSE 'Café São “don’t” — ' || substr(text, 1, 40) END AS fixed,
        (doc_id % 3 = 0) AS was_corrupted
 FROM documents
 """,
 )
 def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encoding repair: UTF-8-as-Latin-1 mojibake inverted in-plan; clean accents untouched."""
+    """Encoding repair: UTF-8-as-cp1252 mojibake inverted in-plan; clean
+    accents and unrepairable marker-bearing non-Latin text untouched."""
     d = _t(spark, sf_dir, "documents")
-    clean = F.concat(F.lit("Café São "), F.substring("text", 1, 40))
-    corrupt = F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
-    mixed = F.when(F.col("doc_id") % 3 == 0, corrupt).otherwise(clean)
+    clean = F.concat(F.lit("Café São “don’t” — "), F.substring("text", 1, 40))
+    # Real-world corruption: UTF-8 bytes read as cp1252. Latin-1 decode
+    # yields C1 controls where cp1252 shows €/™/“…; translate C1→specials
+    # produces the exact glyph sequence ('donâ€™t') corpora contain.
+    corrupt = F.translate(
+        F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1"),
+        text.CP1252_C1,
+        text.CP1252_SPECIALS,
+    )
+    unrepairable = F.concat(F.lit("Ã 日本 🙂 "), F.substring("text", 1, 40))
+    mixed = (
+        F.when(F.col("doc_id") % 3 == 0, corrupt)
+        .when(F.col("doc_id") % 3 == 1, unrepairable)
+        .otherwise(clean)
+    )
     return d.select(
         "doc_id",
         text.fix_mojibake(mixed).alias("fixed"),

@@ -206,8 +206,15 @@ def _rel_partition_values(rel_path: str) -> dict[str, str | None]:
 def _partition_may_match(pv: str | None, op: str, v) -> bool:
     """Directory-level pruning on a hive path value. All supported ops
     are null-rejecting, so the default-partition (null) dir never
-    matches. Values compare numerically when both sides parse, else as
-    strings (ISO dates order correctly either way)."""
+    matches. The comparison domain follows the PREDICATE LITERAL's
+    type (the caller's declared domain), not whether the path value
+    happens to parse: a numeric literal compares numerically, a string
+    literal compares as strings — matching Spark's semantics when the
+    partition column is inferred as string (pv='2' vs ('>', '10') is
+    lexicographic there; comparing 2.0 > 10.0 would silently drop the
+    file). A numeric literal against a non-parsing path value keeps
+    the file (pruning must never drop rows the residual filter would
+    keep). ISO dates order correctly as strings."""
     if pv is None:
         return False
 
@@ -218,9 +225,14 @@ def _partition_may_match(pv: str | None, op: str, v) -> bool:
             return None
 
     def cmp_domain(a, b):
-        na, nb = num(a), num(b)
-        if na is not None and nb is not None:
-            return na, nb
+        if isinstance(b, bool):
+            # hive paths spell booleans lowercase; Python spells True
+            return str(a).lower(), str(b).lower()
+        if isinstance(b, (int, float)):
+            na = num(a)
+            if na is not None:
+                return na, float(b)
+            return None, None  # unparseable pv vs numeric literal: keep
         return str(a), str(b)
 
     if op == "in":
@@ -229,8 +241,12 @@ def _partition_may_match(pv: str | None, op: str, v) -> bool:
         lo, hi = v
         a, b = cmp_domain(pv, lo)
         c, d = cmp_domain(pv, hi)
+        if a is None or c is None:
+            return True
         return a >= b and c <= d
     a, b = cmp_domain(pv, v)
+    if a is None:
+        return True
     if op == "=":
         return a == b
     if op == "<":
@@ -618,8 +634,17 @@ class ParquetKeyedTable:
                 f["stats"] = {**have, **fresh}
                 f["rows"] = n_rows
                 analyzed += 1
-            with open(os.path.join(snap, "_manifest.json"), "w") as fh:
+            # Atomic in-place rewrite: a crash mid-write must not leave a
+            # referenced-but-torn manifest (every read of this version
+            # would fail). Write-then-os.replace mirrors the commit
+            # path's write-then-flip discipline.
+            mpath = os.path.join(snap, "_manifest.json")
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as fh:
                 json.dump(m, fh, indent=1)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, mpath)
         return {"version": v, "files_analyzed": analyzed, "files_total": len(m["files"])}
 
     def volume_anomalies(

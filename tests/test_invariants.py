@@ -1822,6 +1822,10 @@ def test_fix_mojibake_repairs_and_protects(spark):
         ("café résumé niño", "café résumé niño"),      # genuine accents: untouched
         ("plain ascii", "plain ascii"),
         ("Ã stray marker", "Ã stray marker"),          # marker but invalid UTF-8 bytes
+        ("donâ€™t â€” â€œquotedâ€\x9d", "don’t — “quoted”"),  # cp1252 specials (ADVICE r6)
+        ("Ã marker 🙂 emoji", "Ã marker 🙂 emoji"),    # unmappable char: no crash, untouched
+        ("Ã 日本語テキスト", "Ã 日本語テキスト"),        # CJK next to marker: untouched
+        ("å¤§å­¦ æ—¥æœ¬", "大学 日本"),                  # CJK mojibake (valid UTF-8 bytes): repaired
     ]
     df = spark.createDataFrame([(s,) for s, _ in cases], ["s"])
     got = [r["f"] for r in df.select(fix_mojibake(F.col("s")).alias("f")).collect()]

@@ -1914,6 +1914,42 @@ def test_read_where_stats_pruning_exact_and_null_semantics(spark, tmp_path):
     assert rep2["files_skipped"] == 0
 
 
+def test_partition_pruning_follows_literal_domain(spark, tmp_path):
+    """ADVICE r6: when a partition column is string-typed with mixed
+    numeric/non-numeric values, a STRING predicate literal must compare
+    lexicographically (Spark's semantics for a string column) — the old
+    both-sides-parse rule compared pv='2' vs '10' numerically and
+    silently dropped the file Spark would match. A NUMERIC literal
+    compares numerically, and an unparseable path value is kept for the
+    residual filter to decide. Booleans match hive's lowercase spelling."""
+    from bw_new_data_integration_spark.sources.parquet_target import (
+        _partition_may_match,
+    )
+
+    # string literal ⇒ string domain: '2' > '10' lexicographically
+    assert _partition_may_match("2", ">", "10") is True
+    assert _partition_may_match("abc", ">", "10") is True
+    assert _partition_may_match("05", "<", "10") is True
+    # numeric literal ⇒ numeric domain: 2 < 10 prunes
+    assert _partition_may_match("2", ">", 10) is False
+    assert _partition_may_match("2", "<=", 10) is True
+    # unparseable pv vs numeric literal: keep (residual filter decides)
+    assert _partition_may_match("abc", ">", 10) is True
+    # hive spells booleans lowercase; Python's str(True) is 'True'
+    assert _partition_may_match("true", "=", True) is True
+    assert _partition_may_match("false", "=", True) is False
+
+    # End-to-end: string partition col, mixed values, string predicate.
+    rows = [Row(c=c, k=i, x=float(i)) for i, c in enumerate(["2", "10", "abc"])]
+    t = ParquetKeyedTable(str(tmp_path / "t"), ["c", "k"], partition_by=["c"])
+    t.overwrite(spark.createDataFrame(rows).coalesce(1))
+    got = t.read_where(spark, [("c", ">", "10")])
+    want = t.read(spark).where(F.col("c") > "10")
+    assert sorted(r["c"] for r in got.collect()) == sorted(
+        r["c"] for r in want.collect()
+    ) == ["2", "abc"]
+
+
 def test_read_where_stats_carry_forward_on_partition_scoped_upsert(spark, tmp_path):
     """Files hard-linked forward by a partition-scoped merge inherit
     their manifest stats from the previous version byte-for-byte — no
