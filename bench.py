@@ -126,6 +126,49 @@ OPTIONAL = [
 ]
 
 
+# FROZEN common-core set (VERDICT r6 #5): the cross-round comparison
+# basis. These 31 production-shape queries existed in both the r5 and
+# r6 records; `common_core_wall` is their sum and is the ONLY number
+# meant for round-over-round comparison (the full wall grows whenever
+# coverage grows, so headline-vs-headline is meaningless). Append-only
+# discipline: never remove or rename an entry — a dropped query would
+# silently deflate the series. tools/bench_compare.py keys off this
+# list when both records carry it.
+COMMON_CORE = [
+    "ann_ivf_trained",
+    "ann_lsh_multiprobe",
+    "ann_lsh_topk",
+    "contamination_check",
+    "dedup_lsh_candidates",
+    "dedup_lsh_candidates_capped",
+    "dedup_pipeline_e2e",
+    "k1_dedupe_latest",
+    "kmeans_embeddings",
+    "mdx_template_backfill",
+    "mm_image_pixel_stats",
+    "pipeline_daily_sales",
+    "profile_table_approx",
+    "profile_table_approx_bare",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "s12_jsonl_roundtrip",
+    "s1_xmla_partitioned",
+    "s1_xmla_partitioned_dist",
+    "s9_odata_scan",
+    "split_neardup_safe",
+    "tfidf_top_terms",
+    "training_corpus_e2e",
+    "upsert_daily_sales",
+    "upsert_incremental_window",
+]
+
+
 # Labeled comparison twins are timed and recorded but EXCLUDED from the
 # headline wall total (VERDICT r5 #1): a `*_baseline` is a deliberately
 # weaker plan kept to prove its production twin's speedup (exact
@@ -134,6 +177,28 @@ OPTIONAL = [
 # run, still gate, and still appear in `queries`/`excluded_from_wall`.
 def _excluded_from_wall(name: str) -> bool:
     return "_baseline" in name or name.startswith("xmla_backfill39")
+
+
+def _prev_round_record(repo_dir: str) -> tuple[int, dict] | None:
+    """Latest BENCH_r{N}.json's (N, per-query dict), or None. Used by
+    the mechanized mover re-probe (VERDICT r6 #1)."""
+    best = None
+    for fn in os.listdir(repo_dir):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best is not None and n <= best[0]:
+            continue
+        try:
+            with open(os.path.join(repo_dir, fn)) as fh:
+                doc = json.load(fh)
+            parsed = doc.get("parsed") if isinstance(doc.get("parsed"), dict) else doc
+            if "queries" in parsed:
+                best = (n, {"sf": parsed.get("sf"), "queries": dict(parsed["queries"])})
+        except (OSError, ValueError):
+            continue
+    return best
 
 
 def main() -> None:
@@ -184,8 +249,35 @@ def main() -> None:
     # faster. Run count via SPARK_GRAFT_BENCH_RUNS (default 2).
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     per_query: dict[str, float] = {}
-    total = 0.0
+    # one fresh-cold-sample closure per recorded metric, registered as
+    # each metric lands — the mover re-probe (below) re-invokes these
+    reprobe_fns: dict = {}
+
+    def _cold_reset() -> None:
+        """Cache AND heap hygiene before every timed sample (untimed).
+        clearCache() alone is not enough: queries that localCheckpoint
+        internally (LSH verify, connected components) leave orphaned
+        RDD blocks that ContextCleaner only reclaims after a JVM GC
+        collects the Python-side proxies — over ~100 queries the
+        accumulation inflated late-run queries 2-4x (split_neardup_safe
+        read 6.4s at its slot but 3.0s interleaved early; re-probe
+        extras at the very end read 10-13s)."""
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()  # drop py4j proxies so the JVM refs go weak
+        spark.sparkContext._jvm.System.gc()  # let ContextCleaner drain
+
+    def _timed_cold(fn) -> float:
+        _cold_reset()
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
     for name in names:
+        reprobe_fns[name] = (
+            lambda name=name: _timed_cold(lambda: registry[name](spark, sf_dir).count())
+        )
         samples = []
         while len(samples) < runs or (
             # adaptive extra samples: if the floor hasn't converged
@@ -201,15 +293,14 @@ def main() -> None:
             # queries that persist internally (s9 paged scan, dedup
             # pipeline) must not leave cached partitions to pressure
             # later queries' heap — every timed sample starts cache-cold
-            spark.catalog.clearCache()
+            # AND checkpoint-block-clean (see _cold_reset)
+            _cold_reset()
             t0 = time.time()
             df = registry[name](spark, sf_dir)
             n = df.count()
             samples.append(time.time() - t0)
         dt = min(samples)
         per_query[name] = round(dt, 3)
-        if not _excluded_from_wall(name):
-            total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s (samples: "
               f"{[round(s, 2) for s in samples]})", file=sys.stderr)
 
@@ -234,20 +325,23 @@ def main() -> None:
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
 
-    tdir = tempfile.mkdtemp(prefix="bw_bench_target_")
-    try:
-        target = ParquetKeyedTable(tdir, ["business_key"])
-        df = registry["pipeline_daily_sales"](spark, sf_dir)
-        t0 = time.time()
-        target.upsert(spark, df)
-        rows = target.read(spark).count()
-        dt = time.time() - t0
-        per_query["upsert_daily_sales"] = round(dt, 3)
-        total += dt
-        print(f"# upsert_daily_sales: {rows} rows in {dt:.2f}s "
-              f"({rows / dt:,.0f} rows/sec)", file=sys.stderr)
-    finally:
-        shutil.rmtree(tdir, ignore_errors=True)
+    def _upsert_daily_sales_sample() -> tuple[float, int]:
+        tdir = tempfile.mkdtemp(prefix="bw_bench_target_")
+        try:
+            target = ParquetKeyedTable(tdir, ["business_key"])
+            df = registry["pipeline_daily_sales"](spark, sf_dir)
+            t0 = time.time()
+            target.upsert(spark, df)
+            rows = target.read(spark).count()
+            return time.time() - t0, rows
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+
+    dt, rows = _upsert_daily_sales_sample()
+    per_query["upsert_daily_sales"] = round(dt, 3)
+    reprobe_fns["upsert_daily_sales"] = lambda: _upsert_daily_sales_sample()[0]
+    print(f"# upsert_daily_sales: {rows} rows in {dt:.2f}s "
+          f"({rows / dt:,.0f} rows/sec)", file=sys.stderr)
 
     # incremental write path: the reference's nightly job merges a
     # trailing window into years of history (truenas/cron-jobs.txt:12).
@@ -257,29 +351,33 @@ def main() -> None:
     # merge against a pre-loaded table.
     from pyspark.sql import functions as F
 
-    tdir2 = tempfile.mkdtemp(prefix="bw_bench_ptarget_")
-    try:
-        df = (
-            registry["pipeline_daily_sales"](spark, sf_dir)
-            .withColumn("part_month", F.substring("calendar_date", 1, 7))
-            .persist()
-        )
-        ptarget = ParquetKeyedTable(
-            tdir2, ["part_month", "business_key"], partition_by=["part_month"]
-        )
-        ptarget.upsert(spark, df)  # initial history load (untimed; materializes cache)
-        window = df.where(F.col("part_month") == "1998-08")
-        t0 = time.time()
-        ptarget.upsert(spark, window)
-        dt = time.time() - t0
-        wrows = window.count()
-        per_query["upsert_incremental_window"] = round(dt, 3)
-        total += dt
-        print(f"# upsert_incremental_window: {wrows} rows in {dt:.2f}s "
-              f"({wrows / dt:,.0f} rows/sec, partition-scoped)", file=sys.stderr)
-        df.unpersist()  # keep the skew metrics below cache-cold too
-    finally:
-        shutil.rmtree(tdir2, ignore_errors=True)
+    def _upsert_window_sample() -> tuple[float, int]:
+        tdir2 = tempfile.mkdtemp(prefix="bw_bench_ptarget_")
+        try:
+            df = (
+                registry["pipeline_daily_sales"](spark, sf_dir)
+                .withColumn("part_month", F.substring("calendar_date", 1, 7))
+                .persist()
+            )
+            ptarget = ParquetKeyedTable(
+                tdir2, ["part_month", "business_key"], partition_by=["part_month"]
+            )
+            ptarget.upsert(spark, df)  # initial history load (untimed; materializes cache)
+            window = df.where(F.col("part_month") == "1998-08")
+            t0 = time.time()
+            ptarget.upsert(spark, window)
+            dt = time.time() - t0
+            wrows = window.count()
+            df.unpersist()  # keep later metrics cache-cold too
+            return dt, wrows
+        finally:
+            shutil.rmtree(tdir2, ignore_errors=True)
+
+    dt, wrows = _upsert_window_sample()
+    per_query["upsert_incremental_window"] = round(dt, 3)
+    reprobe_fns["upsert_incremental_window"] = lambda: _upsert_window_sample()[0]
+    print(f"# upsert_incremental_window: {wrows} rows in {dt:.2f}s "
+          f"({wrows / dt:,.0f} rows/sec, partition-scoped)", file=sys.stderr)
 
     # bare approx profile: the REGISTERED profile_table_approx gate now
     # embeds an exact twin (its error-bound oracle needs it), so its
@@ -291,14 +389,18 @@ def main() -> None:
     from bw_new_data_integration_spark.operators import profiling
 
     orders = catalog.load(spark, sf_dir, "orders")
-    samples = []
-    for _ in range(runs):
-        spark.catalog.clearCache()
-        t0 = time.time()
-        profiling.profile(orders, _profile_cols(), approx=True, rsd=0.02).count()
-        samples.append(time.time() - t0)
-    per_query["profile_table_approx_bare"] = round(min(samples), 3)
-    total += per_query["profile_table_approx_bare"]
+
+    def _profile_bare_sample() -> float:
+        return _timed_cold(
+            lambda: profiling.profile(
+                orders, _profile_cols(), approx=True, rsd=0.02
+            ).count()
+        )
+
+    per_query["profile_table_approx_bare"] = round(
+        min(_profile_bare_sample() for _ in range(runs)), 3
+    )
+    reprobe_fns["profile_table_approx_bare"] = _profile_bare_sample
     print(f"# profile_table_approx_bare: {per_query['profile_table_approx_bare']}s",
           file=sys.stderr)
 
@@ -316,22 +418,29 @@ def main() -> None:
         .alias("k"),
         "l_quantity",
     )
-    t0 = time.time()
-    skewed.groupBy("k").agg(
-        agg_ops.exact_sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n")
-    ).count()
-    per_query["skew_agg_plain"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    agg_ops.salted_aggregate(
-        skewed,
-        ["k"],
-        {
-            "s": (F.sum(F.col("l_quantity").cast("decimal(27,6)")), "sum"),
-            "n": (F.count(F.lit(1)), "sum"),
-        },
-    ).count()
-    per_query["skew_agg_salted"] = round(time.time() - t0, 3)
-    total += per_query["skew_agg_plain"] + per_query["skew_agg_salted"]
+    def _skew_plain_sample() -> float:
+        return _timed_cold(
+            lambda: skewed.groupBy("k")
+            .agg(agg_ops.exact_sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+
+    def _skew_salted_sample() -> float:
+        return _timed_cold(
+            lambda: agg_ops.salted_aggregate(
+                skewed,
+                ["k"],
+                {
+                    "s": (F.sum(F.col("l_quantity").cast("decimal(27,6)")), "sum"),
+                    "n": (F.count(F.lit(1)), "sum"),
+                },
+            ).count()
+        )
+
+    per_query["skew_agg_plain"] = round(_skew_plain_sample(), 3)
+    per_query["skew_agg_salted"] = round(_skew_salted_sample(), 3)
+    reprobe_fns["skew_agg_plain"] = _skew_plain_sample
+    reprobe_fns["skew_agg_salted"] = _skew_salted_sample
     print(f"# skew_agg plain={per_query['skew_agg_plain']}s "
           f"salted={per_query['skew_agg_salted']}s", file=sys.stderr)
 
@@ -372,14 +481,23 @@ def main() -> None:
 
     maps = [{"pattern": "Priority", "field": "priority"}]
     mdx = {p: f"SELECT ... FROM [Cube] WHERE [Time].[P{p}]" for p in periods}
-    t0 = time.time()
-    xmla_src.fetch_partitioned(spark, make_execute(), mdx, maps).count()
-    per_query["xmla_backfill39_seq_baseline"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    xmla_src.fetch_partitioned_distributed(
-        spark, make_execute, mdx, maps, ["priority"], ["n_orders"]
-    ).count()
-    per_query["xmla_backfill39_dist"] = round(time.time() - t0, 3)
+
+    def _xmla_seq_sample() -> float:
+        return _timed_cold(
+            lambda: xmla_src.fetch_partitioned(spark, make_execute(), mdx, maps).count()
+        )
+
+    def _xmla_dist_sample() -> float:
+        return _timed_cold(
+            lambda: xmla_src.fetch_partitioned_distributed(
+                spark, make_execute, mdx, maps, ["priority"], ["n_orders"]
+            ).count()
+        )
+
+    per_query["xmla_backfill39_seq_baseline"] = round(_xmla_seq_sample(), 3)
+    per_query["xmla_backfill39_dist"] = round(_xmla_dist_sample(), 3)
+    reprobe_fns["xmla_backfill39_seq_baseline"] = _xmla_seq_sample
+    reprobe_fns["xmla_backfill39_dist"] = _xmla_dist_sample
     print(
         f"# xmla_backfill 39 slices @20ms RTT: seq="
         f"{per_query['xmla_backfill39_seq_baseline']}s dist="
@@ -394,12 +512,64 @@ def main() -> None:
     for name in ("a1_pricing_summary", "pipeline_daily_sales"):
         samples = []
         for _ in range(3):
-            spark.catalog.clearCache()
+            _cold_reset()
             t0 = time.time()
             registry[name](spark, sf_dir).count()
             samples.append(round(time.time() - t0, 3))
         noise[name] = samples
     print(f"# noise_probe: {noise}", file=sys.stderr)
+
+    # Mechanized mover re-probe (VERDICT r6 #1): two rounds running,
+    # >1.3x cross-round movers needed manual solo adjudication after the
+    # record shipped. Diff against the previous round's record and take
+    # 3 extra cold samples for any common metric that reads >1.3x its
+    # previous floor; the solo floor (min over first pass + extras)
+    # replaces the recorded value, and the full evidence lands in
+    # `mover_reprobe` so drift adjudication is in-record, not manual.
+    mover_reprobe: dict[str, dict] = {}
+    prev = _prev_round_record(os.path.dirname(os.path.abspath(__file__)))
+    if prev is not None and prev[1].get("sf") == sf:
+        prev_q = prev[1]["queries"]
+        for name in sorted(per_query):
+            p = prev_q.get(name)
+            cur = per_query[name]
+            if (
+                p is None
+                or p < 0.15  # sub-150ms floors are noise-dominated
+                or cur <= 1.3 * p
+                or name not in reprobe_fns
+            ):
+                continue
+            extras = [round(reprobe_fns[name](), 3) for _ in range(3)]
+            floor = round(min([cur] + extras), 3)
+            mover_reprobe[name] = {
+                "prev_round": prev[0],
+                "prev": p,
+                "first_pass": cur,
+                "extra_samples": extras,
+                "floor": floor,
+                "ratio_vs_prev": round(floor / p, 2),
+            }
+            per_query[name] = floor
+            print(
+                f"# mover_reprobe {name}: prev={p}s first={cur}s "
+                f"extras={extras} -> floor={floor}s "
+                f"({floor / p:.2f}x prev)",
+                file=sys.stderr,
+            )
+        if mover_reprobe:
+            print(
+                f"# mover_reprobe: {len(mover_reprobe)} metrics re-floored "
+                f"vs BENCH_r{prev[0]:02d}", file=sys.stderr,
+            )
+
+    # wall totals are derived AFTER the re-probe so solo floors count
+    total = sum(v for k, v in per_query.items() if not _excluded_from_wall(k))
+    core_present = [n for n in COMMON_CORE if n in per_query]
+    common_core_wall = round(sum(per_query[n] for n in core_present), 3)
+    if len(core_present) < len(COMMON_CORE):
+        missing = sorted(set(COMMON_CORE) - set(core_present))
+        print(f"# WARNING common-core entries missing: {missing}", file=sys.stderr)
 
     # Full record goes to a sidecar file; stdout carries a compact JSON
     # line sized to survive the driver's 2000-char stdout-tail capture
@@ -412,13 +582,20 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "excluded_from_wall": excluded,
+        "common_core_wall": common_core_wall,
+        "common_core_n": len(core_present),
+        "common_core": COMMON_CORE,
+        "mover_reprobe": mover_reprobe,
         "sf": sf,
         "noise_probe_3x": noise,
         "method": {
             "discipline": f"cache-cold-per-query, min-of-{runs}",
             "detail": (
                 "codegen warmed once at sf0.001 per query; "
-                "spark.catalog.clearCache() before each timed sample; "
+                "clearCache + pyGC + JVM System.gc before each timed "
+                "sample (orphaned localCheckpoint blocks otherwise "
+                "accumulate over ~100 queries and inflate late-run "
+                "queries 2-4x -- found by the round-7 mover re-probe); "
                 f"per-query time = MIN of {runs} cold samples (the box "
                 "shares cores with the round driver; min measures the "
                 "plan's cost floor). Single process, queries sequential. "
@@ -436,7 +613,13 @@ def main() -> None:
                 "twins (*_baseline, xmla_backfill39 RTT-simulation pair) "
                 "-- they are timed and listed in excluded_from_wall but "
                 "a deliberately weaker or sleep-bound plan must not "
-                "inflate the production-shape total."
+                "inflate the production-shape total. Round 7 on: any "
+                "metric reading >1.3x its previous-round record gets 3 "
+                "extra cold samples in-run (mover_reprobe); the floor "
+                "replaces the first-pass value, so shared-box drift is "
+                "adjudicated inside the record. common_core_wall sums "
+                "the FROZEN 31-query COMMON_CORE list -- the only "
+                "number meant for round-over-round comparison."
             ),
             "n_queries": len(per_query),
             "n_in_wall": len(per_query) - len(excluded),
@@ -452,10 +635,15 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "common_core_wall": common_core_wall,
+        "common_core_n": len(core_present),
+        "mover_reprobe_n": len(mover_reprobe),
         "sf": sf,
         "method": (
             f"cache-cold min-of-{runs}; wall excludes {len(excluded)} "
-            f"*_baseline twins; full record in {sidecar_name}"
+            f"*_baseline twins; common_core_wall = frozen {len(COMMON_CORE)}-query "
+            f"cross-round basis; >1.3x movers vs prev round re-floored with 3 "
+            f"extra samples; full record in {sidecar_name}"
         ),
     }
     line = json.dumps(compact, separators=(",", ":"))

@@ -30,13 +30,18 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     (shingling, digesting) so it doesn't run in one task. Partitioning
     BY the id also pre-aligns the downstream per-doc groupBy.
 
-    .. warning:: the check is by partition COUNT, which a lopsided
-       union defeats (1 fat scan partition + N near-empty ones passes
-       the check but still serializes the digest work — observed as a
-       10x wall regression at sf1). Callers building union corpora
-       should ``repartition(parallelism, id)`` explicitly."""
+    A partition COUNT below parallelism is the obvious trigger, but a
+    count check alone is defeated by a lopsided multi-source plan: a
+    union of 1 fat scan partition + N near-empty ones passes the count
+    yet still serializes the digest work (observed as a 10x wall
+    regression at sf1). So any plan with MULTIPLE LEAF SCANS (union,
+    join of sources) is rebalanced too — one hash shuffle, amortized by
+    the heavy per-row work downstream, and it pre-aligns the per-doc
+    groupBy that follows. Single-scan inputs with enough partitions
+    (the common at-scale path) pass through shuffle-free."""
     target_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target_parts:
+    multi_leaf = df._jdf.queryExecution().logical().collectLeaves().size() > 1
+    if multi_leaf or df.rdd.getNumPartitions() < target_parts:
         return df.repartition(target_parts, F.col(id_col))
     return df
 

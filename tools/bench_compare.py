@@ -17,18 +17,22 @@ import re
 import sys
 
 
-def load_queries(path: str) -> dict[str, float]:
+def load_record(path: str) -> dict:
     with open(path) as fh:
         doc = json.load(fh)
     if "queries" in doc:
-        return dict(doc["queries"])
+        return doc
     if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
-        return dict(doc["parsed"]["queries"])
+        return doc["parsed"]
     tail = doc.get("tail", "")
     m = re.search(r'\{"metric":.*\}', tail)
     if m:
-        return dict(json.loads(m.group(0))["queries"])
+        return json.loads(m.group(0))
     raise SystemExit(f"{path}: no per-query record found")
+
+
+def load_queries(path: str) -> dict[str, float]:
+    return dict(load_record(path)["queries"])
 
 
 def main() -> None:
@@ -37,7 +41,8 @@ def main() -> None:
     ap.add_argument("new")
     ap.add_argument("--top", type=int, default=10)
     args = ap.parse_args()
-    old, new = load_queries(args.old), load_queries(args.new)
+    old_rec, new_rec = load_record(args.old), load_record(args.new)
+    old, new = dict(old_rec["queries"]), dict(new_rec["queries"])
     common = sorted(set(old) & set(new))
     if not common:
         raise SystemExit("no common queries")
@@ -47,6 +52,17 @@ def main() -> None:
         f"common queries: {len(common)}  old={s_old:.1f}s  new={s_new:.1f}s  "
         f"ratio={s_new / s_old:.2f}"
     )
+    # the FROZEN cross-round basis (bench.py COMMON_CORE, round 7 on):
+    # when either record names it, compare over that list — the ad-hoc
+    # intersection above shifts as coverage grows; the frozen set doesn't
+    core = new_rec.get("common_core") or old_rec.get("common_core")
+    if core:
+        c = [q for q in core if q in old and q in new]
+        co, cn = sum(old[q] for q in c), sum(new[q] for q in c)
+        print(
+            f"common_core ({len(c)}/{len(core)} frozen): old={co:.1f}s  "
+            f"new={cn:.1f}s  ratio={cn / co:.2f}"
+        )
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
     if only_old:
