@@ -123,6 +123,8 @@ OPTIONAL = [
     "q20_part_promotion",
     "mm_video_frames",
     "mm_jpeg_color_roundtrip",
+    "training_corpus_e2e_extended",
+    "salted_skew_aggregate",
 ]
 
 
@@ -210,7 +212,21 @@ def main() -> None:
         "tools/make_sf.py), others -> /root/testdata/sf{SF}; sidecar becomes "
         "BENCH_SF{SF}.json. Default: $SPARK_GRAFT_SF_DIR (sf0.1 record).",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated metric names: run only these (registry "
+        "queries and/or special metrics like upsert_daily_sales / "
+        "skew_agg_plain). For targeted scale probes (BENCH_SF10) where "
+        "the full 100-query sweep would be wasteful.",
+    )
     args = ap.parse_args()
+    only: set[str] | None = (
+        {s.strip() for s in args.only.split(",") if s.strip()} if args.only else None
+    )
+
+    def wanted(name: str) -> bool:
+        return only is None or name in only
     sidecar_name = "BENCH.json"
     if args.sf is not None:
         local = os.path.join(
@@ -229,7 +245,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     registry = q.registry()
-    names = HEADLINE + [n for n in OPTIONAL if n in registry]
+    names = [n for n in HEADLINE + [o for o in OPTIONAL if o in registry] if wanted(n)]
 
     # warm each query's whole-stage-codegen at the smallest SF (same
     # plan shape -> compiled-code cache hit) so the timed sf0.1 runs
@@ -316,14 +332,15 @@ def main() -> None:
     # table: the metric is steady-state sink throughput, same basis as
     # the reference's rows/sec numbers — single-cold-sample runs showed
     # 1.5-2.5x first-write inflation (6.25s cold vs 3.95s floor at sf0.1)
-    wdir = tempfile.mkdtemp(prefix="bw_bench_warm_")
-    try:
-        warm = ParquetKeyedTable(wdir, ["business_key"])
-        warm.upsert(
-            spark, registry["pipeline_daily_sales"](spark, sf_dir).limit(1000)
-        )
-    finally:
-        shutil.rmtree(wdir, ignore_errors=True)
+    if wanted("upsert_daily_sales") or wanted("upsert_incremental_window"):
+        wdir = tempfile.mkdtemp(prefix="bw_bench_warm_")
+        try:
+            warm = ParquetKeyedTable(wdir, ["business_key"])
+            warm.upsert(
+                spark, registry["pipeline_daily_sales"](spark, sf_dir).limit(1000)
+            )
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
 
     def _upsert_daily_sales_sample() -> tuple[float, int]:
         tdir = tempfile.mkdtemp(prefix="bw_bench_target_")
@@ -337,11 +354,12 @@ def main() -> None:
         finally:
             shutil.rmtree(tdir, ignore_errors=True)
 
-    dt, rows = _upsert_daily_sales_sample()
-    per_query["upsert_daily_sales"] = round(dt, 3)
-    reprobe_fns["upsert_daily_sales"] = lambda: _upsert_daily_sales_sample()[0]
-    print(f"# upsert_daily_sales: {rows} rows in {dt:.2f}s "
-          f"({rows / dt:,.0f} rows/sec)", file=sys.stderr)
+    if wanted("upsert_daily_sales"):
+        dt, rows = _upsert_daily_sales_sample()
+        per_query["upsert_daily_sales"] = round(dt, 3)
+        reprobe_fns["upsert_daily_sales"] = lambda: _upsert_daily_sales_sample()[0]
+        print(f"# upsert_daily_sales: {rows} rows in {dt:.2f}s "
+              f"({rows / dt:,.0f} rows/sec)", file=sys.stderr)
 
     # incremental write path: the reference's nightly job merges a
     # trailing window into years of history (truenas/cron-jobs.txt:12).
@@ -373,11 +391,12 @@ def main() -> None:
         finally:
             shutil.rmtree(tdir2, ignore_errors=True)
 
-    dt, wrows = _upsert_window_sample()
-    per_query["upsert_incremental_window"] = round(dt, 3)
-    reprobe_fns["upsert_incremental_window"] = lambda: _upsert_window_sample()[0]
-    print(f"# upsert_incremental_window: {wrows} rows in {dt:.2f}s "
-          f"({wrows / dt:,.0f} rows/sec, partition-scoped)", file=sys.stderr)
+    if wanted("upsert_incremental_window"):
+        dt, wrows = _upsert_window_sample()
+        per_query["upsert_incremental_window"] = round(dt, 3)
+        reprobe_fns["upsert_incremental_window"] = lambda: _upsert_window_sample()[0]
+        print(f"# upsert_incremental_window: {wrows} rows in {dt:.2f}s "
+              f"({wrows / dt:,.0f} rows/sec, partition-scoped)", file=sys.stderr)
 
     # bare approx profile: the REGISTERED profile_table_approx gate now
     # embeds an exact twin (its error-bound oracle needs it), so its
@@ -397,12 +416,13 @@ def main() -> None:
             ).count()
         )
 
-    per_query["profile_table_approx_bare"] = round(
-        min(_profile_bare_sample() for _ in range(runs)), 3
-    )
-    reprobe_fns["profile_table_approx_bare"] = _profile_bare_sample
-    print(f"# profile_table_approx_bare: {per_query['profile_table_approx_bare']}s",
-          file=sys.stderr)
+    if wanted("profile_table_approx_bare"):
+        per_query["profile_table_approx_bare"] = round(
+            min(_profile_bare_sample() for _ in range(runs)), 3
+        )
+        reprobe_fns["profile_table_approx_bare"] = _profile_bare_sample
+        print(f"# profile_table_approx_bare: {per_query['profile_table_approx_bare']}s",
+              file=sys.stderr)
 
     # skew behavior (recorded per VERDICT r1 #8): one 90%-hot grouping
     # key. Plain groupBy funnels the hot key into a single reduce task;
@@ -437,12 +457,15 @@ def main() -> None:
             ).count()
         )
 
-    per_query["skew_agg_plain"] = round(_skew_plain_sample(), 3)
-    per_query["skew_agg_salted"] = round(_skew_salted_sample(), 3)
-    reprobe_fns["skew_agg_plain"] = _skew_plain_sample
-    reprobe_fns["skew_agg_salted"] = _skew_salted_sample
-    print(f"# skew_agg plain={per_query['skew_agg_plain']}s "
-          f"salted={per_query['skew_agg_salted']}s", file=sys.stderr)
+    if wanted("skew_agg_plain"):
+        per_query["skew_agg_plain"] = round(_skew_plain_sample(), 3)
+        reprobe_fns["skew_agg_plain"] = _skew_plain_sample
+    if wanted("skew_agg_salted"):
+        per_query["skew_agg_salted"] = round(_skew_salted_sample(), 3)
+        reprobe_fns["skew_agg_salted"] = _skew_salted_sample
+    if wanted("skew_agg_plain") or wanted("skew_agg_salted"):
+        print(f"# skew_agg plain={per_query.get('skew_agg_plain')}s "
+              f"salted={per_query.get('skew_agg_salted')}s", file=sys.stderr)
 
     # XMLA backfill: 39 fiscal-period slices (the reference's
     # backfill_sales_channel_by_period.sh scenario) with a simulated
@@ -453,71 +476,74 @@ def main() -> None:
     # engine throughput.
     from bw_new_data_integration_spark.sources import xmla as xmla_src
 
-    o = catalog.load(spark, sf_dir, "orders")
-    prows = (
-        o.groupBy(
-            F.date_format("o_orderdate", "yyyy-MM").alias("period"), "o_orderpriority"
+    if wanted("xmla_backfill39_seq_baseline") or wanted("xmla_backfill39_dist"):
+        o = catalog.load(spark, sf_dir, "orders")
+        prows = (
+            o.groupBy(
+                F.date_format("o_orderdate", "yyyy-MM").alias("period"), "o_orderpriority"
+            )
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .collect()
         )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .collect()
-    )
-    by_period: dict[str, list] = {}
-    for r in prows:
-        by_period.setdefault(r["period"], []).append(r)
-    periods = sorted(by_period)[:39]
+        by_period: dict[str, list] = {}
+        for r in prows:
+            by_period.setdefault(r["period"], []).append(r)
+        periods = sorted(by_period)[:39]
 
-    def make_execute():
-        def execute(mdx: str) -> str:
-            time.sleep(0.02)  # simulated SOAP RTT
-            p = re.search(r"\[P([0-9-]+)\]", mdx).group(1)
-            rws = by_period[p]
-            return xmla_src.render_mddataset(
-                ["n_orders"],
-                [[("[Order].[Priority]", r["o_orderpriority"])] for r in rws],
-                [[repr(r["n_orders"])] for r in rws],
+        def make_execute():
+            def execute(mdx: str) -> str:
+                time.sleep(0.02)  # simulated SOAP RTT
+                p = re.search(r"\[P([0-9-]+)\]", mdx).group(1)
+                rws = by_period[p]
+                return xmla_src.render_mddataset(
+                    ["n_orders"],
+                    [[("[Order].[Priority]", r["o_orderpriority"])] for r in rws],
+                    [[repr(r["n_orders"])] for r in rws],
+                )
+
+            return execute
+
+        maps = [{"pattern": "Priority", "field": "priority"}]
+        mdx = {p: f"SELECT ... FROM [Cube] WHERE [Time].[P{p}]" for p in periods}
+
+        def _xmla_seq_sample() -> float:
+            return _timed_cold(
+                lambda: xmla_src.fetch_partitioned(spark, make_execute(), mdx, maps).count()
             )
 
-        return execute
+        def _xmla_dist_sample() -> float:
+            return _timed_cold(
+                lambda: xmla_src.fetch_partitioned_distributed(
+                    spark, make_execute, mdx, maps, ["priority"], ["n_orders"]
+                ).count()
+            )
 
-    maps = [{"pattern": "Priority", "field": "priority"}]
-    mdx = {p: f"SELECT ... FROM [Cube] WHERE [Time].[P{p}]" for p in periods}
-
-    def _xmla_seq_sample() -> float:
-        return _timed_cold(
-            lambda: xmla_src.fetch_partitioned(spark, make_execute(), mdx, maps).count()
+        if wanted("xmla_backfill39_seq_baseline"):
+            per_query["xmla_backfill39_seq_baseline"] = round(_xmla_seq_sample(), 3)
+            reprobe_fns["xmla_backfill39_seq_baseline"] = _xmla_seq_sample
+        if wanted("xmla_backfill39_dist"):
+            per_query["xmla_backfill39_dist"] = round(_xmla_dist_sample(), 3)
+            reprobe_fns["xmla_backfill39_dist"] = _xmla_dist_sample
+        print(
+            f"# xmla_backfill 39 slices @20ms RTT: seq="
+            f"{per_query.get('xmla_backfill39_seq_baseline')}s dist="
+            f"{per_query.get('xmla_backfill39_dist')}s",
+            file=sys.stderr,
         )
-
-    def _xmla_dist_sample() -> float:
-        return _timed_cold(
-            lambda: xmla_src.fetch_partitioned_distributed(
-                spark, make_execute, mdx, maps, ["priority"], ["n_orders"]
-            ).count()
-        )
-
-    per_query["xmla_backfill39_seq_baseline"] = round(_xmla_seq_sample(), 3)
-    per_query["xmla_backfill39_dist"] = round(_xmla_dist_sample(), 3)
-    reprobe_fns["xmla_backfill39_seq_baseline"] = _xmla_seq_sample
-    reprobe_fns["xmla_backfill39_dist"] = _xmla_dist_sample
-    print(
-        f"# xmla_backfill 39 slices @20ms RTT: seq="
-        f"{per_query['xmla_backfill39_seq_baseline']}s dist="
-        f"{per_query['xmla_backfill39_dist']}s "
-        f"({per_query['xmla_backfill39_seq_baseline'] / per_query['xmla_backfill39_dist']:.1f}x)",
-        file=sys.stderr,
-    )
 
     # noise floor: re-time one cheap and one mid-weight query 3x so the
     # recorded numbers carry their own run-to-run variance estimate
     noise: dict[str, list[float]] = {}
-    for name in ("a1_pricing_summary", "pipeline_daily_sales"):
-        samples = []
-        for _ in range(3):
-            _cold_reset()
-            t0 = time.time()
-            registry[name](spark, sf_dir).count()
-            samples.append(round(time.time() - t0, 3))
-        noise[name] = samples
-    print(f"# noise_probe: {noise}", file=sys.stderr)
+    if only is None:
+        for name in ("a1_pricing_summary", "pipeline_daily_sales"):
+            samples = []
+            for _ in range(3):
+                _cold_reset()
+                t0 = time.time()
+                registry[name](spark, sf_dir).count()
+                samples.append(round(time.time() - t0, 3))
+            noise[name] = samples
+        print(f"# noise_probe: {noise}", file=sys.stderr)
 
     # Mechanized mover re-probe (VERDICT r6 #1): two rounds running,
     # >1.3x cross-round movers needed manual solo adjudication after the
@@ -582,6 +608,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "excluded_from_wall": excluded,
+        "partial_only": sorted(only) if only else None,
         "common_core_wall": common_core_wall,
         "common_core_n": len(core_present),
         "common_core": COMMON_CORE,

@@ -483,6 +483,341 @@ def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXTENDED curation funnel (VERDICT r6 #3): the round-6 operators
+# composed the way a production pipeline runs them —
+#
+#   encoding repair → boilerplate line removal → per-source quality
+#   percentile filter → exact substring cut → decontamination rewrite
+#   → temperature mixture → sequence packing
+#
+# — with PER-STAGE counts in the output, every count replayed by the
+# oracle (each stage's SQL is the already-hash-verified per-operator
+# oracle, re-staged on the funnel's intermediate text). Fixture: each
+# doc is wrapped in boilerplate (NAV header per source, constant
+# COPYRIGHT footer), every 5th doc gains a duplicated newsletter tail
+# (substring-cut prey), the body carries accented/cp1252 text and
+# every 3rd doc is corrupted through the real encoding fault; eval
+# contamination is a 16-token slice of every 25th ORIGINAL document.
+#
+# The TRAINED quality classifier is deliberately NOT in this
+# hash-gated funnel: its training is iterative (not SQL-expressible) —
+# the rule-based per-source percentile filter stands in here, and the
+# classifier keeps its own invariant gate (quality_classifier_e2e),
+# the same split kmeans_embeddings/semdedup_prune use.
+#
+# The original training_corpus_e2e above stays UNCHANGED: it is a
+# frozen COMMON_CORE bench entry, and replacing its semantics would
+# silently break the cross-round comparison basis.
+# ---------------------------------------------------------------------------
+@register(
+    "training_corpus_e2e_extended",
+    oracle=r"""
+WITH th AS (
+  SELECT CAST(CEIL(0.05 * COUNT(*)) AS BIGINT) AS min_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_input
+  FROM documents
+),
+raw AS (
+  SELECT doc_id, source, lang,
+         'NAV ' || source || ' MENU' || chr(10) ||
+         'Café São “don’t” — ' || text ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' subscribe to our newsletter for weekly updates and exclusive offers today friend'
+              ELSE '' END || chr(10) ||
+         'COPYRIGHT 2024 EXAMPLE' AS fixed
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(fixed, chr(10))) AS line,
+         unnest(range(1, len(string_split(fixed, chr(10))) + 1)) AS pos
+  FROM raw
+),
+normed AS (SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM lines),
+freq AS (SELECT norm, COUNT(DISTINCT doc_id) AS line_df FROM normed GROUP BY norm),
+flags AS (
+  SELECT n.doc_id, n.pos, n.line,
+         (f.line_df >= (SELECT min_docs FROM th)) AS is_boiler
+  FROM normed n JOIN freq f USING (norm)
+),
+cleaned AS (
+  SELECT doc_id,
+         COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_boiler), '') AS text_clean
+  FROM flags GROUP BY doc_id
+),
+cl AS (
+  SELECT r.doc_id, r.source, r.lang, c.text_clean
+  FROM raw r JOIN cleaned c USING (doc_id)
+),
+qr AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY length(text_clean) DESC, doc_id) AS qrank,
+         COUNT(*) OVER (PARTITION BY source) AS qn
+  FROM cl
+),
+kept AS (
+  SELECT doc_id, source, lang, text_clean FROM qr WHERE qrank <= CEIL(0.7 * qn)
+),
+toks_arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text_clean), '\s+'), x -> x != '') AS t
+  FROM kept
+),
+grams AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS s,
+         md5(lower(array_to_string(t[u.i:u.i+7], ' '))) AS h
+  FROM toks_arr, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+  WHERE len(t) >= 8
+),
+rankg AS (
+  SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+  FROM grams
+),
+redundant AS (SELECT doc_id, s, s + 7 AS e FROM rankg WHERE rn > 1),
+ordered AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM redundant
+),
+islands AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+  FROM ordered
+),
+cut AS (SELECT doc_id, isl, MIN(s) AS cs, MAX(e) AS ce FROM islands GROUP BY 1, 2),
+toks AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS tok
+  FROM toks_arr, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+flag2 AS (
+  SELECT tk.doc_id, tk.pos, tk.tok, (c.cs IS NOT NULL) AS is_cut
+  FROM toks tk LEFT JOIN cut c
+    ON tk.doc_id = c.doc_id AND tk.pos BETWEEN c.cs AND c.ce
+),
+rebuilt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT is_cut), '') AS text_dedup,
+         COUNT(*) FILTER (WHERE is_cut) AS sub_cut
+  FROM flag2 GROUP BY doc_id
+),
+dedup AS (
+  SELECT k.doc_id, k.lang,
+         COALESCE(r.text_dedup, '') AS text_dedup,
+         CAST(COALESCE(r.sub_cut, 0) AS BIGINT) AS sub_cut
+  FROM kept k LEFT JOIN rebuilt r USING (doc_id)
+),
+orig_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+  FROM documents
+),
+eval_toks AS (
+  SELECT t[3:18] AS t FROM orig_toks WHERE doc_id % 25 = 0 AND len(t) >= 18
+),
+e_grams AS (
+  SELECT DISTINCT md5(lower(array_to_string(t[u.i:u.i+7], ' '))) AS h
+  FROM eval_toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+),
+d_toks_arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text_dedup), '\s+'), x -> x != '') AS t
+  FROM dedup
+),
+d_grams AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS s,
+         md5(lower(array_to_string(t[u.i:u.i+7], ' '))) AS h
+  FROM d_toks_arr, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+  WHERE len(t) >= 8
+),
+matched AS (SELECT doc_id, s, s + 7 AS e FROM d_grams JOIN e_grams USING (h)),
+ordered2 AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM matched
+),
+islands2 AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+  FROM ordered2
+),
+cut2 AS (SELECT doc_id, isl, MIN(s) AS cs, MAX(e) AS ce FROM islands2 GROUP BY 1, 2),
+d_toks AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS tok
+  FROM d_toks_arr, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+flag3 AS (
+  SELECT tk.doc_id, tk.pos, (c.cs IS NOT NULL) AS is_cut
+  FROM d_toks tk LEFT JOIN cut2 c
+    ON tk.doc_id = c.doc_id AND tk.pos BETWEEN c.cs AND c.ce
+),
+rebuilt2 AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE NOT is_cut) AS n_tok_final,
+         COUNT(*) FILTER (WHERE is_cut) AS dec_cut
+  FROM flag3 GROUP BY doc_id
+),
+fin AS (
+  SELECT d.doc_id, d.lang, d.sub_cut,
+         CAST(COALESCE(r.n_tok_final, 0) AS BIGINT) AS n_tok_final,
+         CAST(COALESCE(r.dec_cut, 0) AS BIGINT) AS dec_cut
+  FROM dedup d LEFT JOIN rebuilt2 r USING (doc_id)
+),
+mc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM fin GROUP BY lang),
+mw AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wt FROM mc),
+mtot AS (SELECT CAST(SUM(wt) AS BIGINT) AS W FROM mw),
+mcap AS (SELECT MIN(n * W // wt) AS T FROM mw, mtot),
+mthr AS (SELECT lang, ((wt * T // W) * 4294967296) // n AS thr FROM mw, mtot, mcap),
+mixed AS (
+  SELECT f.* FROM fin f JOIN mthr USING (lang)
+  WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) < thr
+),
+p_h AS (
+  SELECT doc_id, n_tok_final,
+         CAST(CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 16 AS INT) AS shard
+  FROM mixed
+),
+p_b AS (
+  SELECT shard,
+         CAST(floor((SUM(n_tok_final) OVER (PARTITION BY shard ORDER BY doc_id) - 1) / 2048.0) AS BIGINT) AS bin
+  FROM p_h
+)
+SELECT '01_input' AS stage, (SELECT n_input FROM th) AS n_docs,
+       (SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) FROM documents) AS n_units
+UNION ALL SELECT '02_repaired', (SELECT n_input FROM th),
+       (SELECT CAST(SUM(length(fixed)) AS BIGINT) FROM raw)
+UNION ALL SELECT '03_boilerplate', (SELECT n_input FROM th),
+       (SELECT CAST(SUM(length(text_clean)) AS BIGINT) FROM cleaned)
+UNION ALL SELECT '04_quality_kept', (SELECT CAST(COUNT(*) AS BIGINT) FROM kept),
+       (SELECT CAST(SUM(length(text_clean)) AS BIGINT) FROM kept)
+UNION ALL SELECT '05_substring_cut', (SELECT CAST(COUNT(*) AS BIGINT) FROM dedup),
+       (SELECT CAST(COALESCE(SUM(sub_cut), 0) AS BIGINT) FROM dedup)
+UNION ALL SELECT '06_decontaminated', (SELECT CAST(COUNT(*) AS BIGINT) FROM fin),
+       (SELECT CAST(COALESCE(SUM(dec_cut), 0) AS BIGINT) FROM fin)
+UNION ALL SELECT '07_mixture', (SELECT CAST(COUNT(*) AS BIGINT) FROM mixed),
+       (SELECT CAST(COALESCE(SUM(n_tok_final), 0) AS BIGINT) FROM mixed)
+UNION ALL SELECT '08_packed',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT shard, bin FROM p_b)),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p_b)
+""",
+)
+def training_corpus_e2e_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended curation funnel: repair, boilerplate, quality cut,
+    substring dedup, decontamination, mixture, packing — per-stage counts."""
+    import math
+
+    from bw_new_data_integration_spark.functions.text import tokens
+    from bw_new_data_integration_spark.operators import sampling
+    from bw_new_data_integration_spark.operators.contamination import decontaminate
+    from bw_new_data_integration_spark.operators.corpus import remove_boilerplate_lines
+    from bw_new_data_integration_spark.operators.dedup import cut_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    n_input = d.count()  # scalar anchor, mirrored by the oracle's th CTE
+
+    tail = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit(
+            " subscribe to our newsletter for weekly updates and exclusive offers today friend"
+        ),
+    ).otherwise(F.lit(""))
+    raw = F.concat(
+        F.lit("NAV "), F.col("source"), F.lit(" MENU\n"),
+        F.lit("Café São “don’t” — "), F.col("text"), tail, F.lit("\n"),
+        F.lit("COPYRIGHT 2024 EXAMPLE"),
+    )
+    # real encoding fault on every 3rd doc (same construction the
+    # text_mojibake_repair gate hash-verifies)
+    corrupt = F.translate(
+        F.decode(F.encode(raw, "UTF-8"), "ISO-8859-1"),
+        text.CP1252_C1,
+        text.CP1252_SPECIALS,
+    )
+    content = F.when(F.col("doc_id") % 3 == 0, corrupt).otherwise(raw)
+    base = d.select("doc_id", "source", "lang", content.alias("content"))
+
+    # stage 2: encoding repair (must reproduce the clean construction)
+    fixed = base.select(
+        "doc_id", "source", "lang", text.fix_mojibake(F.col("content")).alias("fixed")
+    )
+    # stage 3: corpus-frequent line removal (NAV headers + footer drop)
+    min_docs = math.ceil(0.05 * n_input)
+    cleaned = (
+        remove_boilerplate_lines(fixed, min_docs=min_docs, text_col="fixed")
+        .join(base.select("doc_id", "source", "lang"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    # stage 4: per-source quality cutoff (rule-based score; the TRAINED
+    # classifier is invariant-gated separately — see block comment)
+    kept = sampling.quality_percentile_filter(
+        cleaned.withColumn("score", F.length("text_clean")), "score", "source", 0.7
+    ).localCheckpoint(eager=True)
+    # stage 5: exact substring cut among survivors (k=8)
+    cut = cut_duplicate_spans(kept, k=8, text_col="text_clean").select(
+        "doc_id", "text_dedup", F.col("n_tokens_cut").alias("sub_cut")
+    )
+    # stage 6: decontamination vs eval slices of the ORIGINAL corpus
+    toks = tokens(F.col("text"))
+    eval_df = d.where((F.col("doc_id") % 25 == 0) & (F.size(toks) >= 18)).select(
+        F.array_join(F.slice(toks, 3, 16), " ").alias("text")
+    )
+    # decontaminate reads text_col on BOTH sides — feed the deduped
+    # text under the eval frame's column name
+    decon = decontaminate(
+        cut.select("doc_id", F.col("text_dedup").alias("text")), eval_df, k=8
+    ).select(
+        "doc_id",
+        F.col("n_tokens_kept").alias("n_tok_final"),
+        F.col("n_tokens_cut").alias("dec_cut"),
+    )
+    fin = (
+        cut.join(decon, "doc_id")
+        .join(kept.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    # stage 7: temperature mixture over the survivors' language mix
+    mixed = sampling.temperature_mixture(
+        fin, "lang", "doc_id", temperature=0.5
+    ).localCheckpoint(eager=True)
+    # stage 8: token-budget packing per hash shard
+    packed = sampling.pack_sequences(
+        mixed, "doc_id", "n_tok_final", budget=2048, n_shards=16
+    )
+
+    def srow(stage: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(stage).alias("stage"),
+            F.col("a").cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("b"), F.lit(0)).cast("bigint").alias("n_units"),
+        )
+
+    return (
+        srow("01_input", d.agg(
+            F.count("*").alias("a"),
+            F.sum(F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0)).alias("b"),
+        ))
+        .unionByName(srow("02_repaired", fixed.agg(
+            F.count("*").alias("a"), F.sum(F.length("fixed")).alias("b"))))
+        .unionByName(srow("03_boilerplate", cleaned.agg(
+            F.count("*").alias("a"), F.sum(F.length("text_clean")).alias("b"))))
+        .unionByName(srow("04_quality_kept", kept.agg(
+            F.count("*").alias("a"), F.sum(F.length("text_clean")).alias("b"))))
+        .unionByName(srow("05_substring_cut", fin.agg(
+            F.count("*").alias("a"), F.sum("sub_cut").alias("b"))))
+        .unionByName(srow("06_decontaminated", fin.agg(
+            F.count("*").alias("a"), F.sum("dec_cut").alias("b"))))
+        .unionByName(srow("07_mixture", mixed.agg(
+            F.count("*").alias("a"), F.sum("n_tok_final").alias("b"))))
+        .unionByName(srow("08_packed", packed.agg(
+            F.countDistinct("shard", "bin").alias("a"), F.count("*").alias("b"))))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic training-shard shuffle — md5(id) is both the
 # pseudo-random permutation key and the shard assignment, so the
 # shuffled order is identical on any cluster size (the property a

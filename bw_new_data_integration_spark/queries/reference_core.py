@@ -1000,3 +1000,69 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.variant_get(F.col("v"), "$.tags.src", "string")).alias("max_src"),
         F.sum(F.variant_get(F.col("v"), "$.score", "double")).alias("sum_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation under REAL key skew (VERDICT r6 #9).
+# Fixture: a deterministic geometric (zipf-like) key over lineitem —
+# bucket b holds a 2^-(b+1) share of the corpus, so skew_key=0 owns
+# half of every row (the one-straggler-task shape AQE does not re-split
+# for aggregations). The engine runs operators/aggregate.
+# salted_aggregate (pre-aggregate at (key, salt) grain, combine per
+# key); the ORACLE is the plain one-phase GROUP BY — so a hash match
+# IS the salted-vs-plain equivalence proof, including the exact-decimal
+# discipline surviving the extra combine step. The salt itself is
+# F.rand-based and never observable in the output (the determinism
+# sweep runs this under local[4]/5 and local[16]/64).
+# ---------------------------------------------------------------------------
+@register(
+    "salted_skew_aggregate",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN m >= 512 THEN 0 WHEN m >= 256 THEN 1 WHEN m >= 128 THEN 2
+              WHEN m >= 64 THEN 3 WHEN m >= 32 THEN 4 WHEN m >= 16 THEN 5
+              WHEN m >= 8 THEN 6 WHEN m >= 4 THEN 7 WHEN m >= 2 THEN 8
+              ELSE 9 END AS skew_key,
+         l_quantity, l_extendedprice
+  FROM (SELECT l_orderkey % 1024 AS m, l_quantity, l_extendedprice FROM lineitem)
+)
+SELECT CAST(skew_key AS INT) AS skew_key,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM s GROUP BY 1
+""",
+)
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregate on a zipf-skewed key; oracle is the plain GROUP BY (equivalence gate)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 1024).alias("m"), "l_quantity", "l_extendedprice"
+    )
+    key = (
+        F.when(F.col("m") >= 512, 0).when(F.col("m") >= 256, 1)
+        .when(F.col("m") >= 128, 2).when(F.col("m") >= 64, 3)
+        .when(F.col("m") >= 32, 4).when(F.col("m") >= 16, 5)
+        .when(F.col("m") >= 8, 6).when(F.col("m") >= 4, 7)
+        .when(F.col("m") >= 2, 8).otherwise(9)
+    )
+    skewed = li.select(
+        key.cast("int").alias("skew_key"), "l_quantity", "l_extendedprice"
+    )
+    out = aggregate.salted_aggregate(
+        skewed,
+        ["skew_key"],
+        {
+            "n": (F.count(F.lit(1)), "sum"),
+            "sum_qty": (F.sum(F.col("l_quantity").cast("decimal(27,6)")), "sum"),
+            "min_price": (F.min("l_extendedprice"), "min"),
+            "max_price": (F.max("l_extendedprice"), "max"),
+        },
+    )
+    return out.select(
+        "skew_key",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )

@@ -135,11 +135,59 @@ def write_minimal_xlsx(path: str, header: list, rows: list[list]) -> None:
         z.writestr("xl/worksheets/sheet1.xml", sheet)
 
 
+def xlsx_date_system(path: str) -> int:
+    """The workbook's date epoch: 1900 (default) or 1904 (the Mac
+    system, ``<workbookPr date1904="1"/>`` — a PUBLIC OOXML feature
+    real exports still carry). Date cells store day serials; the same
+    serial means a different calendar date under each system, so any
+    caller coercing Excel serials must ask this first."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        if "xl/workbook.xml" not in z.namelist():
+            return 1900
+        root = ET.fromstring(z.read("xl/workbook.xml"))
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    pr = root.find(f"{ns}workbookPr")
+    if pr is not None and pr.get("date1904", "0").lower() in ("1", "true"):
+        return 1904
+    return 1900
+
+
+def excel_serial_to_date(serial: int | float | str | None, date_system: int = 1900):
+    """Excel day serial -> datetime.date under the workbook's epoch.
+
+    - 1904 system: serial 0 = 1904-01-01 (no leap-bug offset).
+    - 1900 system: serial 1 = 1900-01-01, but serial 60 is the
+      NONEXISTENT 1900-02-29 (the inherited Lotus 1-2-3 bug): serials
+      >= 61 are anchored at 1899-12-30, 1..59 at 1899-12-31, and 60
+      itself returns None (openpyxl raises for it; a null is this
+      engine's dirty-value discipline).
+    Fractional day parts (times) are truncated; None/'' pass through
+    as None."""
+    import datetime
+
+    if serial in (None, ""):
+        return None
+    s = int(float(serial))
+    if date_system == 1904:
+        return datetime.date(1904, 1, 1) + datetime.timedelta(days=s)
+    if s == 60:
+        return None
+    anchor = datetime.date(1899, 12, 30) if s >= 61 else datetime.date(1899, 12, 31)
+    return anchor + datetime.timedelta(days=s)
+
+
 def _read_xlsx_stdlib(path: str, sheet_index: int = 0) -> list[list[str | None]]:
     """Minimal SpreadsheetML reader: zipfile + ElementTree, shared and
-    inline strings, 1900-epoch untouched (cell values come back as the
-    raw stored strings — type coercion is the caller's job, exactly
-    like the CSV path)."""
+    inline strings (including multi-run rich text — every ``<t>`` under
+    an ``<si>``/``<is>`` concatenates), boolean cells surfaced as
+    'TRUE'/'FALSE' (the raw '1'/'0' is indistinguishable from a
+    number), formula cells read by their cached ``<v>``. Date serials
+    come back as the raw stored strings — epoch-aware coercion is the
+    caller's job via :func:`xlsx_date_system` +
+    :func:`excel_serial_to_date`, exactly like the CSV path."""
     import re
     import xml.etree.ElementTree as ET
     import zipfile
@@ -174,6 +222,8 @@ def _read_xlsx_stdlib(path: str, sheet_index: int = 0) -> list[list[str | None]]
                 val = shared[int(v.text)]
             elif typ == "inlineStr" and ist is not None:
                 val = "".join(t.text or "" for t in ist.iter(f"{{{ns['m']}}}t"))
+            elif typ == "b" and v is not None:
+                val = "TRUE" if v.text == "1" else "FALSE"
             else:
                 val = v.text if v is not None else None
             cells[col_index(ref)] = val

@@ -1,0 +1,94 @@
+"""Driver evidence-window rotation policy (VERDICT r6 #7).
+
+The grading driver hash-checks the FIRST 50 registry entries per round;
+tools/update_rotation.py generates that order least-recently-checked-
+first. These tests (no Spark needed) pin the committed order to the
+policy and prove the staleness bound by simulation: with N entries and
+a window of W, every entry re-enters the window within ceil(N/W)
+rounds."""
+
+from __future__ import annotations
+
+import math
+
+WINDOW = 50
+
+
+def _registry_names():
+    from bw_new_data_integration_spark import queries as q
+
+    return list(q.registry())
+
+
+def test_committed_order_is_least_recently_checked_first():
+    """The committed _DRIVER_WINDOW_PRIORITY must equal the policy sort
+    over the repo's CORRECTNESS records — a hand edit that skips the
+    generator (or a generator regression) fails here."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.update_rotation import last_checked_rounds, rotation_order
+
+    from bw_new_data_integration_spark.queries import (
+        _DRIVER_WINDOW_PRIORITY,
+        _WINDOW_CHANGED_THIS_ROUND,
+    )
+
+    names = _registry_names()
+    want = rotation_order(names, last_checked_rounds(), _WINDOW_CHANGED_THIS_ROUND)
+    assert _DRIVER_WINDOW_PRIORITY == want
+    # and the registry's iteration order (what the driver actually
+    # samples) follows the priority list exactly
+    assert names == [n for n in _DRIVER_WINDOW_PRIORITY if n in set(names)]
+
+
+def test_rotation_bounds_staleness():
+    """Simulate the policy forward: each simulated round checks the
+    window and re-sorts. From the REAL current state, every entry must
+    be checked at least once every ceil(N/WINDOW) rounds, forever."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.update_rotation import last_checked_rounds, rotation_order
+
+    names = _registry_names()
+    last = {n: last_checked_rounds().get(n, 0) for n in names}
+    bound = math.ceil(len(names) / WINDOW)
+    start_round = max(last.values()) + 1
+    checked_at: dict[str, list[int]] = {n: [] for n in names}
+    for r in range(start_round, start_round + 4 * bound):
+        order = rotation_order(names, last, set())
+        for n in order[:WINDOW]:
+            last[n] = r
+            checked_at[n].append(r)
+    horizon = start_round + 4 * bound
+    for n in names:
+        rounds = checked_at[n]
+        assert rounds, f"{n} never entered the window"
+        # first check happens within the bound...
+        assert rounds[0] < start_round + bound, (
+            f"{n} first checked at {rounds[0]}, bound {start_round + bound}"
+        )
+        # ...and every gap between consecutive checks stays within it
+        for a, b in zip(rounds, rounds[1:]):
+            assert b - a <= bound, f"{n} gap {b - a} > {bound}"
+        assert horizon - rounds[-1] <= bound
+
+
+def test_new_entries_jump_to_window_front():
+    """A brand-new query (no CORRECTNESS row) and a semantics-changed
+    one must land in the next round's window regardless of history."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.update_rotation import rotation_order
+
+    names = [f"q{i:03d}" for i in range(200)]
+    last = {n: 2 + (i % 4) for i, n in enumerate(names)}
+    names.append("brand_new_gate")  # no last-checked entry
+    order = rotation_order(names, last, {"semantics_moved"})
+    assert order.index("brand_new_gate") < WINDOW
+    names.append("semantics_moved")
+    last["semantics_moved"] = 6  # recently green — but under OLD semantics
+    order = rotation_order(names, last, {"semantics_moved"})
+    assert order.index("semantics_moved") < WINDOW

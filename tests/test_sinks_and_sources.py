@@ -782,6 +782,94 @@ def test_read_excel_stdlib_fallback(spark, tmp_path):
     assert got == [("101", "Mon", "1100", "2300"), ("102", "Tue", "9:30", None)]
 
 
+def _write_xlsx_zip(path, sheet_xml, shared_xml=None, workbook_pr=""):
+    """Hand-built OOXML zip for reader-hardening fixtures (public
+    SpreadsheetML features real exports carry: shared strings, rich
+    text, 1904 date system, booleans, cached formula values)."""
+    import zipfile
+
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"{workbook_pr}"
+            '<sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>',
+        )
+        if shared_xml is not None:
+            z.writestr("xl/sharedStrings.xml", shared_xml)
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<?xml version="1.0"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{sheet_xml}</sheetData></worksheet>",
+        )
+
+
+def test_read_excel_shared_strings_and_rich_text(spark, tmp_path):
+    """S8 hardening (VERDICT r6 #10): real exports use sharedStrings —
+    plain <si><t>, multi-run rich text (<si><r><t>…), and
+    space-preserved runs — plus boolean cells and cached formula
+    values. The stdlib reader must see what openpyxl would."""
+    from bw_new_data_integration_spark.sources import files
+
+    shared = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">'
+        "<si><t>Store</t></si>"
+        # rich text: two runs with formatting stripped, space preserved
+        '<si><r><t xml:space="preserve">Main </t></r><r><t>Street</t></r></si>'
+        "<si><t>Active</t></si>"
+        "</sst>"
+    )
+    sheet = (
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>2</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2" t="b"><v>1</v></c></row>'
+        # formula cell: reader takes the cached <v>, not the formula
+        '<row r="3"><c r="A3"><f>SUM(1,2)</f><v>3</v></c><c r="B3" t="b"><v>0</v></c></row>'
+    )
+    p = str(tmp_path / "shared.xlsx")
+    _write_xlsx_zip(p, sheet, shared_xml=shared)
+    rows = files._read_xlsx_stdlib(p)
+    assert rows == [
+        ["Store", "Active"],
+        ["Main Street", "TRUE"],
+        ["3", "FALSE"],
+    ]
+    df = files.read_excel(spark, p)
+    assert as_sorted_tuples(df) == [("3", "FALSE"), ("Main Street", "TRUE")]
+
+
+def test_read_excel_1904_date_system(tmp_path):
+    """The SAME serial maps to different dates under the two public
+    date epochs; xlsx_date_system must read workbookPr and
+    excel_serial_to_date must honor the 1900 leap-bug anchors."""
+    import datetime
+
+    from bw_new_data_integration_spark.sources import files
+
+    sheet = '<row r="1"><c r="A1"><v>100</v></c></row>'
+    p1900 = str(tmp_path / "w1900.xlsx")
+    p1904 = str(tmp_path / "w1904.xlsx")
+    _write_xlsx_zip(p1900, sheet)
+    _write_xlsx_zip(p1904, sheet, workbook_pr='<workbookPr date1904="1"/>')
+    assert files.xlsx_date_system(p1900) == 1900
+    assert files.xlsx_date_system(p1904) == 1904
+
+    serial = files._read_xlsx_stdlib(p1904)[0][0]
+    assert serial == "100"
+    assert files.excel_serial_to_date(serial, 1904) == datetime.date(1904, 4, 10)
+    assert files.excel_serial_to_date(serial, 1900) == datetime.date(1900, 4, 9)
+    # 1900-system anchors around the phantom leap day
+    assert files.excel_serial_to_date(1, 1900) == datetime.date(1900, 1, 1)
+    assert files.excel_serial_to_date(59, 1900) == datetime.date(1900, 2, 28)
+    assert files.excel_serial_to_date(60, 1900) is None  # 1900-02-29 never existed
+    assert files.excel_serial_to_date(61, 1900) == datetime.date(1900, 3, 1)
+    assert files.excel_serial_to_date(0, 1904) == datetime.date(1904, 1, 1)
+    assert files.excel_serial_to_date(None, 1900) is None
+    assert files.excel_serial_to_date("36892.75", 1900) == datetime.date(2001, 1, 1)
+
+
 def test_partition_scoped_upsert_leaves_untouched_partitions_byte_identical(spark, tmp_path):
     """When partition_by ⊆ key_cols, a merge must only rewrite the
     partitions present in the source; every other partition's files are
