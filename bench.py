@@ -125,6 +125,7 @@ OPTIONAL = [
     "mm_jpeg_color_roundtrip",
     "training_corpus_e2e_extended",
     "salted_skew_aggregate",
+    "heavy_hitters_sketch",
 ]
 
 

@@ -88,3 +88,132 @@ def kmv_jaccard(a: Column, b: Column, k: int = 64) -> Column:
     merged = kmv_merge(F.array(a, b), k)
     both = F.size(F.array_intersect(F.array_intersect(merged, a), b))
     return both.cast("double") / F.size(merged)
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving-style heavy-hitters sketch (Metwally et al. 2005 /
+# Misra-Gries 1982 family) — the frequency twin of KMV above, and the
+# hot-key detector that FEEDS aggregate.salted_aggregate: at 100 TB
+# the question "which keys are hot enough to salt" is itself a query,
+# and a constant-size mergeable summary answers it from stored
+# per-batch sketches without rescanning history.
+#
+# Representation (one row per group):
+#   terms  array<string>   top-k keys, ordered by (count desc, key)
+#   counts array<bigint>   their exact in-batch counts (aligned)
+#   err    bigint          max true count a key ABSENT from the sketch
+#                          can have (the (k+1)-th count of this batch,
+#                          plus accumulated merge truncation)
+#   n_total bigint         total rows summarized
+#
+# A single batch build is an exact truncation (counts exact, err =
+# the first dropped count). MERGE sums matching keys, charges each
+# side's err to keys the other side is missing (the SpaceSaving
+# missing-key upper bound), re-truncates to k, and accumulates err —
+# preserving the family's guarantee: any key with true count >
+# merged err is IN the sketch, and every estimate is within [true,
+# true + err]. All arithmetic is deterministic integer column algebra
+# (explode + groupBy + window) — no UDAF, no RNG — so a SQL oracle
+# replays the whole construction hash-exactly; the probabilistic
+# guarantee is then a theorem about the replayed arithmetic, checked
+# explicitly by the gate's per-term bound flags.
+# ---------------------------------------------------------------------------
+
+
+def topk_sketch_build(
+    df: DataFrame, group_col: str, key_col: str, k: int = 32
+) -> DataFrame:
+    """(group, terms, counts, err, n_total): exact per-group counts,
+    truncated to the top k by (count desc, key asc). One shuffle on
+    (group, key) with map-side combine; the window runs on the
+    group-keyed count table (vocabulary-sized), not the corpus."""
+    counts = df.groupBy(group_col, key_col).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(group_col).orderBy(F.col("c").desc(), F.col(key_col))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") <= k, F.struct(F.col("rn"), F.col(key_col).alias("t")))
+                )
+            ),
+            lambda s: s["t"],
+        ).alias("terms"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") <= k, F.struct(F.col("rn"), F.col("c")))
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("counts"),
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("c"))), F.lit(0)
+        ).cast("bigint").alias("err"),
+        F.sum("c").cast("bigint").alias("n_total"),
+    )
+
+
+def topk_sketch_merge(
+    sketches: DataFrame, group_col: str | None, k: int = 32
+) -> DataFrame:
+    """Merge sketch rows (optionally within ``group_col``; None merges
+    ALL rows into one corpus sketch whose group is '__all__'). Estimate
+    for key t = sum over sketches of (count_i(t) if present else
+    err_i) — the SpaceSaving upper-bound merge — then re-truncate to
+    k; merged err = sum of input errs plus the first truncated
+    estimate. Explode + groupBy over sketch CONTENTS only (k entries
+    per sketch row — never corpus-sized), every step deterministic
+    column algebra."""
+    g = group_col or "__g"
+    base = (
+        sketches if group_col
+        else sketches.withColumn(g, F.lit("__all__"))
+    ).select(g, "terms", "counts", "err", "n_total")
+    if group_col:
+        meta = base.groupBy(g).agg(
+            F.sum("err").alias("base_err"), F.sum("n_total").alias("n_total")
+        )
+        attach = lambda df: df.join(F.broadcast(meta), g)  # noqa: E731
+    else:
+        # global merge: the group key is a CONSTANT, and an equi-join on
+        # a constant folds to BroadcastNestedLoopJoin — use scalar
+        # anchors instead (two bigints cross the driver, the same
+        # bounded round-trip class as the kmv gate's n_total anchor)
+        m = base.agg(F.sum("err").alias("e"), F.sum("n_total").alias("n")).collect()[0]
+        be, nt = int(m["e"] or 0), int(m["n"] or 0)
+        attach = lambda df: df.withColumn(  # noqa: E731
+            "base_err", F.lit(be).cast("bigint")
+        ).withColumn("n_total", F.lit(nt).cast("bigint"))
+    # carry each sketch row's err into its exploded entries, so the
+    # absent-sketch charge is (base_err - sum of errs where present)
+    entries = base.select(
+        g, "err", F.explode(F.arrays_zip("terms", "counts")).alias("e")
+    ).select(g, "err", F.col("e.terms").alias("t"), F.col("e.counts").alias("c"))
+    per_key = entries.groupBy(g, "t").agg(
+        F.sum("c").alias("present"), F.sum("err").alias("present_err")
+    )
+    est = attach(per_key).select(
+        g, "t",
+        (F.col("present") + F.col("base_err") - F.col("present_err")).alias("est"),
+    )
+    w = Window.partitionBy(g).orderBy(F.col("est").desc(), F.col("t"))
+    ranked = est.withColumn("rn", F.row_number().over(w))
+    out = ranked.groupBy(g).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.when(F.col("rn") <= k, F.struct("rn", "t")))),
+            lambda s: s["t"],
+        ).alias("terms"),
+        F.transform(
+            F.array_sort(F.collect_list(F.when(F.col("rn") <= k, F.struct("rn", "est")))),
+            lambda s: s["est"],
+        ).alias("counts"),
+        F.coalesce(F.max(F.when(F.col("rn") == k + 1, F.col("est"))), F.lit(0)).alias("trunc"),
+    )
+    return attach(out).select(
+        F.col(g).alias(group_col or "group"),
+        "terms",
+        F.col("counts").cast("array<bigint>").alias("counts"),
+        (F.col("base_err") + F.col("trunc")).cast("bigint").alias("err"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+    )

@@ -1447,3 +1447,92 @@ def decontamination_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens_kept",
         "n_tokens_cut",
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitters sketch (SpaceSaving/Misra-Gries family,
+# operators/sketch.topk_sketch_*) — the frequency twin of
+# kmv_distinct_sketch, and the hot-key detector that feeds
+# salted_aggregate: per-source constant-size sketches of the token
+# stream merge into a corpus sketch WITHOUT rescanning history. Build
+# and merge are deterministic integer column algebra, so the oracle
+# replays the entire construction (per-source exact top-k + err, the
+# upper-bound merge, re-truncation) hash-exactly, and the family's
+# guarantee — true <= est <= true + err for every reported key — is
+# checked explicitly per term against exact corpus counts on BOTH
+# engines.
+# ---------------------------------------------------------------------------
+@register(
+    "heavy_hitters_sketch",
+    oracle=r"""
+WITH toks AS (
+  SELECT source,
+         lower(unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''))) AS t
+  FROM documents
+),
+c AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+r AS (
+  SELECT source, t, c,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, t) AS rn
+  FROM c
+),
+sk AS (SELECT source, t, c FROM r WHERE rn <= 32),
+errs AS (
+  SELECT source, CAST(COALESCE(MAX(CASE WHEN rn = 33 THEN c END), 0) AS BIGINT) AS err
+  FROM r GROUP BY source
+),
+base AS (SELECT CAST(SUM(err) AS BIGINT) AS base_err FROM errs),
+per_key AS (
+  SELECT s.t, SUM(s.c) AS present, SUM(e.err) AS present_err
+  FROM sk s JOIN errs e USING (source) GROUP BY s.t
+),
+est AS (
+  SELECT t, present + (SELECT base_err FROM base) - present_err AS est
+  FROM per_key
+),
+ranked AS (
+  SELECT t, est, ROW_NUMBER() OVER (ORDER BY est DESC, t) AS rn FROM est
+),
+trunc AS (SELECT CAST(COALESCE(MAX(CASE WHEN rn = 33 THEN est END), 0) AS BIGINT) AS v FROM ranked),
+merged_err AS (SELECT (SELECT base_err FROM base) + (SELECT v FROM trunc) AS e),
+truth AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS tc FROM toks GROUP BY t)
+SELECT m.t AS term,
+       CAST(m.est AS BIGINT) AS est,
+       tr.tc AS true_count,
+       CAST((SELECT e FROM merged_err) AS BIGINT) AS err,
+       (tr.tc <= m.est AND m.est <= tr.tc + (SELECT e FROM merged_err)) AS within_bound
+FROM ranked m JOIN truth tr USING (t)
+WHERE m.rn <= 32
+""",
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable SpaceSaving heavy-hitters: per-source token sketches merged
+    to a corpus sketch; every estimate bound-checked against exact counts."""
+    from bw_new_data_integration_spark.operators.sketch import (
+        topk_sketch_build,
+        topk_sketch_merge,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(text.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    per_source = topk_sketch_build(toks, "source", "t", k=32)
+    merged = topk_sketch_merge(per_source, None, k=32)
+    entries = merged.select(
+        "err", F.explode(F.arrays_zip("terms", "counts")).alias("e")
+    ).select(
+        F.col("e.terms").alias("term"),
+        F.col("e.counts").cast("bigint").alias("est"),
+        F.col("err").cast("bigint").alias("err"),
+    )
+    truth = toks.groupBy(F.col("t").alias("term")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    return entries.join(truth, "term").select(
+        "term", "est", "true_count", "err",
+        (
+            (F.col("true_count") <= F.col("est"))
+            & (F.col("est") <= F.col("true_count") + F.col("err"))
+        ).alias("within_bound"),
+    )

@@ -1645,6 +1645,52 @@ def test_bloom_bit_positions_deterministic_and_in_range(spark):
     assert all(0 <= x < m for r in a for x in r["p"])
 
 
+def test_topk_sketch_build_merge_guarantees(spark):
+    """SpaceSaving-family invariants: a single-batch sketch is an exact
+    truncation; the merge keeps every estimate within [true, true+err];
+    NO key with true count > merged err can be absent; and a merge with
+    k >= vocabulary is exactly the global count table."""
+    from bw_new_data_integration_spark.operators.sketch import (
+        topk_sketch_build,
+        topk_sketch_merge,
+    )
+
+    # two batches with overlapping, skewed vocabularies
+    rows = (
+        [Row(b="b1", t="hot")] * 50 + [Row(b="b1", t="warm")] * 20
+        + [Row(b="b1", t=f"rare{i}") for i in range(10)]
+        + [Row(b="b2", t="hot")] * 30 + [Row(b="b2", t="tepid")] * 25
+        + [Row(b="b2", t=f"rare{i}") for i in range(5, 15)]
+    )
+    df = spark.createDataFrame(rows)
+
+    # exact when k covers the vocabulary
+    full = topk_sketch_merge(topk_sketch_build(df, "b", "t", k=100), None, k=100)
+    r = full.collect()[0]
+    assert r["err"] == 0 and r["n_total"] == len(rows)
+    got = dict(zip(r["terms"], r["counts"]))
+    true = {x["t"]: x["n"] for x in df.groupBy("t").agg(F.count("*").alias("n")).collect()}
+    assert got == true
+
+    # tight k: bounds hold and no hot key is missing
+    k = 3
+    merged = topk_sketch_merge(topk_sketch_build(df, "b", "t", k=k), None, k=k)
+    m = merged.collect()[0]
+    assert len(m["terms"]) == k
+    for t, est in zip(m["terms"], m["counts"]):
+        assert true[t] <= est <= true[t] + m["err"], (t, est, true[t], m["err"])
+    for t, c in true.items():
+        if c > m["err"]:
+            assert t in m["terms"], f"hot key {t} (count {c} > err {m['err']}) missing"
+
+    # per-batch build is an exact truncation with err = (k+1)-th count
+    b1 = {s["b"]: s for s in topk_sketch_build(df, "b", "t", k=2).collect()}
+    assert list(b1["b1"]["terms"]) == ["hot", "warm"]
+    assert list(b1["b1"]["counts"]) == [50, 20]
+    assert b1["b1"]["err"] == 1  # first dropped rare term
+    assert b1["b1"]["n_total"] == 80
+
+
 def test_spread_rebalances_lopsided_union(spark):
     """The sf1 footgun VERDICT r6 #6: a union of 1 fat scan partition +
     N near-empty ones passes a partition-COUNT check but serializes the
