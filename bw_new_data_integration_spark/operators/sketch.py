@@ -217,3 +217,27 @@ def topk_sketch_merge(
         (F.col("base_err") + F.col("trunc")).cast("bigint").alias("err"),
         F.col("n_total").cast("bigint").alias("n_total"),
     )
+
+
+def hot_keys(sketch_df: DataFrame, min_share: float = 0.05) -> DataFrame:
+    """Salting advisor on top of a (merged) heavy-hitters sketch: the
+    keys whose estimated frequency share exceeds ``min_share`` — the
+    inputs a pipeline feeds to ``aggregate.salted_aggregate`` (or to
+    AQE skew hints) WITHOUT scanning the corpus again. Because the
+    sketch's estimates are upper bounds (est ∈ [true, true+err]), this
+    list can over-report but never misses a genuinely hot key whose
+    share exceeds ``min_share + err/n_total``. Pure expressions over
+    the sketch row(s)."""
+    e = F.explode(F.arrays_zip("terms", "counts")).alias("e")
+    cols = [c for c in sketch_df.columns if c not in ("terms", "counts")]
+    return (
+        sketch_df.select(*cols, e)
+        .select(
+            *cols,
+            F.col("e.terms").alias("key"),
+            F.col("e.counts").cast("bigint").alias("est"),
+        )
+        .withColumn("share_ub", F.col("est").cast("double") / F.col("n_total"))
+        .where(F.col("share_ub") >= F.lit(float(min_share)))
+        .drop("err")
+    )
