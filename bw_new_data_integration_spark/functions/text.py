@@ -214,8 +214,9 @@ def fix_mojibake(c: Column) -> Column:
     folded to their C1 bytes with ``translate``, then
     ``decode(encode(s, ISO-8859-1), UTF-8)`` — applied only when
     (a) the text shows a mojibake marker character — any UTF-8
-    lead byte read as Latin-1, i.e. U+00C2–U+00EF (``Ã``, ``â``,
-    ``å``/``æ`` for CJK, …) — a cheap prefilter, since (b) every character
+    lead byte read as Latin-1/cp1252, i.e. U+00C2–U+00F4 (``Ã``, ``â``,
+    ``å``/``æ`` for CJK, ``ð`` for emoji/astral 4-byte sequences) — a
+    cheap prefilter, since (b) every character
     is Latin-1/cp1252-representable (Spark 4's ``encode`` throws
     MALFORMED_CHARACTER_CODING on unmappable chars — e.g. a stray
     emoji or CJK char next to an ``Ã`` marker — and this conjunct must
@@ -228,6 +229,6 @@ def fix_mojibake(c: Column) -> Column:
     b = F.encode(folded, "ISO-8859-1")
     representable = ~c.rlike("[^\\x00-\\xff" + CP1252_SPECIALS + "]")
     return F.when(
-        c.rlike("[Â-ï]") & representable & F.is_valid_utf8(b),
+        c.rlike("[Â-ô]") & representable & F.is_valid_utf8(b),
         F.decode(b, "UTF-8"),
     ).otherwise(c)

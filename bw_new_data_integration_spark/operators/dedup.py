@@ -38,7 +38,17 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     join of sources) is rebalanced too — one hash shuffle, amortized by
     the heavy per-row work downstream, and it pre-aligns the per-doc
     groupBy that follows. Single-scan inputs with enough partitions
-    (the common at-scale path) pass through shuffle-free."""
+    (the common at-scale path) pass through shuffle-free.
+
+    Deliberate tradeoff: leaf count is a proxy, not a skew
+    measurement, so an already-balanced multi-source input (e.g. a
+    corpus broadcast-joined to a tiny dim) pays the rebalance shuffle
+    it didn't strictly need. Measuring actual partition sizes would
+    cost a full pass over the data before the real work; for the
+    digest-heavy callers here the id-hash shuffle is cheap relative
+    and doubles as the downstream groupBy's pre-partitioning, while a
+    missed lopsided input serializes the whole stage — the asymmetry
+    favors over-shuffling."""
     target_parts = df.sparkSession.sparkContext.defaultParallelism
     multi_leaf = df._jdf.queryExecution().logical().collectLeaves().size() > 1
     if multi_leaf or df.rdd.getNumPartitions() < target_parts:

@@ -179,7 +179,13 @@ def topk_sketch_merge(
         # global merge: the group key is a CONSTANT, and an equi-join on
         # a constant folds to BroadcastNestedLoopJoin — use scalar
         # anchors instead (two bigints cross the driver, the same
-        # bounded round-trip class as the kmv gate's n_total anchor)
+        # bounded round-trip class as the kmv gate's n_total anchor).
+        # Materialize the sketch rows first: the anchor collect would
+        # otherwise execute the upstream build (corpus scan + shuffle +
+        # window) once for the anchors and AGAIN when the merged frame
+        # is consumed (review r7 finding). Sketch rows are k entries
+        # per input row — never corpus-sized — so the checkpoint is tiny.
+        base = base.localCheckpoint(eager=True)
         m = base.agg(F.sum("err").alias("e"), F.sum("n_total").alias("n")).collect()[0]
         be, nt = int(m["e"] or 0), int(m["n"] or 0)
         attach = lambda df: df.withColumn(  # noqa: E731

@@ -164,16 +164,20 @@ def excel_serial_to_date(serial: int | float | str | None, date_system: int = 19
       >= 61 are anchored at 1899-12-30, 1..59 at 1899-12-31, and 60
       itself returns None (openpyxl raises for it; a null is this
       engine's dirty-value discipline).
-    Fractional day parts (times) are truncated; None/'' pass through
-    as None."""
+    Out-of-domain serials — negative under either system, or 0 under
+    1900 (Excel renders it as the fake "1/0/1900") — are dirty values
+    and return None too. Fractional day parts (times) are truncated;
+    None/'' pass through as None."""
     import datetime
 
     if serial in (None, ""):
         return None
     s = int(float(serial))
     if date_system == 1904:
+        if s < 0:
+            return None
         return datetime.date(1904, 1, 1) + datetime.timedelta(days=s)
-    if s == 60:
+    if s <= 0 or s == 60:
         return None
     anchor = datetime.date(1899, 12, 30) if s >= 61 else datetime.date(1899, 12, 31)
     return anchor + datetime.timedelta(days=s)

@@ -206,15 +206,27 @@ def _rel_partition_values(rel_path: str) -> dict[str, str | None]:
 def _partition_may_match(pv: str | None, op: str, v) -> bool:
     """Directory-level pruning on a hive path value. All supported ops
     are null-rejecting, so the default-partition (null) dir never
-    matches. The comparison domain follows the PREDICATE LITERAL's
-    type (the caller's declared domain), not whether the path value
-    happens to parse: a numeric literal compares numerically, a string
-    literal compares as strings — matching Spark's semantics when the
-    partition column is inferred as string (pv='2' vs ('>', '10') is
-    lexicographic there; comparing 2.0 > 10.0 would silently drop the
-    file). A numeric literal against a non-parsing path value keeps
-    the file (pruning must never drop rows the residual filter would
-    keep). ISO dates order correctly as strings."""
+    matches.
+
+    The comparison domain must be safe under EITHER of Spark's
+    partition-column type inferences (the pruner cannot see which one
+    the reader will pick):
+
+    - NUMERIC literal: compare numerically. Safe in both worlds —
+      a numeric-inferred column compares numerically, and a
+      string-inferred column against a numeric literal is promoted to
+      a numeric comparison by Spark anyway. Unparseable path value →
+      keep (the residual filter decides).
+    - STRING literal: keep the file if the LEXICOGRAPHIC comparison
+      matches (string-inferred column semantics — pv='2' vs ('>',
+      '10')) OR, when both sides parse, the NUMERIC comparison matches
+      (all-numeric directories make Spark infer the column numeric and
+      cast the string literal — pv='2' vs ('>', '2') must not lose
+      c=10). Pruning only when both interpretations agree there is no
+      match can under-prune, never drop rows.
+    - BOOLEAN literal: hive spells path values lowercase.
+
+    ISO dates order correctly as strings."""
     if pv is None:
         return False
 
@@ -224,40 +236,37 @@ def _partition_may_match(pv: str | None, op: str, v) -> bool:
         except (TypeError, ValueError):
             return None
 
-    def cmp_domain(a, b):
+    def cmp(a, b, op):
+        if op == "=":
+            return a == b
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == ">":
+            return a > b
+        if op == ">=":
+            return a >= b
+        return True
+
+    def may(pv, op, b) -> bool:
         if isinstance(b, bool):
-            # hive paths spell booleans lowercase; Python spells True
-            return str(a).lower(), str(b).lower()
+            return cmp(str(pv).lower(), str(b).lower(), op)
         if isinstance(b, (int, float)):
-            na = num(a)
-            if na is not None:
-                return na, float(b)
-            return None, None  # unparseable pv vs numeric literal: keep
-        return str(a), str(b)
+            na = num(pv)
+            return True if na is None else cmp(na, float(b), op)
+        # string literal: match under either inference
+        lex = cmp(str(pv), str(b), op)
+        na, nb = num(pv), num(b)
+        numeric = cmp(na, nb, op) if na is not None and nb is not None else False
+        return lex or numeric
 
     if op == "in":
-        return any(_partition_may_match(pv, "=", x) for x in v)
+        return any(may(pv, "=", x) for x in v)
     if op == "between":
         lo, hi = v
-        a, b = cmp_domain(pv, lo)
-        c, d = cmp_domain(pv, hi)
-        if a is None or c is None:
-            return True
-        return a >= b and c <= d
-    a, b = cmp_domain(pv, v)
-    if a is None:
-        return True
-    if op == "=":
-        return a == b
-    if op == "<":
-        return a < b
-    if op == "<=":
-        return a <= b
-    if op == ">":
-        return a > b
-    if op == ">=":
-        return a >= b
-    return True
+        return may(pv, ">=", lo) and may(pv, "<=", hi)
+    return may(pv, op, v)
 
 
 def _file_may_match(entry: dict, predicates) -> bool:

@@ -1931,6 +1931,7 @@ def test_fix_mojibake_repairs_and_protects(spark):
         ("Ã marker 🙂 emoji", "Ã marker 🙂 emoji"),    # unmappable char: no crash, untouched
         ("Ã 日本語テキスト", "Ã 日本語テキスト"),        # CJK next to marker: untouched
         ("å¤§å­¦ æ—¥æœ¬", "大学 日本"),                  # CJK mojibake (valid UTF-8 bytes): repaired
+        ("I love ðŸ™‚", "I love 🙂"),                   # 4-byte emoji mojibake (review r7): repaired
     ]
     df = spark.createDataFrame([(s,) for s, _ in cases], ["s"])
     got = [r["f"] for r in df.select(fix_mojibake(F.col("s")).alias("f")).collect()]

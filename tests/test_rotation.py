@@ -10,8 +10,15 @@ rounds."""
 from __future__ import annotations
 
 import math
+import os
+import sys
 
 WINDOW = 50
+# tools/ is a repo-root namespace package, not installed — resolve the
+# root from this file so the tests run from any checkout location
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def _registry_names():
@@ -24,9 +31,6 @@ def test_committed_order_is_least_recently_checked_first():
     """The committed _DRIVER_WINDOW_PRIORITY must equal the policy sort
     over the repo's CORRECTNESS records — a hand edit that skips the
     generator (or a generator regression) fails here."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from tools.update_rotation import last_checked_rounds, rotation_order
 
     from bw_new_data_integration_spark.queries import (
@@ -46,13 +50,11 @@ def test_rotation_bounds_staleness():
     """Simulate the policy forward: each simulated round checks the
     window and re-sorts. From the REAL current state, every entry must
     be checked at least once every ceil(N/WINDOW) rounds, forever."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from tools.update_rotation import last_checked_rounds, rotation_order
 
     names = _registry_names()
-    last = {n: last_checked_rounds().get(n, 0) for n in names}
+    last_all = last_checked_rounds()
+    last = {n: last_all.get(n, 0) for n in names}
     bound = math.ceil(len(names) / WINDOW)
     start_round = max(last.values()) + 1
     checked_at: dict[str, list[int]] = {n: [] for n in names}
@@ -78,9 +80,6 @@ def test_rotation_bounds_staleness():
 def test_new_entries_jump_to_window_front():
     """A brand-new query (no CORRECTNESS row) and a semantics-changed
     one must land in the next round's window regardless of history."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from tools.update_rotation import rotation_order
 
     names = [f"q{i:03d}" for i in range(200)]

@@ -868,6 +868,10 @@ def test_read_excel_1904_date_system(tmp_path):
     assert files.excel_serial_to_date(0, 1904) == datetime.date(1904, 1, 1)
     assert files.excel_serial_to_date(None, 1900) is None
     assert files.excel_serial_to_date("36892.75", 1900) == datetime.date(2001, 1, 1)
+    # out-of-domain serials are dirty values, not plausible 1899 dates
+    assert files.excel_serial_to_date(0, 1900) is None  # Excel's fake "1/0/1900"
+    assert files.excel_serial_to_date(-5, 1900) is None
+    assert files.excel_serial_to_date(-1, 1904) is None
 
 
 def test_partition_scoped_upsert_leaves_untouched_partitions_byte_identical(spark, tmp_path):
@@ -2014,11 +2018,17 @@ def test_partition_pruning_follows_literal_domain(spark, tmp_path):
         _partition_may_match,
     )
 
-    # string literal ⇒ string domain: '2' > '10' lexicographically
+    # string literal ⇒ lexicographic match keeps: '2' > '10'
     assert _partition_may_match("2", ">", "10") is True
     assert _partition_may_match("abc", ">", "10") is True
     assert _partition_may_match("05", "<", "10") is True
-    # numeric literal ⇒ numeric domain: 2 < 10 prunes
+    # string literal on ALL-NUMERIC dirs: Spark may infer the column
+    # numeric and cast the literal — the numeric interpretation must
+    # also keep ('10' > '2' is lex-False but 10 > 2, so keep)
+    assert _partition_may_match("10", ">", "2") is True
+    # prune only when BOTH interpretations agree there is no match
+    assert _partition_may_match("10", "<", "0") is False
+    # numeric literal ⇒ numeric domain (safe under both inferences)
     assert _partition_may_match("2", ">", 10) is False
     assert _partition_may_match("2", "<=", 10) is True
     # unparseable pv vs numeric literal: keep (residual filter decides)
@@ -2036,6 +2046,18 @@ def test_partition_pruning_follows_literal_domain(spark, tmp_path):
     assert sorted(r["c"] for r in got.collect()) == sorted(
         r["c"] for r in want.collect()
     ) == ["2", "abc"]
+
+    # End-to-end: ALL-NUMERIC dirs (Spark infers the partition column
+    # numeric) with a STRING predicate literal — the review-found case
+    # where lexicographic-only pruning silently dropped c=10
+    rows2 = [Row(c=c, k=i, x=float(i)) for i, c in enumerate(["2", "10"])]
+    t2 = ParquetKeyedTable(str(tmp_path / "t2"), ["c", "k"], partition_by=["c"])
+    t2.overwrite(spark.createDataFrame(rows2).coalesce(1))
+    got2 = t2.read_where(spark, [("c", ">", "2")])
+    want2 = t2.read(spark).where(F.col("c") > "2")
+    assert sorted(str(r["c"]) for r in got2.collect()) == sorted(
+        str(r["c"]) for r in want2.collect()
+    )
 
 
 def test_read_where_stats_carry_forward_on_partition_scoped_upsert(spark, tmp_path):

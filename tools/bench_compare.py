@@ -59,10 +59,13 @@ def main() -> None:
     if core:
         c = [q for q in core if q in old and q in new]
         co, cn = sum(old[q] for q in c), sum(new[q] for q in c)
-        print(
-            f"common_core ({len(c)}/{len(core)} frozen): old={co:.1f}s  "
-            f"new={cn:.1f}s  ratio={cn / co:.2f}"
-        )
+        if c and co > 0:
+            print(
+                f"common_core ({len(c)}/{len(core)} frozen): old={co:.1f}s  "
+                f"new={cn:.1f}s  ratio={cn / co:.2f}"
+            )
+        else:
+            print(f"common_core: no shared entries between the records ({len(core)} frozen)")
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
     if only_old:

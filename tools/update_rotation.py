@@ -38,8 +38,20 @@ BEGIN_CHANGED = "    # --- BEGIN GENERATED CHANGED SET ---"
 END_CHANGED = "    # --- END GENERATED CHANGED SET ---"
 
 
+def _row_is_green(rec) -> bool:
+    """A driver row counts as 'checked' only when it PASSED: a red row
+    means the query has no valid evidence under current semantics and
+    must rotate to the FRONT of the window, not the back."""
+    if not isinstance(rec, dict):
+        return False
+    if rec.get("err") is not None:
+        return False
+    # hash_match may be absent for rows-only (non-SQL-expressible) gates
+    return all(rec.get(k) is not False for k in ("rows_match", "schema_match", "hash_match"))
+
+
 def last_checked_rounds(repo: str = REPO) -> dict[str, int]:
-    """query name -> latest round with a driver CORRECTNESS row."""
+    """query name -> latest round with a GREEN driver CORRECTNESS row."""
     last: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)\.json$", os.path.basename(p))
@@ -51,8 +63,9 @@ def last_checked_rounds(repo: str = REPO) -> dict[str, int]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        for name in rows:
-            last[name] = max(n, last.get(name, 0))
+        for name, rec in rows.items():
+            if _row_is_green(rec):
+                last[name] = max(n, last.get(name, 0))
     return last
 
 
