@@ -126,6 +126,7 @@ OPTIONAL = [
     "training_corpus_e2e_extended",
     "salted_skew_aggregate",
     "heavy_hitters_sketch",
+    "streaming_heavy_hitters",
 ]
 
 

@@ -545,3 +545,64 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (streaming/topk.py): SpaceSaving summaries as
+# stream state, bucketed so buckets PARTITION the key space. The gate
+# runs with capacity >= any bucket's distinct keys, where SpaceSaving
+# provably degrades to exact counting (err stays 0) — so the streaming
+# output hash-compares against a plain GROUP BY, pinning the stateful
+# plumbing (bucketing, state round-trip, batch fold) value-exactly.
+# The eviction path's guarantee is pytest-pinned on an over-capacity
+# stream (tests/test_sinks_and_sources.py).
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_heavy_hitters",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS est,
+       CAST(CAST(('0x' || substring(md5(event_type), 1, 8)) AS UBIGINT) AS BIGINT) % 4 AS bucket,
+       CAST(0 AS BIGINT) AS err
+FROM events GROUP BY event_type
+""",
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SpaceSaving top-k: bucketed stateful summaries, exact at gate capacity."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from bw_new_data_integration_spark.streaming import stream as st
+    from bw_new_data_integration_spark.streaming.topk import stream_heavy_hitters
+
+    tune_for_oracle_parity(spark)
+    staging = tempfile.mkdtemp(prefix="bw_stream_hh_")
+    shutil.copy(_os.path.join(sf_dir, "events.parquet"), staging)
+    events = st.read_event_stream(spark, staging)
+    hh = stream_heavy_hitters(events, "event_type", capacity=16, n_buckets=4)
+    name = "stream_hh_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            hh.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table(name)
+    return out.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "err",
+        F.explode(F.arrays_zip("terms", "counts")).alias("e"),
+    ).select(
+        F.col("e.terms").alias("event_type"),
+        F.col("e.counts").cast("bigint").alias("est"),
+        "bucket",
+        F.col("err").cast("bigint").alias("err"),
+    )

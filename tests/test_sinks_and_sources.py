@@ -1722,6 +1722,90 @@ def test_table_lifecycle_key_failure_raises():
         lc.provision(_daily_sales_spec())
 
 
+def test_streaming_heavy_hitters_eviction_guarantees(spark, tmp_path):
+    """The SpaceSaving EVICTION path (capacity < distinct keys), across
+    a state-store restart: two waves of events through the same
+    checkpoint, capacity 4 per bucket vs ~20 distinct keys. Invariants:
+    per bucket, n_total is exact; every reported estimate lies in
+    [true, true+err]; and NO key with true count > err is absent —
+    the family's guarantee, which must survive folding wave 2 into
+    wave 1's restored state."""
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    from bw_new_data_integration_spark.streaming.topk import stream_heavy_hitters
+
+    def bucket_of(k: str, n: int = 2) -> int:
+        import hashlib
+
+        return int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % n
+
+    # zipf-ish key stream: k0 dominates, long tail of rares
+    wave1 = [f"k{min(i % 40, i % 7)}" for i in range(400)]
+    wave2 = [f"k{i % 23}" for i in range(300)]
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_wave(name, keys):
+        pdf = __import__("pandas").DataFrame(
+            {"user_id": range(len(keys)), "ts": range(len(keys)), "value": 1.0,
+             "event_type": keys, "event_id": range(len(keys))}
+        )
+        pdf.to_parquet(src / name)
+
+    def run_wave(qname):
+        schema = T.StructType(
+            [T.StructField("user_id", T.LongType()), T.StructField("ts", T.LongType()),
+             T.StructField("value", T.DoubleType()),
+             T.StructField("event_type", T.StringType()),
+             T.StructField("event_id", T.LongType())]
+        )
+        ev = spark.readStream.schema(schema).parquet(str(src))
+        hh = stream_heavy_hitters(ev, "event_type", capacity=4, n_buckets=2)
+        collected: list = []
+
+        # foreachBatch (unlike the memory sink) supports checkpoint
+        # RECOVERY — the restart is the point of this test
+        q = (
+            hh.writeStream.foreachBatch(
+                lambda df, _eid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        # update mode may emit once per micro-batch; keep the LAST
+        # emission per bucket (largest n_total)
+        best = {}
+        for r in collected:
+            if r["bucket"] not in best or r["n_total"] > best[r["bucket"]]["n_total"]:
+                best[r["bucket"]] = r
+        return best
+
+    import pytest as _pytest
+
+    pd = _pytest.importorskip("pandas")  # noqa: F841  (always present here)
+    write_wave("w1.parquet", wave1)
+    run_wave("hh_wave1")
+    write_wave("w2.parquet", wave2)
+    summaries = run_wave("hh_wave2")
+
+    true = Counter(wave1) + Counter(wave2)
+    for b, r in summaries.items():
+        bucket_true = {k: c for k, c in true.items() if bucket_of(k) == b}
+        assert r["n_total"] == sum(bucket_true.values())  # exact across restart
+        assert len(r["terms"]) <= 4
+        for t, est in zip(r["terms"], r["counts"]):
+            assert bucket_true[t] <= est <= bucket_true[t] + r["err"], (
+                b, t, est, bucket_true[t], r["err"]
+            )
+        for k, c in bucket_true.items():
+            if c > r["err"]:
+                assert k in r["terms"], (b, k, c, r["err"])
+
+
 def test_manifest_and_history_track_commits(spark, tmp_path):
     """Every commit writes a _manifest.json (Delta's DESCRIBE HISTORY
     analogue): operation name, file counts, and — for partition-scoped
