@@ -29,17 +29,25 @@ def _registry_names():
 
 def test_committed_order_is_least_recently_checked_first():
     """The committed _DRIVER_WINDOW_PRIORITY must equal the policy sort
-    over the repo's CORRECTNESS records — a hand edit that skips the
-    generator (or a generator regression) fails here."""
+    over the CORRECTNESS records that existed when it was generated — a
+    hand edit that skips the generator (or a generator regression) fails
+    here. Records newer than the generation stamp are excluded: the
+    round's OWN record is delivered after the builder's last commit, so
+    without the cap this test would open every round red (ADVICE r7 #1)."""
     from tools.update_rotation import last_checked_rounds, rotation_order
 
     from bw_new_data_integration_spark.queries import (
         _DRIVER_WINDOW_PRIORITY,
         _WINDOW_CHANGED_THIS_ROUND,
+        _WINDOW_GENERATED_THROUGH_ROUND,
     )
 
     names = _registry_names()
-    want = rotation_order(names, last_checked_rounds(), _WINDOW_CHANGED_THIS_ROUND)
+    want = rotation_order(
+        names,
+        last_checked_rounds(through_round=_WINDOW_GENERATED_THROUGH_ROUND),
+        _WINDOW_CHANGED_THIS_ROUND,
+    )
     assert _DRIVER_WINDOW_PRIORITY == want
     # and the registry's iteration order (what the driver actually
     # samples) follows the priority list exactly

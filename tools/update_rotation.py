@@ -36,6 +36,8 @@ BEGIN_ORDER = "    # --- BEGIN GENERATED WINDOW ORDER (tools/update_rotation.py)
 END_ORDER = "    # --- END GENERATED WINDOW ORDER ---"
 BEGIN_CHANGED = "    # --- BEGIN GENERATED CHANGED SET ---"
 END_CHANGED = "    # --- END GENERATED CHANGED SET ---"
+BEGIN_STAMP = "    # --- BEGIN GENERATED ROUND STAMP ---"
+END_STAMP = "    # --- END GENERATED ROUND STAMP ---"
 
 
 def _row_is_green(rec) -> bool:
@@ -50,14 +52,26 @@ def _row_is_green(rec) -> bool:
     return all(rec.get(k) is not False for k in ("rows_match", "schema_match", "hash_match"))
 
 
-def last_checked_rounds(repo: str = REPO) -> dict[str, int]:
-    """query name -> latest round with a GREEN driver CORRECTNESS row."""
+def last_checked_rounds(
+    repo: str = REPO, through_round: int | None = None
+) -> dict[str, int]:
+    """query name -> latest round with a GREEN driver CORRECTNESS row.
+
+    ``through_round`` caps which records count: rounds newer than the cap
+    are ignored. The committed window order is stamped with the round it
+    was generated over (``_WINDOW_GENERATED_THROUGH_ROUND``), so the
+    pinning test passes that stamp here — a CORRECTNESS record delivered
+    AFTER the builder's last commit (the round's own record, by
+    construction) cannot invalidate the committed order (ADVICE r7 #1).
+    """
     last: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)\.json$", os.path.basename(p))
         if not m:
             continue
         n = int(m.group(1))
+        if through_round is not None and n > through_round:
+            continue
         try:
             with open(p) as fh:
                 rows = json.load(fh)
@@ -101,7 +115,14 @@ def main() -> None:
     from bw_new_data_integration_spark import queries as q
 
     names = list(q.registry())
-    last = last_checked_rounds()
+    # stamp = newest record present NOW; the order is generated over
+    # records through this round, and the pinning test caps at it
+    gen_round = 0
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", os.path.basename(p))
+        if m:
+            gen_round = max(gen_round, int(m.group(1)))
+    last = last_checked_rounds(through_round=gen_round)
     changed = set(args.changed)
     unknown = changed - set(names)
     if unknown:
@@ -120,6 +141,7 @@ def main() -> None:
     src = open(INIT).read()
     src = _splice(src, BEGIN_ORDER, END_ORDER, body)
     src = _splice(src, BEGIN_CHANGED, END_CHANGED, changed_body)
+    src = _splice(src, BEGIN_STAMP, END_STAMP, f"    {gen_round}\n")
     tmp = INIT + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(src)
