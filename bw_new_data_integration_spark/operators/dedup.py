@@ -19,6 +19,10 @@ Hashes are md5-hex-based so a SQL oracle reproduces them bit-for-bit
 
 from __future__ import annotations
 
+import contextlib
+import io
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,12 +52,40 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     digest-heavy callers here the id-hash shuffle is cheap relative
     and doubles as the downstream groupBy's pre-partitioning, while a
     missed lopsided input serializes the whole stage — the asymmetry
-    favors over-shuffling."""
+    favors over-shuffling.
+
+    Leaf counting uses only the public surface (``df.explain()``
+    output; VERDICT r7 #4 — the previous private-py4j queryExecution
+    probe breaks under Spark Connect and on any py4j surface change).
+    An unrecognized plan format counts zero leaves and falls back to
+    REBALANCE — the safe side of the asymmetry above."""
     target_parts = df.sparkSession.sparkContext.defaultParallelism
-    multi_leaf = df._jdf.queryExecution().logical().collectLeaves().size() > 1
-    if multi_leaf or df.rdd.getNumPartitions() < target_parts:
+    if _leaf_count(df) != 1 or df.rdd.getNumPartitions() < target_parts:
         return df.repartition(target_parts, F.col(id_col))
     return df
+
+
+# physical-plan leaf markers, as printed by df.explain(): file scans
+# (DSv1 FileScan / DSv2 BatchScan), in-memory relations, range sources.
+# "Range \(" (capital, space-paren) cannot match "rangepartitioning".
+_LEAF_RE = re.compile(
+    r"\b(?:FileScan|BatchScan|LocalTableScan|InMemoryTableScan"
+    r"|Scan ExistingRDD|Scan OneRowRelation|Range \()"
+)
+
+
+def _leaf_count(df: DataFrame) -> int:
+    """Number of leaf scans in df's physical plan, from the public
+    ``explain`` output (works on classic and Connect sessions). Returns
+    0 when no known leaf marker is found (unknown source or future plan
+    format) — callers must treat 0 as 'cannot prove single-leaf'."""
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="simple")
+    except Exception:
+        return 0
+    return len(_LEAF_RE.findall(buf.getvalue()))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
