@@ -219,16 +219,23 @@ def fix_mojibake(c: Column) -> Column:
     cheap prefilter, since (b) every character
     is Latin-1/cp1252-representable (Spark 4's ``encode`` throws
     MALFORMED_CHARACTER_CODING on unmappable chars — e.g. a stray
-    emoji or CJK char next to an ``Ã`` marker — and this conjunct must
-    come first because ``And`` evaluates left-to-right), and (c) the
+    emoji or CJK char next to an ``Ã`` marker), and (c) the
     folded byte reading is valid UTF-8 (``is_valid_utf8`` guards the
     equally-throwing ``decode``). Genuinely accented text fails (c) —
     a lone 0xE9 byte is not valid UTF-8 — so it passes through
-    untouched."""
+    untouched.
+
+    The throwing expressions sit in NESTED ``when`` branches, not
+    conjuncts (ADVICE r7 #3): CaseWhen evaluates only the taken
+    branch, a documented guarantee, whereas ``And``'s left-to-right
+    short-circuit is an implementation detail a future optimizer rule
+    could reorder or speculate."""
     folded = F.translate(c, CP1252_SPECIALS, CP1252_C1)
     b = F.encode(folded, "ISO-8859-1")
     representable = ~c.rlike("[^\\x00-\\xff" + CP1252_SPECIALS + "]")
     return F.when(
-        c.rlike("[Â-ô]") & representable & F.is_valid_utf8(b),
-        F.decode(b, "UTF-8"),
+        c.rlike("[Â-ô]") & representable,
+        # encode/is_valid_utf8/decode are reachable ONLY on rows proven
+        # representable by the outer branch
+        F.when(F.is_valid_utf8(b), F.decode(b, "UTF-8")).otherwise(c),
     ).otherwise(c)

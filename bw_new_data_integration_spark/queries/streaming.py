@@ -579,8 +579,37 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_oracle_parity(spark)
     staging = tempfile.mkdtemp(prefix="bw_stream_hh_")
     shutil.copy(_os.path.join(sf_dir, "events.parquet"), staging)
+
+    # the oracle's err=0 is only valid while capacity covers every
+    # bucket's distinct-key count (exact-counting regime). Verify that
+    # precondition explicitly so a fixture-vocabulary change fails with
+    # a clear capacity error, not an opaque hash mismatch (ADVICE r7 #4)
+    capacity, n_buckets = 16, 4
+    vocab = (
+        spark.read.parquet(staging)
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("event_type").cast("string")), 1, 8), 16, 10
+                ).cast("bigint")
+                % n_buckets
+            ).alias("bucket"),
+            "event_type",
+        )
+        .groupBy("bucket")
+        .agg(F.countDistinct("event_type").alias("n_keys"))
+        .agg(F.max("n_keys").alias("m"))
+        .collect()[0]["m"]
+    )
+    if vocab is not None and vocab > capacity:
+        raise ValueError(
+            f"streaming_heavy_hitters gate precondition violated: a bucket has "
+            f"{vocab} distinct keys > capacity {capacity}; the err=0 oracle only "
+            f"holds in the exact-counting regime — raise capacity or n_buckets"
+        )
+
     events = st.read_event_stream(spark, staging)
-    hh = stream_heavy_hitters(events, "event_type", capacity=16, n_buckets=4)
+    hh = stream_heavy_hitters(events, "event_type", capacity=capacity, n_buckets=n_buckets)
     name = "stream_hh_" + uuid.uuid4().hex[:8]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
