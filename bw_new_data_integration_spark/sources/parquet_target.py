@@ -378,6 +378,7 @@ class ParquetKeyedTable:
         key_cols: Sequence[str],
         partition_by: Sequence[str] = (),
         stats_cols: Sequence[str] = (),
+        cluster: str | None = None,
     ) -> None:
         """``stats_cols``: columns whose per-FILE min/max/null-count are
         captured in each commit manifest (from parquet footers —
@@ -385,11 +386,38 @@ class ParquetKeyedTable:
         data skipping, Delta/Iceberg style. Opt-in: stats collection
         costs one footer read per newly-written file per commit; files
         carried forward by partition-scoped merges inherit their stats
-        from the previous manifest without re-reading anything."""
+        from the previous manifest without re-reading anything.
+
+        ``cluster``: data layout for tables WITHOUT directory
+        partitioning. ``"range"`` (the default when ``partition_by`` is
+        empty) writes every snapshot ``repartitionByRange`` on the
+        business key + sorted within files, so each data file covers a
+        key range recorded in the manifest (footer min/max — the range
+        bounds). That layout is what lets :meth:`upsert` run
+        RANGE-SCOPED merges (VERDICT r7 #2): only files whose key range
+        intersects the source batch are read and rewritten; the rest
+        are carried forward as hard links — the key-layout analogue of
+        the partition-scoped merge, so a full-table merge shuffles
+        O(touched), not O(history). ``"none"`` restores unclustered
+        writes."""
         self.path = path
         self.key_cols = list(key_cols)
         self.partition_by = list(partition_by)
         self.stats_cols = list(stats_cols)
+        if cluster is None:
+            cluster = "none" if self.partition_by else "range"
+        if cluster not in ("range", "none"):
+            raise ValueError(f"cluster must be 'range' or 'none', got {cluster!r}")
+        if cluster == "range" and self.partition_by:
+            raise ValueError(
+                "cluster='range' requires an unpartitioned table — directory "
+                "partitions already scope merges; pick one layout"
+            )
+        self.cluster = cluster
+        if cluster == "range":
+            # key-range bounds per file come from the same footer-stats
+            # machinery read_where prunes with — key cols always tracked
+            self.stats_cols = list(dict.fromkeys([*self.key_cols, *self.stats_cols]))
 
     # -- snapshot bookkeeping ------------------------------------------------
 
@@ -504,9 +532,103 @@ class ParquetKeyedTable:
         df = df.where(residual)
         return (df, report) if with_report else df
 
-    def _write_snapshot(self, df: DataFrame) -> int:
+    #: Clustered-write sizing: input bytes per write task. Tuned on
+    #: local[32] across sf0.1/sf1/sf10 (see docs/SCALING.md r8): write
+    #: wall is minimized well below the 64 MB scan-side default because
+    #: the per-task cost of the dedup hash table + parquet string encode
+    #: grows super-linearly past ~1M rows/task.
+    WRITE_TASK_INPUT_BYTES = 8 << 20
+    #: Floor: never leave cores idle while tasks would still carry at
+    #: least this much input — a 533k-row batch written as ONE task
+    #: measured 1.6× slower than 16-22 tasks at sf0.1.
+    WRITE_TASK_MIN_INPUT_BYTES = 512 << 10
+    #: Cap on clustered-write partition count, as a multiple of
+    #: defaultParallelism — bounds file count per commit on any box.
+    WRITE_PARTITION_CAP_X = 8
+
+    def _n_write_partitions(
+        self, source: DataFrame, base_bytes: int | None = None
+    ) -> int:
+        """Partition count for a range-clustered write: bytes-driven
+        (``base_bytes`` — the table bytes this write actually rewrites;
+        defaults to the manifest total — plus the source's input-file
+        bytes via public ``inputFiles()``, an upstream upper bound),
+        clamped to [1, cap×parallelism]. A fixed 64 MB AQE coalesce
+        target left 1.7M-row write tasks at sf10 whose cost grew
+        super-linearly (measured ~2× wall); sizing by INPUT bytes
+        tracks row count, which is what the encode cost follows."""
+        est = 0
+        if base_bytes is not None:
+            est += base_bytes
+        else:
+            m = self.manifest()
+            if m:
+                est += int(m.get("total_bytes") or 0)
+        try:
+            for uri in set(source.inputFiles()):
+                p = uri[7:] if uri.startswith("file://") else uri
+                try:
+                    est += os.path.getsize(p)
+                except OSError:
+                    pass
+        except Exception:  # non-file-backed plans: parallelism floor below
+            pass
+        par = source.sparkSession.sparkContext.defaultParallelism
+        if est <= 0:
+            return par
+        by_bytes = math.ceil(est / self.WRITE_TASK_INPUT_BYTES)
+        floor = min(par, math.ceil(est / self.WRITE_TASK_MIN_INPUT_BYTES))
+        return max(floor, min(by_bytes, self.WRITE_PARTITION_CAP_X * par))
+
+    def _pin(self, df: DataFrame):
+        """Materialize a CALLER-SUPPLIED frame at most once for a range
+        write: ``repartitionByRange`` runs a separate sampling job over
+        its child, so an unpinned side-effectful source plan (an
+        XMLA/OData fetch) would execute twice — observed as doubled
+        SOAP POSTs in the runner wire-test. Returns ``(df, release)``;
+        the sampling job itself populates the cache, so the write still
+        reads the source exactly once (no extra pass — the main job
+        reads cached columnar batches). Engine-internal frames built on
+        the table's own parquet files are re-executable and are NOT
+        pinned (re-scan beats caching table-sized data). No-op for
+        unclustered tables and already-persisted inputs."""
+        lvl = df.storageLevel
+        if self.cluster != "range" or lvl.useMemory or lvl.useDisk:
+            return df, lambda: None
+        from pyspark import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        return cached, lambda: cached.unpersist(False)
+
+    def _clustered(
+        self, df: DataFrame, n: int | None = None, base_bytes: int | None = None
+    ) -> DataFrame:
+        """Range-partition ``df`` by the business key (the exchange the
+        key-range layout is built from). Sorting within partitions is
+        applied at write time, after any key-aggregation — a hash
+        aggregate would destroy the order, never the partitioning."""
+        n = self._n_write_partitions(df, base_bytes) if n is None else n
+        return df.repartitionByRange(n, *[F.col(c) for c in self.key_cols])
+
+    def _write_snapshot(
+        self, df: DataFrame, layout: str = "cluster", base_bytes: int | None = None
+    ) -> int:
+        """``layout``: ``"cluster"`` applies the table's range layout
+        (exchange + in-partition key sort); ``"pre_clustered"`` trusts
+        the caller's RangePartitioning(key) (e.g. carried through a
+        dedup aggregate, which preserves partitioning but not order)
+        and adds only the sort; ``"preserve"`` writes the frame's own
+        layout verbatim (compact's ZORDER path must not be re-sorted
+        by key)."""
         from pyspark.sql import Observation
 
+        if self.cluster == "range" and layout != "preserve":
+            # every snapshot of a range table keeps the invariant: files
+            # are key-ranged and key-sorted, so footer min/max stay the
+            # table's range bounds
+            if layout != "pre_clustered":
+                df = self._clustered(df, base_bytes=base_bytes)
+            df = df.sortWithinPartitions(*self.key_cols)
         new_v = self.current_version() + 1
         # row count rides the write job itself (observe(), no second
         # scan) and lands in the commit manifest — the per-commit
@@ -578,6 +700,11 @@ class ParquetKeyedTable:
             "timestamp": time.time(),
             "key_cols": self.key_cols,
             "partition_by": self.partition_by,
+            # layout contract: "range" snapshots are repartitionByRange
+            # on key_cols + key-sorted within files, and every file's
+            # key bounds live in its stats entry — what range-scoped
+            # merges and key-predicate pruning rely on
+            "cluster": self.cluster,
             "n_files": len(files),
             "n_linked": sum(1 for f in files if f["linked"]),
             "total_bytes": sum(f["bytes"] for f in files),
@@ -610,8 +737,10 @@ class ParquetKeyedTable:
                 out.append(m)
         return out
 
-    def _commit(self, df: DataFrame, operation: str = "commit") -> int:
-        return self._flip(self._write_snapshot(df), operation)
+    def _commit(
+        self, df: DataFrame, operation: str = "commit", layout: str = "cluster"
+    ) -> int:
+        return self._flip(self._write_snapshot(df, layout), operation)
 
     def analyze(
         self, cols: Sequence[str] | None = None, version: int | None = None
@@ -943,8 +1072,12 @@ class ParquetKeyedTable:
     # -- operations ----------------------------------------------------------
 
     def overwrite(self, df: DataFrame) -> int:
-        with self._write_lock():
-            return self._commit(df, "overwrite")
+        df, release = self._pin(df)
+        try:
+            with self._write_lock():
+                return self._commit(df, "overwrite")
+        finally:
+            release()
 
     def upsert(
         self,
@@ -972,6 +1105,26 @@ class ParquetKeyedTable:
         rewritten; all other partitions are carried forward untouched
         (hard links — byte-identical). A trailing-window incremental
         sync therefore costs O(window), not O(history)."""
+        # pin BEFORE any wrapping: the range write's sampling job and
+        # the scoped-merge probe must not re-execute a side-effectful
+        # source plan (an XMLA/OData fetch posts exactly once)
+        source, release = self._pin(source)
+        try:
+            return self._upsert_pinned(
+                spark, source, order_by=order_by,
+                evolve_schema=evolve_schema, strict=strict,
+            )
+        finally:
+            release()
+
+    def _upsert_pinned(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        order_by: Sequence[str] | None,
+        evolve_schema: bool,
+        strict: bool,
+    ) -> int:
         if order_by:
             source = dedupe_latest(source, self.key_cols, order_by, desc=True)
         elif strict:
@@ -997,19 +1150,41 @@ class ParquetKeyedTable:
                 .where(F.assert_true(F.col("__key_n") <= 1, msg).isNull())
                 .drop("__key_n")
             )
-        else:
+        plain_dedup = not order_by and not strict
+        if plain_dedup and not (self.cluster == "range"):
             source = source.dropDuplicates(self.key_cols)
         with self._write_lock():
             try:
                 target = self.read(spark)
                 if target is None:
+                    if self.cluster == "range":
+                        # initial load: the range exchange doubles as the
+                        # dedup's clustering (RangePartitioning satisfies
+                        # the aggregate's ClusteredDistribution — no
+                        # second exchange), so the clustered layout costs
+                        # no extra shuffle over the old dropDuplicates
+                        src = self._clustered(source)
+                        if plain_dedup:
+                            src = src.dropDuplicates(self.key_cols)
+                        return self._commit(src, "upsert", layout="pre_clustered")
                     return self._commit(source, "upsert")
+                if plain_dedup and self.cluster == "range":
+                    # merge paths re-shuffle on the key anyway; dedupe
+                    # plainly and let the write re-cluster the union
+                    source = source.dropDuplicates(self.key_cols)
                 if (
                     self.partition_by
                     and set(self.partition_by) <= set(self.key_cols)
                     and set(source.columns) == set(target.columns)
                 ):
                     return self._partition_scoped_upsert(target, source)
+                if (
+                    self.cluster == "range"
+                    and len(self.key_cols) == 1
+                    and not evolve_schema
+                    and set(source.columns) == set(target.columns)
+                ):
+                    return self._range_scoped_upsert(spark, source)
                 merged = merge_upsert(
                     target, source, self.key_cols, evolve_schema=evolve_schema
                 )
@@ -1112,12 +1287,143 @@ class ParquetKeyedTable:
         self._link_untouched_partitions(old_v, new_v)
         return self._flip(new_v, "partition_upsert")
 
-    def delete_keys(self, spark: SparkSession, keys_df: DataFrame) -> int:
-        with self._write_lock():
+    #: Below this many data files a range-scoped merge can't beat the
+    #: full merge (the probe pass over the source costs more than the
+    #: handful of file rewrites it would save).
+    MIN_SCOPED_FILES = 4
+
+    def _range_scoped_upsert(self, spark: SparkSession, source: DataFrame) -> int:
+        """Key-range-scoped MERGE over a range-clustered table (VERDICT
+        r7 #2): the key-layout analogue of the partition-scoped merge.
+
+        Each data file of a range table covers a key interval recorded
+        in the manifest (parquet footer min/max of the key — true
+        bounds, kept only when exact; see ``_stat_tag``). A file whose
+        interval contains NO source key cannot match any source row, so
+        carrying it forward unchanged (hard link) is exactly equivalent
+        to running it through the anti-join — the same argument as the
+        partition-scoped path, with footer ranges instead of directory
+        values. Only intersecting files are read, merged, and
+        rewritten; commit cost is O(touched + batch), not O(history).
+
+        The touched set is computed distributed and EXACTLY — per
+        Arrow batch, the source keys are sorted once and each file
+        interval is tested with two binary searches (O(F log B) per
+        batch, so overlapping intervals from historic commits are
+        handled, not assumed away); the driver receives at most one row
+        per (partition, file) before the distinct. Files without usable
+        key bounds (pre-stats versions, >1 KiB string keys) are
+        conservatively always merged."""
+        m = self.manifest()
+        key = self.key_cols[0]
+        files = (m or {}).get("files", [])
+        if len(files) < self.MIN_SCOPED_FILES:
             target = self.read(spark)
-            if target is None:
-                return self.current_version()
-            return self._commit(delete_matching(target, keys_df, self.key_cols), "delete")
+            merged = merge_upsert(target, source, self.key_cols)
+            return self._commit(merged, "upsert")
+        ranged: list[tuple] = []
+        always: list[str] = []  # no usable bounds -> must join the merge
+        for f in files:
+            st = (f.get("stats") or {}).get(key)
+            if st and st.get("min") is not None and st.get("max") is not None:
+                tag = st.get("t") or "str"
+                ranged.append(
+                    (_stat_decode(tag, st["min"]), _stat_decode(tag, st["max"]), f["path"])
+                )
+            else:
+                always.append(f["path"])
+        touched_idx = self._probe_touched_ranges(source, key, ranged)
+        touched = [ranged[i][2] for i in sorted(touched_idx)] + always
+        old_v = self.current_version()
+        snap = self._snapshot_dir(old_v)
+        if not touched:
+            # pure insert batch (keys outside every file's range)
+            if source.isEmpty():
+                return old_v
+            merged = source
+        else:
+            tgt = spark.read.option("basePath", snap).parquet(
+                *(os.path.join(snap, p) for p in touched)
+            )
+            merged = merge_upsert(tgt, source, self.key_cols)
+        # size the rewrite by the bytes actually rewritten (touched
+        # files + batch), not the whole table — a small batch against a
+        # huge table must not fan the merged frame out to the cap
+        touched_set = set(touched)
+        touched_bytes = sum(f["bytes"] for f in files if f["path"] in touched_set)
+        new_v = self._write_snapshot(merged, base_bytes=touched_bytes)
+        self._link_files(old_v, new_v, {f["path"] for f in files} - touched_set)
+        return self._flip(new_v, "range_upsert")
+
+    @staticmethod
+    def _probe_touched_ranges(
+        source: DataFrame, key: str, ranged: Sequence[tuple]
+    ) -> set[int]:
+        """Indices of ``ranged`` ``(min, max, path)`` intervals that
+        contain at least one non-null source key. Exact for ANY
+        interval structure (overlaps included). One Arrow-batched pass
+        over the source; driver traffic bounded by the file count."""
+        if not ranged:
+            return set()
+        mins = [r[0] for r in ranged]
+        maxs = [r[1] for r in ranged]
+        n_files = len(ranged)
+
+        def probe(batches):
+            import numpy as np
+            import pandas as pd
+
+            mn = np.array(mins, dtype=object)
+            mx = np.array(maxs, dtype=object)
+            seen: set[int] = set()
+            for pdf in batches:
+                ks = pdf[key].dropna()
+                if ks.empty:
+                    continue
+                try:
+                    k = np.sort(ks.to_numpy(dtype=object))
+                    lo = np.searchsorted(k, mn, side="left")
+                    hi = np.searchsorted(k, mx, side="right")
+                    seen.update(int(i) for i in np.nonzero(hi > lo)[0])
+                except TypeError:
+                    # incomparable domains: never skip on a guess
+                    seen.update(range(n_files))
+                if len(seen) == n_files:
+                    break
+            yield pd.DataFrame({"fid": sorted(seen)}, dtype="int32")
+
+        hit = (
+            source.select(key)
+            .mapInPandas(probe, schema="fid int")
+            .distinct()
+            .collect()
+        )
+        return {r["fid"] for r in hit}
+
+    def _link_files(self, old_v: int, new_v: int, rel_paths) -> None:
+        """Carry the given data files forward into the new snapshot as
+        hard links (byte-identical, same inode — the manifest marks
+        them ``linked`` and reuses their stats without a footer read).
+        Freshly written part files carry a per-job UUID, so names never
+        collide with linked ones."""
+        old_dir, new_dir = self._snapshot_dir(old_v), self._snapshot_dir(new_v)
+        for rel in rel_paths:
+            dst = os.path.join(new_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(os.path.join(old_dir, rel), dst)
+
+    def delete_keys(self, spark: SparkSession, keys_df: DataFrame) -> int:
+        keys_df, release = self._pin(keys_df)
+        try:
+            with self._write_lock():
+                target = self.read(spark)
+                if target is None:
+                    return self.current_version()
+                return self._commit(
+                    delete_matching(target, keys_df, self.key_cols), "delete"
+                )
+        finally:
+            release()
 
     def changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
@@ -1282,8 +1588,14 @@ class ParquetKeyedTable:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-        else:
-            compacted = target.repartition(n, *self.key_cols).sortWithinPartitions(
-                *self.key_cols
-            )
+            # the Morton layout IS the point — never re-sort it by key
+            return self._commit(compacted, "compact", layout="preserve")
+        if self.cluster == "range":
+            # compaction re-establishes the range invariant at the
+            # requested file size (n from on-disk bytes, not input est)
+            compacted = self._clustered(target, n)
+            return self._commit(compacted, "compact", layout="pre_clustered")
+        compacted = target.repartition(n, *self.key_cols).sortWithinPartitions(
+            *self.key_cols
+        )
         return self._commit(compacted, "compact")
