@@ -459,15 +459,51 @@ def main() -> None:
             ).count()
         )
 
+    def _skew_advised_sample() -> float:
+        # the advisor-driven hybrid plan (VERDICT r7 #6). Per-batch
+        # sketches are INGEST-time artifacts (maintained as batches
+        # land, like dedup_incremental_lsh's bucket index) — their
+        # one-off build is reported as skew_sketch_build, not charged
+        # to every query. The timed path is what a query actually pays:
+        # merge the stored sketches, hot_keys advises the salted set,
+        # hot keys take the two-phase aggregate, the tail the plain one.
+        from bw_new_data_integration_spark.operators import sketch as sk_ops
+
+        batched = skewed.withColumn("b", F.spark_partition_id() % 4)
+        t0 = time.time()
+        stored = sk_ops.topk_sketch_build(batched, "b", "k", k=32).localCheckpoint(
+            eager=True
+        )
+        per_query.setdefault("skew_sketch_build", round(time.time() - t0, 3))
+
+        def run():
+            merged = sk_ops.topk_sketch_merge(stored, None, k=32)
+            hot = [r["key"] for r in sk_ops.hot_keys(merged, min_share=0.2).collect()]
+            return agg_ops.salted_aggregate(
+                skewed,
+                ["k"],
+                {
+                    "s": (F.sum(F.col("l_quantity").cast("decimal(27,6)")), "sum"),
+                    "n": (F.count(F.lit(1)), "sum"),
+                },
+                hot_only=F.col("k").isin(hot),
+            ).count()
+
+        return _timed_cold(run)
+
     if wanted("skew_agg_plain"):
         per_query["skew_agg_plain"] = round(_skew_plain_sample(), 3)
         reprobe_fns["skew_agg_plain"] = _skew_plain_sample
     if wanted("skew_agg_salted"):
         per_query["skew_agg_salted"] = round(_skew_salted_sample(), 3)
         reprobe_fns["skew_agg_salted"] = _skew_salted_sample
-    if wanted("skew_agg_plain") or wanted("skew_agg_salted"):
+    if wanted("skew_agg_advised"):
+        per_query["skew_agg_advised"] = round(_skew_advised_sample(), 3)
+        reprobe_fns["skew_agg_advised"] = _skew_advised_sample
+    if wanted("skew_agg_plain") or wanted("skew_agg_salted") or wanted("skew_agg_advised"):
         print(f"# skew_agg plain={per_query.get('skew_agg_plain')}s "
-              f"salted={per_query.get('skew_agg_salted')}s", file=sys.stderr)
+              f"salted={per_query.get('skew_agg_salted')}s "
+              f"advised={per_query.get('skew_agg_advised')}s", file=sys.stderr)
 
     # XMLA backfill: 39 fiscal-period slices (the reference's
     # backfill_sales_channel_by_period.sh scenario) with a simulated

@@ -113,6 +113,7 @@ def salted_aggregate(
     dims: Sequence[str],
     measures: dict[str, tuple[Column, str]],
     salt_buckets: int = 32,
+    hot_only: Column | None = None,
 ) -> DataFrame:
     """Two-phase aggregation for skewed grouping keys.
 
@@ -127,8 +128,17 @@ def salted_aggregate(
     aggregates belong here (sum/count/min/max — count combines by sum).
     AQE's skew handling covers joins; this covers aggregation, which
     AQE does not re-split.
+
+    ``hot_only`` (boolean Column, e.g. ``F.col(dim).isin(advised)``
+    from the ``sketch.hot_keys`` advisor): salt ONLY rows where it
+    holds; the long tail keeps salt 0, so its phase-1 grain — and the
+    phase-2 combine input — stays one row per key. One pass either
+    way; this is the advisor-driven hybrid plan as a single aggregate.
     """
-    salted = df.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    salt = (F.rand(seed=7) * salt_buckets).cast("int")
+    if hot_only is not None:
+        salt = F.when(hot_only, salt).otherwise(F.lit(0))
+    salted = df.withColumn("__salt", salt)
     phase1 = salted.groupBy(*dims, "__salt").agg(
         *[expr.alias(name) for name, (expr, _comb) in measures.items()]
     )

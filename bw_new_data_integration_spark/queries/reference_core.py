@@ -1066,3 +1066,100 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_price").cast("double").alias("min_price"),
         F.col("max_price").cast("double").alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch → advisor → salted plan, end-to-end (VERDICT r7 #6). The r7
+# round gated the pieces separately (heavy_hitters_sketch pins the
+# sketch, salted_skew_aggregate pins salted == plain); this gate runs
+# the full production composition as ONE query: per-batch SpaceSaving
+# sketches over the skewed key, merged corpus-wide, hot_keys advises
+# which keys exceed a 20% share (bounded driver traffic: ≤ k advised
+# rows plus the merge's two scalar anchors), and the aggregation plan
+# is then HYBRID — advised-hot keys go through the salted two-phase
+# aggregate, the long tail through the plain one-phase GROUP BY, and
+# the two unions into one result. The DuckDB oracle recomputes both
+# the aggregate AND the advised flag from first principles (true
+# per-key share vs the threshold) — the sketch's k=32 covers all 10
+# keys of the fixture, so its estimates are exact and the advisor must
+# agree with the true shares bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "skew_advisor_salted_e2e",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN m >= 512 THEN 0 WHEN m >= 256 THEN 1 WHEN m >= 128 THEN 2
+              WHEN m >= 64 THEN 3 WHEN m >= 32 THEN 4 WHEN m >= 16 THEN 5
+              WHEN m >= 8 THEN 6 WHEN m >= 4 THEN 7 WHEN m >= 2 THEN 8
+              ELSE 9 END AS skew_key,
+         l_quantity, l_extendedprice
+  FROM (SELECT l_orderkey % 1024 AS m, l_quantity, l_extendedprice FROM lineitem)
+),
+agg AS (
+  SELECT skew_key,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(27,6))) AS sum_qty,
+         MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price
+  FROM s GROUP BY 1
+)
+SELECT CAST(skew_key AS INT) AS skew_key,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum_qty AS DOUBLE) AS sum_qty,
+       CAST(min_price AS DOUBLE) AS min_price,
+       CAST(max_price AS DOUBLE) AS max_price,
+       CAST(n AS DOUBLE) / (SELECT SUM(n) FROM agg) >= 0.2 AS advised
+FROM agg
+""",
+)
+def skew_advisor_salted_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch → hot_keys advisor → hybrid salted/plain aggregate in one plan; oracle recomputes values AND the advised flag."""
+    from bw_new_data_integration_spark.operators import sketch
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 1024).alias("m"),
+        (F.col("l_linenumber") % 4).alias("batch"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    key = (
+        F.when(F.col("m") >= 512, 0).when(F.col("m") >= 256, 1)
+        .when(F.col("m") >= 128, 2).when(F.col("m") >= 64, 3)
+        .when(F.col("m") >= 32, 4).when(F.col("m") >= 16, 5)
+        .when(F.col("m") >= 8, 6).when(F.col("m") >= 4, 7)
+        .when(F.col("m") >= 2, 8).otherwise(9)
+    )
+    skewed = li.select(
+        key.cast("int").alias("skew_key"),
+        "batch",
+        "l_quantity",
+        "l_extendedprice",
+    ).localCheckpoint(eager=True)  # reused: sketch pass + both agg branches
+
+    # advisor: per-batch sketches (k covers the whole key domain, so
+    # estimates are exact), merged corpus-wide, thresholded at 20%
+    per_batch = sketch.topk_sketch_build(skewed, "batch", "skew_key", k=32)
+    merged = sketch.topk_sketch_merge(per_batch, None, k=32)
+    advised = sketch.hot_keys(merged, min_share=0.2)
+    hot_set = sorted(int(r["key"]) for r in advised.collect())  # ≤ k rows
+
+    measures = {
+        "n": (F.count(F.lit(1)), "sum"),
+        "sum_qty": (F.sum(F.col("l_quantity").cast("decimal(27,6)")), "sum"),
+        "min_price": (F.min("l_extendedprice"), "min"),
+        "max_price": (F.max("l_extendedprice"), "max"),
+    }
+    # ONE pass: advised keys are salted, the tail keeps salt 0 — the
+    # hybrid plan is a single two-phase aggregate, not two branch scans
+    out = aggregate.salted_aggregate(
+        skewed, ["skew_key"], measures,
+        hot_only=F.col("skew_key").isin(hot_set),
+    )
+    return out.select(
+        "skew_key",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+        F.col("skew_key").isin(hot_set).alias("advised"),
+    )
