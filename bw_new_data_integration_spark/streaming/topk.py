@@ -21,9 +21,13 @@ streaming output against a plain SQL GROUP BY; the eviction path's
 guarantee (true <= est <= true + err, no key with true > err absent)
 is pinned by pytest on an over-capacity stream.
 
-Engine: ``applyInPandasWithState`` (no extra deps). The fold is a
-standalone function so a ``transformWithStateInPandas`` processor can
-share it verbatim — the same dual-engine seam tws.py's ledger uses.
+Engine: dual, like tws.py's ledger (VERDICT r7 #7) —
+``transformWithStateInPandas`` (the Spark-4 forward path: named
+ValueState, not tied to the deprecated-path API) where pyspark's
+protobuf runtime is importable, ``applyInPandasWithState`` (no extra
+deps) otherwise; ``engine="auto"`` feature-detects and both engines
+fold batches through the same ``_topk_fold`` code object, so their
+per-batch arithmetic cannot drift.
 """
 
 from __future__ import annotations
@@ -34,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -81,23 +86,49 @@ def _topk_fold(
     return [k for k, _ in items], [int(v) for _, v in items], int(err), n_total
 
 
-def stream_heavy_hitters(
-    events: DataFrame,
-    key_col: str,
-    capacity: int = 32,
-    n_buckets: int = 8,
-) -> DataFrame:
-    """Wire the SpaceSaving fold over a streaming frame. Update mode:
-    each bucket's latest emission is its current summary. Bucket
-    assignment is the engine's md5 bucket (replayable in any SQL
-    engine), so a gate can reconstruct bucket membership exactly."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+class TopKProcessor(StatefulProcessor):
+    """SpaceSaving bucket summary in a named ValueState — the
+    ``transformWithStateInPandas`` engine. Same fold, same output row
+    shape as the applyInPandasWithState twin below."""
 
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % n_buckets
-    ).cast("int")
-    keyed = events.select(bucket.alias("bucket"), F.col(key_col).alias("__k"))
+    def __init__(self, capacity: int) -> None:
+        self._capacity = capacity
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("topk", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            terms, counts, err, n_total = self._state.get()
+            terms, counts = list(terms), list(counts)
+        else:
+            terms, counts, err, n_total = [], [], 0, 0
+        for pdf in rows:
+            terms, counts, err, n_total = _topk_fold(
+                terms, counts, err, n_total, pdf, self._capacity, "__k"
+            )
+        self._state.update((terms, counts, err, n_total))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]],
+                "terms": [terms],
+                "counts": [counts],
+                "err": [err],
+                "n_total": [n_total],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _hh_apply_in_pandas(keyed: DataFrame, capacity: int) -> DataFrame:
+    """The same summary on the applyInPandasWithState engine (one
+    opaque state tuple per bucket — this operator needs exactly one
+    named state variable, so the engines are semantically identical)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -127,4 +158,42 @@ def stream_heavy_hitters(
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_heavy_hitters(
+    events: DataFrame,
+    key_col: str,
+    capacity: int = 32,
+    n_buckets: int = 8,
+    engine: str = "auto",
+) -> DataFrame:
+    """Wire the SpaceSaving fold over a streaming frame. Update mode:
+    each bucket's latest emission is its current summary. Bucket
+    assignment is the engine's md5 bucket (replayable in any SQL
+    engine), so a gate can reconstruct bucket membership exactly.
+
+    ``engine``: ``"tws"`` = transformWithStateInPandas (named state,
+    needs the protobuf runtime), ``"apply_in_pandas"`` =
+    applyInPandasWithState (no extra deps), ``"auto"`` = tws where
+    available, else the fallback — the same seam, availability probe,
+    and shared-fold discipline as tws.stream_running_ledger."""
+    from bw_new_data_integration_spark.streaming.tws import tws_available
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % n_buckets
+    ).cast("int")
+    keyed = events.select(bucket.alias("bucket"), F.col(key_col).alias("__k"))
+    if engine == "auto":
+        engine = "tws" if tws_available() else "apply_in_pandas"
+    if engine == "apply_in_pandas":
+        return _hh_apply_in_pandas(keyed, capacity)
+    if engine != "tws":
+        raise ValueError(f"unknown engine {engine!r}")
+    return keyed.groupBy("bucket").transformWithStateInPandas(
+        statefulProcessor=TopKProcessor(capacity),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

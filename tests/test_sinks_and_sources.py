@@ -1808,14 +1808,26 @@ def test_table_lifecycle_key_failure_raises():
         lc.provision(_daily_sales_spec())
 
 
-def test_streaming_heavy_hitters_eviction_guarantees(spark, tmp_path):
+def _hh_engines():
+    from bw_new_data_integration_spark.streaming.tws import tws_available
+
+    engines = ["apply_in_pandas"]
+    if tws_available():
+        engines.append("tws")  # protobuf runtime present: exercise both
+    return engines
+
+
+@pytest.mark.parametrize("engine", _hh_engines())
+def test_streaming_heavy_hitters_eviction_guarantees(spark, tmp_path, engine):
     """The SpaceSaving EVICTION path (capacity < distinct keys), across
     a state-store restart: two waves of events through the same
     checkpoint, capacity 4 per bucket vs ~20 distinct keys. Invariants:
     per bucket, n_total is exact; every reported estimate lies in
     [true, true+err]; and NO key with true count > err is absent —
     the family's guarantee, which must survive folding wave 2 into
-    wave 1's restored state."""
+    wave 1's restored state. Parametrized over the dual engines
+    (VERDICT r7 #7): both fold through the same _topk_fold, and the
+    tws engine additionally runs wherever protobuf is importable."""
     from collections import Counter
 
     from pyspark.sql import types as T
@@ -1849,7 +1861,7 @@ def test_streaming_heavy_hitters_eviction_guarantees(spark, tmp_path):
              T.StructField("event_id", T.LongType())]
         )
         ev = spark.readStream.schema(schema).parquet(str(src))
-        hh = stream_heavy_hitters(ev, "event_type", capacity=4, n_buckets=2)
+        hh = stream_heavy_hitters(ev, "event_type", capacity=4, n_buckets=2, engine=engine)
         collected: list = []
 
         # foreachBatch (unlike the memory sink) supports checkpoint
@@ -1971,6 +1983,16 @@ def test_running_ledger_engine_contract():
     assert tws_available() in (True, False)
     with pytest.raises(ValueError, match="unknown engine"):
         stream_running_ledger(None, engine="bogus")
+
+
+def test_heavy_hitters_engine_contract(spark):
+    """The heavy-hitters operator exposes the same dual-engine seam as
+    the ledger: unknown names fail loud before any stream starts."""
+    from bw_new_data_integration_spark.streaming.topk import stream_heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "event_type string")
+    with pytest.raises(ValueError, match="unknown engine"):
+        stream_heavy_hitters(df, "event_type", engine="bogus")
 
 
 def test_watermark_lateness_matrix_repair_vs_drop(spark, tmp_path):
