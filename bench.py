@@ -127,6 +127,10 @@ OPTIONAL = [
     "salted_skew_aggregate",
     "heavy_hitters_sketch",
     "streaming_heavy_hitters",
+    "streaming_sessionize",
+    "streaming_windowed_counts",
+    "streaming_dedup",
+    "skew_advisor_salted_e2e",
 ]
 
 
@@ -691,6 +695,29 @@ def main() -> None:
         },
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar_name)
+    if only and os.path.exists(sidecar):
+        # targeted probe (--only): MERGE into the existing record —
+        # a partial run must never clobber the full sweep's sidecar
+        # (r8: three upsert-only probes silently reduced BENCH_SF1.json
+        # from 102 metrics to 1). Per-query values and exclusions are
+        # upserted; untouched entries and the fuller run's wall totals
+        # are kept; merged partial_only accumulates what was re-probed.
+        try:
+            with open(sidecar) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = None
+        if prev and isinstance(prev.get("queries"), dict):
+            prev["queries"].update(per_query)
+            prev["excluded_from_wall"] = sorted(
+                set(prev.get("excluded_from_wall") or []) | set(excluded)
+            )
+            probed = set(prev.get("partial_only") or []) | set(only)
+            prev["partial_only"] = sorted(probed)
+            prev["mover_reprobe"] = {
+                **(prev.get("mover_reprobe") or {}), **mover_reprobe
+            }
+            full = prev
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1)
     print(f"# full record written to {sidecar}", file=sys.stderr)

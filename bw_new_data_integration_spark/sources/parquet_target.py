@@ -591,13 +591,20 @@ class ParquetKeyedTable:
         reads cached columnar batches). Engine-internal frames built on
         the table's own parquet files are re-executable and are NOT
         pinned (re-scan beats caching table-sized data). No-op for
-        unclustered tables and already-persisted inputs."""
+        unclustered tables and already-persisted inputs.
+
+        DISK_ONLY, deliberately: a batch-sized memory cache competes
+        with the write's own execution memory (dedup hash tables, sort
+        buffers, parquet encoders) — at sf10 a MEMORY_AND_DISK pin
+        OOM'd a shared 16 GiB session that runs the same load fine
+        unpinned. Local disk is the shuffle-spill device anyway; the
+        pin is one sequential write + two sequential reads."""
         lvl = df.storageLevel
         if self.cluster != "range" or lvl.useMemory or lvl.useDisk:
             return df, lambda: None
         from pyspark import StorageLevel
 
-        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = df.persist(StorageLevel.DISK_ONLY)
         return cached, lambda: cached.unpersist(False)
 
     def _clustered(
@@ -1419,11 +1426,62 @@ class ParquetKeyedTable:
                 target = self.read(spark)
                 if target is None:
                     return self.current_version()
+                if self.cluster == "range" and len(self.key_cols) == 1:
+                    return self._range_scoped_delete(spark, keys_df)
                 return self._commit(
                     delete_matching(target, keys_df, self.key_cols), "delete"
                 )
         finally:
             release()
+
+    def _range_scoped_delete(self, spark: SparkSession, keys_df: DataFrame) -> int:
+        """Range-scoped mass delete: a file whose key interval contains
+        no delete key keeps every row under the anti-join, so only
+        intersecting files are read and rewritten — same scoping
+        argument (and same exact interval probe) as the range-scoped
+        merge. A delete that touches nothing is a no-op (no new
+        version)."""
+        m = self.manifest()
+        key = self.key_cols[0]
+        files = (m or {}).get("files", [])
+        if len(files) < self.MIN_SCOPED_FILES:
+            target = self.read(spark)
+            return self._commit(
+                delete_matching(target, keys_df, self.key_cols), "delete"
+            )
+        ranged: list[tuple] = []
+        always: list[str] = []
+        for f in files:
+            st = (f.get("stats") or {}).get(key)
+            if st and st.get("min") is not None and st.get("max") is not None:
+                tag = st.get("t") or "str"
+                ranged.append(
+                    (_stat_decode(tag, st["min"]), _stat_decode(tag, st["max"]), f["path"])
+                )
+            else:
+                always.append(f["path"])
+        touched_idx = self._probe_touched_ranges(keys_df, key, ranged)
+        touched = [ranged[i][2] for i in sorted(touched_idx)] + always
+        old_v = self.current_version()
+        if not touched:
+            # provably-no-match delete still commits a version (DELETE
+            # always advances history — CDF/time-travel consumers count
+            # on it) but rewrites nothing: every file links forward
+            new_v = old_v + 1
+            os.makedirs(self._snapshot_dir(new_v), exist_ok=True)
+            self._link_files(old_v, new_v, [f["path"] for f in files])
+            self._last_rows_written = 0
+            return self._flip(new_v, "range_delete")
+        snap = self._snapshot_dir(old_v)
+        tgt = spark.read.option("basePath", snap).parquet(
+            *(os.path.join(snap, p) for p in touched)
+        )
+        remaining = delete_matching(tgt, keys_df, self.key_cols)
+        touched_set = set(touched)
+        touched_bytes = sum(f["bytes"] for f in files if f["path"] in touched_set)
+        new_v = self._write_snapshot(remaining, base_bytes=touched_bytes)
+        self._link_files(old_v, new_v, {f["path"] for f in files} - touched_set)
+        return self._flip(new_v, "range_delete")
 
     def changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None

@@ -1003,6 +1003,37 @@ def test_range_scoped_insert_only_batch_links_everything(spark, tmp_path):
     assert got["b250"] == -1 and got["z002"] == -2 and len(got) == 505
 
 
+def test_range_scoped_delete_links_untouched_files(spark, tmp_path):
+    """Mass delete on a range-clustered table rewrites only the files
+    whose key range intersects the delete set; a provably-no-match
+    delete still advances the version (CDF/time-travel contract) but
+    links every file forward."""
+    t = ParquetKeyedTable(str(tmp_path / "rd"), ["business_key"])
+    t.upsert(spark, spark.createDataFrame(
+        [Row(business_key=f"k{i:04d}", v=i) for i in range(1000)]
+    ))
+    t.compact(spark, target_file_bytes=2048)
+    m0 = t.manifest()
+    assert m0["n_files"] >= ParquetKeyedTable.MIN_SCOPED_FILES
+    t.delete_keys(spark, spark.createDataFrame(
+        [Row(business_key="k0010"), Row(business_key="k0011")]
+    ))
+    m1 = t.manifest()
+    assert m1["operation"] == "range_delete"
+    assert m1["n_linked"] >= m0["n_files"] - 2  # narrow delete: 1-2 files rewritten
+    assert t.read(spark).count() == 998
+    got = {r["business_key"] for r in t.read(spark).collect()}
+    assert "k0010" not in got and "k0011" not in got and "k0012" in got
+    # no-match delete: new version, zero rewrites, identical data
+    v_before = t.current_version()
+    t.delete_keys(spark, spark.createDataFrame([Row(business_key="zzz_absent")]))
+    m2 = t.manifest()
+    assert t.current_version() == v_before + 1
+    assert m2["operation"] == "range_delete"
+    assert m2["n_linked"] == m2["n_files"]  # everything carried forward
+    assert t.read(spark).count() == 998
+
+
 def test_partition_scoped_upsert_empty_batch_is_noop(spark, tmp_path):
     t = ParquetKeyedTable(str(tmp_path / "pt2"), ["d", "k"], partition_by=["d"])
     t.upsert(spark, spark.createDataFrame([Row(d="2024-01-01", k="a", v=1)]))
