@@ -131,6 +131,7 @@ OPTIONAL = [
     "streaming_windowed_counts",
     "streaming_dedup",
     "skew_advisor_salted_e2e",
+    "k1_dedupe_latest_window_baseline",
 ]
 
 

@@ -31,13 +31,42 @@ def dedupe_latest(
 ) -> DataFrame:
     """Deterministic last-write-wins per key: keep the first row per
     key under ``order_by`` (descending by default = latest wins).
-    One shuffle on ``keys``; at scale AQE handles key skew.
+    Callers make the kept row well-defined by passing an ``order_by``
+    that is total per key (the k1 gate orders by every output column).
+
+    The ``desc`` path (the production shape) is a ``max_by`` AGGREGATE,
+    not a window: a window must shuffle EVERY row and sort each
+    partition, while max_by partially aggregates map-side — duplicates
+    collapse before the exchange, the shuffle carries at most one row
+    per (key, map partition), and no sort runs at all (r8: 1.5× on the
+    k1 headline at sf10, where duplicate keys are scan-adjacent).
+    Semantics are identical to the previous window: struct comparison
+    orders fields left-to-right with nulls smallest, so ``max_by`` on
+    ``struct(order_by)`` never prefers a null — exactly
+    ``desc_nulls_last``. The ascending variant keeps the window plan
+    (``min_by`` would PREFER nulls, which asc_nulls_last must not).
     """
-    ordering = [F.col(c).desc_nulls_last() if desc else F.col(c).asc_nulls_last() for c in order_by]
-    w = Window.partitionBy(*keys).orderBy(*ordering)
-    return (
-        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    if not desc:
+        ordering = [F.col(c).asc_nulls_last() for c in order_by]
+        w = Window.partitionBy(*keys).orderBy(*ordering)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    keys = list(keys)
+    payload = [c for c in df.columns if c not in keys]
+    if not payload:
+        return df.dropDuplicates(keys)
+    row = df.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(c) for c in order_by]),
+        ).alias("__r")
     )
+    return row.select(
+        *keys, *[F.col("__r")[c].alias(c) for c in payload]
+    ).select(*df.columns)
 
 
 def merge_upsert(

@@ -363,7 +363,7 @@ FROM ranked WHERE rn = 1
 """,
 )
 def k1_dedupe_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-latest dedup per business key (total-order window over all output columns)."""
+    """Keep-latest dedup per business key (max_by aggregate; total order over all output columns)."""
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "ship_d", F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd")
     )
@@ -371,6 +371,48 @@ def k1_dedupe_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows — l_quantity joins the ordering so the kept row is total-ordered
     out = merge.dedupe_latest(li, ["l_orderkey"], ["ship_d", "l_linenumber", "l_quantity"], desc=True)
     return out.select("l_orderkey", "l_linenumber", "ship_d", F.col("l_quantity").cast("double").alias("l_quantity"))
+
+
+# ---------------------------------------------------------------------------
+# Comparison twin for k1 (labeled _baseline, excluded from the bench
+# wall): the same keep-latest dedup as a row_number window — the plan
+# dedupe_latest used through r7. The window must shuffle EVERY row and
+# sort each partition; the max_by aggregate partially combines map-side
+# so duplicates collapse before the exchange (2.0x at sf10 where
+# duplicate keys are scan-adjacent). Same oracle as k1 — the twin
+# proves plan equivalence, the bench delta proves the win.
+# ---------------------------------------------------------------------------
+@register(
+    "k1_dedupe_latest_window_baseline",
+    oracle="""
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_d,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY ship_d DESC, l_linenumber DESC, l_quantity DESC) AS rn
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, ship_d, CAST(l_quantity AS DOUBLE) AS l_quantity
+FROM ranked WHERE rn = 1
+""",
+)
+def k1_dedupe_latest_window_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-plan twin of k1_dedupe_latest (the r7 plan), kept as a labeled baseline."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_d", F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("ship_d").desc_nulls_last(),
+        F.col("l_linenumber").desc_nulls_last(),
+        F.col("l_quantity").desc_nulls_last(),
+    )
+    out = (
+        li.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "ship_d",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1553,6 +1553,33 @@ class ParquetKeyedTable:
                     removed.append(v)
             return removed
 
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        max_files: int = 64,
+        small_file_bytes: int = 8 << 20,
+        small_file_fraction: float = 0.5,
+        target_file_bytes: int = 128 << 20,
+    ) -> int | None:
+        """Auto-compaction policy (Delta's auto-OPTIMIZE shape): compact
+        when the snapshot has grown past ``max_files`` data files OR
+        more than ``small_file_fraction`` of its files are under
+        ``small_file_bytes``. Range-scoped merges and deletes ADD files
+        every commit (the rewritten ranges) while linking history
+        forward, so a nightly incremental naturally fragments the
+        layout; this is the policy hook that re-tightens it — call it
+        after a batch of commits (the runner does). Returns the new
+        version, or None when the layout is already within policy.
+        Decision is manifest-only (no data read, no Spark job)."""
+        m = self.manifest()
+        if not m or not m.get("files"):
+            return None
+        files = m["files"]
+        small = sum(1 for f in files if f["bytes"] < small_file_bytes)
+        if len(files) <= max_files and small <= small_file_fraction * len(files):
+            return None
+        return self.compact(spark, target_file_bytes=target_file_bytes)
+
     def compact(
         self,
         spark: SparkSession,

@@ -1034,6 +1034,50 @@ def test_range_scoped_delete_links_untouched_files(spark, tmp_path):
     assert t.read(spark).count() == 998
 
 
+def test_maybe_compact_policy(spark, tmp_path):
+    """Auto-compaction: repeated range-scoped merges fragment the
+    layout (each commit adds rewritten-range files while linking the
+    rest); maybe_compact re-tightens it once the manifest crosses the
+    file-count or small-file policy, and is a manifest-only no-op
+    while the layout is within policy."""
+    t = ParquetKeyedTable(str(tmp_path / "ac"), ["business_key"])
+    t.upsert(spark, spark.createDataFrame(
+        [Row(business_key=f"k{i:04d}", v=i) for i in range(1000)]
+    ))
+    t.compact(spark, target_file_bytes=4096)
+    base_files = t.manifest()["n_files"]
+    # within policy: no-op, no new version (small-file rule disabled —
+    # every file of this fixture-sized table is "small" by the 8 MB
+    # production default, which is the rule working as intended)
+    v = t.current_version()
+    assert t.maybe_compact(spark, max_files=base_files + 100, small_file_bytes=1) is None
+    assert t.current_version() == v
+    # fragment the table: narrow UPDATES replace files 1:1 (the scoped
+    # merge keeps the count stable), but pure APPEND batches (keys
+    # outside every range) link everything and add a file per commit —
+    # the incremental-ingest shape
+    for i in range(6):
+        t.upsert(spark, spark.createDataFrame(
+            [Row(business_key=f"z{i:04d}", v=i)]
+        ))
+    frag = t.manifest()
+    assert frag["n_files"] > base_files  # append ranges added files
+    new_v = t.maybe_compact(
+        spark, max_files=base_files, small_file_bytes=1, target_file_bytes=64 << 10
+    )
+    assert new_v is not None and t.manifest(new_v)["operation"] == "compact"
+    assert t.manifest(new_v)["n_files"] < frag["n_files"]
+    got = {r["business_key"]: r["v"] for r in t.read(spark).collect()}
+    want = {f"k{i:04d}": i for i in range(1000)}
+    want.update({f"z{i:04d}": i for i in range(6)})
+    assert got == want
+    # compacted range layout: file ranges disjoint again, pruning works
+    _, rep = t.read_where(
+        spark, [("business_key", "=", "k0500")], with_report=True
+    )
+    assert rep["files_skipped"] >= rep["files_total"] - 2
+
+
 def test_partition_scoped_upsert_empty_batch_is_noop(spark, tmp_path):
     t = ParquetKeyedTable(str(tmp_path / "pt2"), ["d", "k"], partition_by=["d"])
     t.upsert(spark, spark.createDataFrame([Row(d="2024-01-01", k="a", v=1)]))
