@@ -132,6 +132,7 @@ OPTIONAL = [
     "streaming_dedup",
     "skew_advisor_salted_e2e",
     "k1_dedupe_latest_window_baseline",
+    "k10_range_merge_scoping",
 ]
 
 

@@ -430,3 +430,64 @@ def k9_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sum_price") == F.lit(float(b["sum_price"])))
         ).alias("results_equal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K10 — range-scoped MERGE on the key-clustered layout (r8). The table
+# is range-clustered on a zero-padded string business key, so a batch
+# updating a contiguous orderkey slice touches a contiguous key range;
+# the scoped merge must rewrite ONLY the intersecting files and link
+# the rest forward (manifest proves it in-query: operation is
+# range_upsert with n_linked >= half the files). The value oracle is
+# the equivalent SQL MERGE result — scoping may never change answers.
+# ---------------------------------------------------------------------------
+@register(
+    "k10_range_merge_scoping",
+    oracle="""
+WITH merged AS (
+  SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS k,
+         CASE WHEN o_orderkey >= 1000 AND o_orderkey < 1200
+              THEN CAST(o_totalprice AS DECIMAL(27,6)) * 2
+              ELSE CAST(o_totalprice AS DECIMAL(27,6)) END AS price
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(price) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
+       TRUE AS scoped,
+       TRUE AS linked_majority
+FROM merged
+""",
+)
+def k10_range_merge_scoping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-scoped MERGE: contiguous-key batch rewrites only intersecting files (manifest-verified in-query)."""
+    import tempfile
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("k"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    t = ParquetKeyedTable(tempfile.mkdtemp(prefix="bw_rscope_") + "/t", ["k"])
+    t.upsert(spark, o.drop("ok"))
+    # right-size into ~12 files at ANY sf so the scoped path engages
+    total = t.manifest()["total_bytes"]
+    t.compact(spark, target_file_bytes=max(1, total // 12))
+    n_before = t.manifest()["n_files"]
+    batch = o.where((F.col("ok") >= 1000) & (F.col("ok") < 1200)).select(
+        "k", (F.col("price") * 2).alias("price")
+    )
+    t.upsert(spark, batch)
+    m = t.manifest()
+    scoped = m["operation"] == "range_upsert"
+    linked_majority = m["n_linked"] >= n_before // 2
+    return t.read(spark).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        aggregate.exact_sum("price").alias("sum_price"),
+    ).select(
+        "n_rows",
+        "sum_price",
+        F.lit(scoped).alias("scoped"),
+        F.lit(linked_majority).alias("linked_majority"),
+    )

@@ -1034,6 +1034,42 @@ def test_range_scoped_delete_links_untouched_files(spark, tmp_path):
     assert t.read(spark).count() == 998
 
 
+def test_range_scoped_upsert_long_and_null_keys(spark, tmp_path):
+    """Range-layout edges: (a) keys past the 1 KiB stats threshold get
+    NO usable footer bounds — those files must fall into the
+    always-merged set, never be wrongly skipped; (b) null keys ride the
+    range exchange (first partition), never match any source key, and
+    survive scoped merges unduplicated."""
+    t = ParquetKeyedTable(str(tmp_path / "rl"), ["business_key"])
+    long_suffix = "x" * 1200  # > _stat_tag's 1 KiB exactness threshold
+    rows = [Row(business_key=f"k{i:03d}{long_suffix}", v=i) for i in range(200)]
+    rows.append(Row(business_key=None, v=-1))
+    t.upsert(spark, spark.createDataFrame(rows))
+    t.compact(spark, target_file_bytes=2048)  # repeated-char keys compress hard
+    m = t.manifest()
+    assert m["n_files"] >= ParquetKeyedTable.MIN_SCOPED_FILES
+    # no file carries usable key bounds (strings too long / null row)
+    assert all(
+        (f.get("stats") or {}).get("business_key") is None
+        or (f["stats"]["business_key"].get("min") is None)
+        for f in m["files"]
+    )
+    # scoped merge must therefore treat every file as touched (correct,
+    # just unscoped) — values still exactly right
+    t.upsert(spark, spark.createDataFrame(
+        [Row(business_key=f"k005{long_suffix}", v=-5)]
+    ))
+    got = {r["business_key"]: r["v"] for r in t.read(spark).collect()}
+    assert got[f"k005{long_suffix}"] == -5
+    assert got[None] == -1 and len(got) == 201
+    # null-key row is not duplicated by a further merge
+    t.upsert(spark, spark.createDataFrame(
+        [Row(business_key=f"k006{long_suffix}", v=-6)]
+    ))
+    nulls = t.read(spark).where(F.col("business_key").isNull()).count()
+    assert nulls == 1
+
+
 def test_maybe_compact_policy(spark, tmp_path):
     """Auto-compaction: repeated range-scoped merges fragment the
     layout (each commit adds rewritten-range files while linking the
