@@ -1187,7 +1187,6 @@ class ParquetKeyedTable:
                     return self._partition_scoped_upsert(target, source)
                 if (
                     self.cluster == "range"
-                    and len(self.key_cols) == 1
                     and not evolve_schema
                     and set(source.columns) == set(target.columns)
                 ):
@@ -1313,6 +1312,14 @@ class ParquetKeyedTable:
         values. Only intersecting files are read, merged, and
         rewritten; commit cost is O(touched + batch), not O(history).
 
+        Multi-column keys scope on the FIRST key column's bounds — a
+        sufficient condition: the layout range-partitions on the full
+        key tuple with the first column as the major sort term, so a
+        file containing no source first-key value in its first-key
+        interval cannot contain any matching tuple. Coarser than a
+        tuple-interval probe (composite-key files spanning one
+        first-key value over-touch), never incorrect.
+
         The touched set is computed distributed and EXACTLY — per
         Arrow batch, the source keys are sorted once and each file
         interval is tested with two binary searches (O(F log B) per
@@ -1426,7 +1433,7 @@ class ParquetKeyedTable:
                 target = self.read(spark)
                 if target is None:
                     return self.current_version()
-                if self.cluster == "range" and len(self.key_cols) == 1:
+                if self.cluster == "range":
                     return self._range_scoped_delete(spark, keys_df)
                 return self._commit(
                     delete_matching(target, keys_df, self.key_cols), "delete"

@@ -1070,6 +1070,42 @@ def test_range_scoped_upsert_long_and_null_keys(spark, tmp_path):
     assert nulls == 1
 
 
+def test_range_scoped_upsert_composite_key(spark, tmp_path):
+    """Composite business keys scope on the FIRST key column's bounds —
+    a sufficient condition (no source first-key value in a file's
+    first-key interval ⇒ no tuple can match). The merge itself joins
+    on the FULL key, so same-first-key/different-second-key rows are
+    inserts, not updates."""
+    t = ParquetKeyedTable(str(tmp_path / "ck"), ["store", "day"])
+    t.upsert(spark, spark.createDataFrame(
+        [Row(store=f"s{i % 20:02d}", day=f"2024-01-{1 + i // 20:02d}", v=i)
+         for i in range(600)]
+    ))
+    t.compact(spark, target_file_bytes=2048)
+    m0 = t.manifest()
+    assert m0["n_files"] >= ParquetKeyedTable.MIN_SCOPED_FILES
+    patch = spark.createDataFrame(
+        [Row(store="s05", day="2024-01-03", v=-1),     # update (key exists)
+         Row(store="s05", day="2024-09-09", v=-2)]     # insert (new second key)
+    )
+    t.upsert(spark, patch)
+    m1 = t.manifest()
+    assert m1["operation"] == "range_upsert"
+    assert m1["n_linked"] >= m0["n_files"] // 2  # scoped, not full rewrite
+    got = {(r["store"], r["day"]): r["v"] for r in t.read(spark).collect()}
+    assert got[("s05", "2024-01-03")] == -1
+    assert got[("s05", "2024-09-09")] == -2
+    assert len(got) == 601
+    # scoped delete on the composite key
+    t.delete_keys(spark, spark.createDataFrame([Row(store="s06", day="2024-01-03")]))
+    m2 = t.manifest()
+    assert m2["operation"] == "range_delete"
+    assert t.read(spark).count() == 600
+    assert ("s06", "2024-01-03") not in {
+        (r["store"], r["day"]) for r in t.read(spark).collect()
+    }
+
+
 def test_maybe_compact_policy(spark, tmp_path):
     """Auto-compaction: repeated range-scoped merges fragment the
     layout (each commit adds rewritten-range files while linking the
