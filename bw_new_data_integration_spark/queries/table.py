@@ -395,8 +395,14 @@ def k9_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d"),
         F.col("o_totalprice").cast("double").alias("price"),
     )
+    # cluster="none": this gate's PREMISE is an unsorted seed (every
+    # file spans the full price/date range — the pruning worst case);
+    # the r8 range-layout default would key-sort and right-size the
+    # seed, collapsing the tiny parity fixture to one file and erasing
+    # the before/after contrast the gate exists to measure
     t = ParquetKeyedTable(
-        tempfile.mkdtemp(prefix="bw_zskip_") + "/t", ["k"], stats_cols=["price", "d"]
+        tempfile.mkdtemp(prefix="bw_zskip_") + "/t", ["k"],
+        stats_cols=["price", "d"], cluster="none",
     )
     # unsorted seed: repartition by key hash — every file spans the full
     # price AND date range, the worst case for min/max pruning

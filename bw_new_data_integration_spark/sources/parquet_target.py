@@ -43,6 +43,34 @@ from bw_new_data_integration_spark.operators.merge import (
 )
 
 
+_PY_EVAL_RE = None
+
+
+def _has_python_eval(df: DataFrame) -> bool:
+    """True when df's physical plan contains a Python-evaluation node
+    (mapInPandas / pandas UDF / row-at-a-time UDF) — the only channel
+    through which caller side effects (HTTP fetches) enter a plan in
+    this engine. Read from the public ``explain`` output, same
+    technique as operators/dedup's leaf counter. Unknown/unparseable
+    plans return True — the safe side is to pin."""
+    global _PY_EVAL_RE
+    import io as _io
+    import re as _re
+
+    if _PY_EVAL_RE is None:
+        _PY_EVAL_RE = _re.compile(
+            r"MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython"
+            r"|BatchEvalPython|MapInArrow|PythonMapInArrow|EvalPython"
+        )
+    buf = _io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="simple")
+    except Exception:
+        return True
+    return bool(_PY_EVAL_RE.search(buf.getvalue()))
+
+
 def _stat_tag(v) -> str | None:
     """Type tag for a parquet footer min/max value. None = don't keep
     the stat (binary, or a string long enough that the writer may have
@@ -588,10 +616,19 @@ class ParquetKeyedTable:
         SOAP POSTs in the runner wire-test. Returns ``(df, release)``;
         the sampling job itself populates the cache, so the write still
         reads the source exactly once (no extra pass — the main job
-        reads cached columnar batches). Engine-internal frames built on
-        the table's own parquet files are re-executable and are NOT
-        pinned (re-scan beats caching table-sized data). No-op for
-        unclustered tables and already-persisted inputs.
+        reads cached columnar batches). No-op for unclustered tables
+        and already-persisted inputs.
+
+        Only plans containing PYTHON-EVAL nodes are pinned: side
+        effects enter this engine's plans exclusively through
+        mapInPandas/pandas-UDF sources (the XMLA/OData fetchers), and
+        those are also the plans whose re-execution is expensive or
+        visible. Pure-JVM plans (scans, aggregates, joins — even ones
+        using rand()) re-execute without side effects, and a second
+        pass over a scan+agg is cheaper than materializing its output
+        to disk; a nondeterministic unpinned plan can at worst yield
+        suboptimal range bounds (the exchange routes whatever rows the
+        main pass produces), never wrong output.
 
         DISK_ONLY, deliberately: a batch-sized memory cache competes
         with the write's own execution memory (dedup hash tables, sort
@@ -601,6 +638,8 @@ class ParquetKeyedTable:
         pin is one sequential write + two sequential reads."""
         lvl = df.storageLevel
         if self.cluster != "range" or lvl.useMemory or lvl.useDisk:
+            return df, lambda: None
+        if not _has_python_eval(df):
             return df, lambda: None
         from pyspark import StorageLevel
 
