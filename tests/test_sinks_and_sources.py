@@ -1070,6 +1070,25 @@ def test_range_scoped_upsert_long_and_null_keys(spark, tmp_path):
     assert nulls == 1
 
 
+def test_pin_routes_by_plan_kind(spark):
+    """The pre-write pin's safety routing: plans with Python-eval nodes
+    (the only side-effect channel) MUST pin; pure-JVM plans must not
+    (re-sampling them is side-effect-free and cheaper than a disk
+    round-trip)."""
+    from bw_new_data_integration_spark.sources.parquet_target import _has_python_eval
+
+    pure = spark.range(100).groupBy((F.col("id") % 3).alias("g")).count()
+    assert not _has_python_eval(pure)
+
+    def identity(batches):
+        yield from batches
+
+    py = spark.range(100).select(F.col("id")).mapInPandas(identity, "id long")
+    assert _has_python_eval(py)
+    # and a JVM projection ABOVE a python node still pins
+    assert _has_python_eval(py.select((F.col("id") * 2).alias("id")))
+
+
 def test_range_scoped_upsert_composite_key(spark, tmp_path):
     """Composite business keys scope on the FIRST key column's bounds —
     a sufficient condition (no source first-key value in a file's
