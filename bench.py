@@ -714,8 +714,12 @@ def main() -> None:
             prev["excluded_from_wall"] = sorted(
                 set(prev.get("excluded_from_wall") or []) | set(excluded)
             )
-            probed = set(prev.get("partial_only") or []) | set(only)
-            prev["partial_only"] = sorted(probed)
+            if prev.get("partial_only") is None:
+                # the base record was a FULL sweep: keep it labeled as
+                # such and list targeted re-probes separately
+                prev["reprobed"] = sorted(set(prev.get("reprobed") or []) | set(only))
+            else:
+                prev["partial_only"] = sorted(set(prev["partial_only"]) | set(only))
             prev["mover_reprobe"] = {
                 **(prev.get("mover_reprobe") or {}), **mover_reprobe
             }
