@@ -130,6 +130,7 @@ OPTIONAL = [
     "streaming_sessionize",
     "streaming_windowed_counts",
     "streaming_dedup",
+    "streaming_dedup_unbounded_baseline",
     "skew_advisor_salted_e2e",
     "k1_dedupe_latest_window_baseline",
     "k10_range_merge_scoping",

@@ -459,15 +459,7 @@ def streaming_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ingest semantics for at-least-once sources. Oracle: the unique
 # events per type.
 # ---------------------------------------------------------------------------
-@register(
-    "streaming_dedup",
-    oracle="""
-SELECT event_type, COUNT(*) AS n
-FROM events GROUP BY event_type
-""",
-)
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup via dropDuplicates with watermarked event-time state."""
+def _streaming_dedup_plan(spark: SparkSession, sf_dir: str, bounded: bool) -> DataFrame:
     import shutil
     import tempfile
     import uuid
@@ -481,7 +473,10 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(_os.path.join(sf_dir, "events.parquet"), _os.path.join(staging, "copy1.parquet"))
     shutil.copy(_os.path.join(sf_dir, "events.parquet"), _os.path.join(staging, "copy2.parquet"))
     events = st.read_event_stream(spark, staging)
-    deduped = events.withWatermark("ts", "14 days").dropDuplicates(["event_id"])
+    if bounded:
+        deduped = st.dedup_stream(events, keys=("event_id",), watermark="14 days")
+    else:
+        deduped = events.withWatermark("ts", "14 days").dropDuplicates(["event_id"])
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
@@ -498,6 +493,36 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "streaming_dedup",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via dropDuplicatesWithinWatermark: per-key
+    state is EVICTED once the watermark passes the key's event time +
+    delay, so continuous-stream state is O(keys within the 14-day
+    horizon), not O(keys ever seen). State boundedness is pytest-pinned
+    (tests/test_sinks_and_sources.py::test_streaming_dedup_state_bounded)."""
+    return _streaming_dedup_plan(spark, sf_dir, bounded=True)
+
+
+@register(
+    "streaming_dedup_unbounded_baseline",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def streaming_dedup_unbounded_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABELED BASELINE (keep-forever state): dropDuplicates on event_id
+    alone never evicts state — kept only to compare against the
+    watermark-bounded plan above; never the production path."""
+    return _streaming_dedup_plan(spark, sf_dir, bounded=False)
 
 
 # ---------------------------------------------------------------------------

@@ -164,6 +164,36 @@ def read_rate_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark: str = "14 days",
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """Watermark-bounded streaming exact dedup — exactly-once ingest
+    semantics for at-least-once sources (replayed Kafka offsets, CDC
+    redelivery, file re-drops).
+
+    Uses ``dropDuplicatesWithinWatermark``: state per key is evicted
+    once the watermark passes the key's event time plus the delay, so
+    on a continuous stream the state store holds only the keys seen
+    within the trailing watermark horizon — O(keys-in-horizon), not
+    O(keys-ever-seen). The contract matches the at-least-once threat
+    model: a redelivery arrives within the redelivery horizon (here:
+    the 14-day repair horizon the reference re-syncs nightly), so any
+    duplicate lands while its key is still in state; rows older than
+    the watermark are dropped as late data rather than re-emitted,
+    which is the same outcome.
+
+    ``dropDuplicates(keys)`` without the event-time column in the key
+    set is the unbounded twin: it never evicts, and on a 100 TB stream
+    the state store grows with every distinct key ever seen. That plan
+    survives only as the labeled ``streaming_dedup_unbounded_baseline``
+    gate for comparison.
+    """
+    return events.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
 def state_metrics(query) -> list[dict]:
     """Per-stateful-operator metrics from the query's last progress:
     state rows total/updated/removed and memory used — the numbers an

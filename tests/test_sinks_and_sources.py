@@ -465,6 +465,100 @@ def test_stream_outer_join_evicts_state(spark, tmp_path):
     assert join_op["rows_total"] < 2 * n_events
 
 
+def test_streaming_dedup_state_bounded(spark, tmp_path):
+    """dedup_stream (dropDuplicatesWithinWatermark) keeps state only for
+    keys within the watermark horizon: once the watermark passes a key's
+    event time + delay, its state row is REMOVED. The unbounded twin
+    (dropDuplicates on the key alone) would retain every key forever —
+    the 100 TB scale-killer this operator replaces."""
+    import uuid
+
+    from pyspark.sql import Row
+
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    src = tmp_path / "dupsrc"
+    src.mkdir()
+    ckpt = tmp_path / "dupckpt"
+
+    def write_file(name, rows):
+        pdf = spark.createDataFrame(
+            [Row(event_id=i, ts=ts, user_id=1, event_type=et, value=1.0, props="{}")
+             for i, ts, et in rows],
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        stage = tmp_path / f"stage_{name}"
+        pdf.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        part.rename(src / f"{name}.parquet")
+
+    # batch 1: keys 1-5 at T0, key 1 duplicated in-batch
+    write_file("b1", [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:00:00", "a"),
+        (2, "2024-01-01 00:00:00", "a"),
+        (3, "2024-01-01 00:00:00", "b"),
+        (4, "2024-01-01 00:00:00", "b"),
+        (5, "2024-01-01 00:00:00", "b"),
+    ])
+    events = st.read_event_stream(spark, str(src))
+    deduped = st.dedup_stream(events, keys=("event_id",), watermark="1 hour")
+    name = "dedup_bounded_" + uuid.uuid4().hex[:6]
+    q = (
+        deduped.select("event_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        m1 = st.state_metrics(q)
+        assert m1 and m1[0]["rows_total"] == 5  # one state row per distinct key
+
+        # batch 2: redelivery of keys 1-5 (same ts, within watermark ->
+        # deduped, not re-emitted) plus keys 6-8 two days later, which
+        # advances the watermark far past T0 + 1h
+        write_file("b2", [
+            (1, "2024-01-01 00:00:00", "a"),
+            (2, "2024-01-01 00:00:00", "a"),
+            (3, "2024-01-01 00:00:00", "b"),
+            (4, "2024-01-01 00:00:00", "b"),
+            (5, "2024-01-01 00:00:00", "b"),
+            (6, "2024-01-03 00:00:00", "c"),
+            (7, "2024-01-03 00:00:00", "c"),
+            (8, "2024-01-03 00:00:00", "c"),
+        ])
+        q.processAllAvailable()
+        # batch 3: one fresh in-horizon key so the advanced watermark is
+        # applied to state (eviction happens at the batch AFTER the
+        # watermark advances)
+        write_file("b3", [(9, "2024-01-03 00:30:00", "c")])
+        q.processAllAvailable()
+        metrics = st.state_metrics(q)
+        removed = sum(
+            op.get("numRowsRemoved", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+
+    # every key emitted exactly once despite redelivery
+    out = spark.table(name)
+    assert out.count() == 9
+    assert out.select("event_id").distinct().count() == 9
+    # state is bounded to keys within the watermark horizon: keys 1-5
+    # (event time 2024-01-01, horizon 1h, watermark now 2024-01-02 23:30)
+    # must have been evicted; only the in-horizon keys 6-9 remain
+    assert metrics, "dedup must report state operator metrics"
+    assert metrics[0]["rows_total"] <= 4, (
+        f"state must hold only in-horizon keys, got {metrics[0]['rows_total']}"
+    )
+    assert removed >= 5, "watermark must evict out-of-horizon dedup state"
+
+
 def test_foreach_batch_sink_replay_is_idempotent(spark, tmp_path):
     """The reference's nightly 14-day repair re-sends the same window
     every run (SURVEY §2.9); the streaming sink inherits that contract:
