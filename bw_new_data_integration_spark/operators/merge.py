@@ -90,9 +90,16 @@ def merge_upsert(
     behavior of Delta/parquet.
     """
     kept = target.join(source.select(*keys).distinct(), on=list(keys), how="left_anti")
+    # a USING-column join moves the join keys to the front; restore the
+    # TARGET's column order so repeated merges are column-order-stable
+    # (a keyed table's schema must not depend on which commit path last
+    # rewrote a file)
     if evolve_schema:
-        return kept.unionByName(source, allowMissingColumns=True)
-    return kept.unionByName(source.select(*target.columns))
+        added = [c for c in source.columns if c not in target.columns]
+        return kept.unionByName(source, allowMissingColumns=True).select(
+            *target.columns, *added
+        )
+    return kept.unionByName(source.select(*target.columns)).select(*target.columns)
 
 
 def merge_update_only(
@@ -126,8 +133,12 @@ def split_create_update(
 
 
 def delete_matching(target: DataFrame, keys_to_delete: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """Mass delete by key set (K2) as an anti-join."""
-    return target.join(keys_to_delete.select(*keys).distinct(), on=list(keys), how="left_anti")
+    """Mass delete by key set (K2) as an anti-join. Column order is
+    restored after the USING join (which fronts the keys) so rewritten
+    files keep the table's schema order."""
+    return target.join(
+        keys_to_delete.select(*keys).distinct(), on=list(keys), how="left_anti"
+    ).select(*target.columns)
 
 
 def scd2_merge(

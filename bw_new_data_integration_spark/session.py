@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # write INT64 micros, not legacy INT96: INT96 column chunks
+        # carry NO footer min/max, which silently disables stats-based
+        # data skipping (read_where) and key-range merge scoping on
+        # every timestamp column the engine writes
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
@@ -68,6 +73,10 @@ def tune_for_oracle_parity(spark: SparkSession) -> SparkSession:
     - UTC session timezone: parquet timestamps are stored naive; DuckDB
       reads them verbatim, Spark interprets them in the session zone —
       UTC makes ``hour()``/``date_trunc()`` agree.
+    - INT64-micros parquet timestamps: legacy INT96 chunks have no
+      footer min/max (kills stats skipping on engine-written tables)
+      and DuckDB reads INT96 with extra conversion steps.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     return spark

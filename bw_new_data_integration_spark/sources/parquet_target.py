@@ -170,6 +170,46 @@ def _range_may_match(mn, mx, op: str, v) -> bool:
     return True  # unknown op — residual filter handles it
 
 
+def _file_key_bounds(full_path: str, key_cols: Sequence[str]) -> dict | None:
+    """Lexicographic key-TUPLE bounds of a key-SORTED data file: the
+    first and last rows' key values (VERDICT r8 #3). Per-column footer
+    min/max form a bounding box, not a tuple interval — when many
+    composite keys share one leading value (one hot store across
+    ``(store, date, item)`` keys), the leading column's interval covers
+    every such file while the tuple interval discriminates on the minor
+    columns. Valid ONLY when the file is sorted by the full key tuple
+    (the range layout's write invariant); callers must not attach these
+    bounds to preserve-layout (ZORDER-compacted) snapshots.
+
+    Decodes the key columns of the first and last row groups only —
+    two column-chunk reads, not a file scan. Returns ``None`` (caller
+    falls back to the leading-column footer interval) when any bound
+    component is null or outside the exact-stat vocabulary."""
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(full_path)
+        md = pf.metadata
+        if md.num_rows == 0 or md.num_row_groups == 0:
+            return None
+        head = pf.read_row_group(0, columns=list(key_cols))
+        last = md.num_row_groups - 1
+        tail = head if last == 0 else pf.read_row_group(last, columns=list(key_cols))
+    except Exception:
+        return None
+    lo, hi, tags = [], [], []
+    for c in key_cols:
+        lo_v = head.column(c)[0].as_py()
+        hi_v = tail.column(c)[tail.num_rows - 1].as_py()
+        tag = _stat_tag(lo_v)
+        if lo_v is None or hi_v is None or tag is None or tag != _stat_tag(hi_v):
+            return None
+        lo.append(_stat_encode(lo_v))
+        hi.append(_stat_encode(hi_v))
+        tags.append(tag)
+    return {"lo": lo, "hi": hi, "t": tags}
+
+
 def _file_column_stats(full_path: str, cols: Sequence[str]) -> tuple[dict, int]:
     """(per-column min/max/null-count, file row count) from the parquet
     FOOTER — metadata only, no data pages read (the same source
@@ -433,7 +473,31 @@ class ParquetKeyedTable:
         self.partition_by = list(partition_by)
         self.stats_cols = list(stats_cols)
         if cluster is None:
-            cluster = "none" if self.partition_by else "range"
+            # an EXISTING table's persisted layout wins over the
+            # default: a table written cluster='none' reopened without
+            # an explicit argument must not silently flip to 'range'
+            # (its manifests would then claim a layout its older files
+            # don't satisfy). An explicit argument is a deliberate
+            # layout migration and is honored with a warning below.
+            persisted = self._persisted_cluster()
+            cluster = (
+                persisted
+                if persisted in ("range", "none")
+                else ("none" if self.partition_by else "range")
+            )
+        else:
+            persisted = self._persisted_cluster()
+            if persisted in ("range", "none") and persisted != cluster:
+                import warnings
+
+                warnings.warn(
+                    f"ParquetKeyedTable at {path!r}: constructor cluster="
+                    f"{cluster!r} differs from the persisted layout "
+                    f"{persisted!r}; files from older versions keep the "
+                    f"old layout (they fall into the always-merged set) "
+                    f"until rewritten",
+                    stacklevel=2,
+                )
         if cluster not in ("range", "none"):
             raise ValueError(f"cluster must be 'range' or 'none', got {cluster!r}")
         if cluster == "range" and self.partition_by:
@@ -446,6 +510,16 @@ class ParquetKeyedTable:
             # key-range bounds per file come from the same footer-stats
             # machinery read_where prunes with — key cols always tracked
             self.stats_cols = list(dict.fromkeys([*self.key_cols, *self.stats_cols]))
+
+    def _persisted_cluster(self) -> str | None:
+        """The 'cluster' value recorded in the latest committed
+        manifest, or None for a new/manifestless table. Read once at
+        construction to adopt/validate the on-disk layout contract."""
+        try:
+            m = self.manifest()
+        except Exception:
+            return None
+        return (m or {}).get("cluster")
 
     # -- snapshot bookkeeping ------------------------------------------------
 
@@ -593,8 +667,15 @@ class ParquetKeyedTable:
             if m:
                 est += int(m.get("total_bytes") or 0)
         try:
+            # the table's own snapshot files already count via
+            # base_bytes / the manifest total — summing them again from
+            # the plan's inputFiles() would double the estimate (~2x
+            # oversized task counts on full-merge commits)
+            own = os.path.abspath(self.path) + os.sep
             for uri in set(source.inputFiles()):
                 p = uri[7:] if uri.startswith("file://") else uri
+                if os.path.abspath(p).startswith(own):
+                    continue
                 try:
                     est += os.path.getsize(p)
                 except OSError:
@@ -675,6 +756,9 @@ class ParquetKeyedTable:
             if layout != "pre_clustered":
                 df = self._clustered(df, base_bytes=base_bytes)
             df = df.sortWithinPartitions(*self.key_cols)
+        # tuple key bounds ("kb") are valid only for key-sorted files;
+        # _write_manifest consults the layout of the write it describes
+        self._last_layout = layout
         new_v = self.current_version() + 1
         # row count rides the write job itself (observe(), no second
         # scan) and lands in the commit manifest — the per-commit
@@ -711,9 +795,7 @@ class ParquetKeyedTable:
             prev = self.manifest(version - 1) if version > 0 else None
             if prev:
                 prev_stats = {
-                    f["path"]: (f["stats"], f.get("rows"))
-                    for f in prev["files"]
-                    if "stats" in f
+                    f["path"]: f for f in prev["files"] if "stats" in f
                 }
         files = []
         for d, _dirs, fs in os.walk(snap):
@@ -734,11 +816,25 @@ class ParquetKeyedTable:
                     # the same path → its stats carry forward for free;
                     # only freshly-written files pay a footer read
                     if entry["linked"] and entry["path"] in prev_stats:
-                        entry["stats"], entry["rows"] = prev_stats[entry["path"]]
+                        pf = prev_stats[entry["path"]]
+                        entry["stats"], entry["rows"] = pf["stats"], pf.get("rows")
+                        if "kb" in pf:
+                            entry["kb"] = pf["kb"]
                     else:
                         entry["stats"], entry["rows"] = _file_column_stats(
                             full, self.stats_cols
                         )
+                        # lexicographic key-tuple bounds: only when this
+                        # commit's files honor the key-sort invariant
+                        # (never for preserve-layout ZORDER compacts)
+                        if (
+                            self.cluster == "range"
+                            and len(self.key_cols) > 1
+                            and getattr(self, "_last_layout", "cluster") != "preserve"
+                        ):
+                            kb = _file_key_bounds(full, self.key_cols)
+                            if kb is not None:
+                                entry["kb"] = kb
                 files.append(entry)
         manifest = {
             "version": version,
@@ -1351,13 +1447,14 @@ class ParquetKeyedTable:
         values. Only intersecting files are read, merged, and
         rewritten; commit cost is O(touched + batch), not O(history).
 
-        Multi-column keys scope on the FIRST key column's bounds — a
-        sufficient condition: the layout range-partitions on the full
-        key tuple with the first column as the major sort term, so a
-        file containing no source first-key value in its first-key
-        interval cannot contain any matching tuple. Coarser than a
-        tuple-interval probe (composite-key files spanning one
-        first-key value over-touch), never incorrect.
+        Multi-column keys scope on the file's LEXICOGRAPHIC key-tuple
+        interval (manifest ``kb``: first/last row of the key-sorted
+        file — VERDICT r8 #3), so composite-key files sharing one
+        leading value are discriminated by the minor columns. Files
+        written before kb existed (or by preserve-layout compacts) fall
+        back to the first key column's footer interval — a sufficient
+        condition (the leading column is the major sort term), coarser
+        but never incorrect.
 
         The touched set is computed distributed and EXACTLY — per
         Arrow batch, the source keys are sorted once and each file
@@ -1368,25 +1465,14 @@ class ParquetKeyedTable:
         key bounds (pre-stats versions, >1 KiB string keys) are
         conservatively always merged."""
         m = self.manifest()
-        key = self.key_cols[0]
         files = (m or {}).get("files", [])
         if len(files) < self.MIN_SCOPED_FILES:
             target = self.read(spark)
             merged = merge_upsert(target, source, self.key_cols)
             return self._commit(merged, "upsert")
-        ranged: list[tuple] = []
-        always: list[str] = []  # no usable bounds -> must join the merge
-        for f in files:
-            st = (f.get("stats") or {}).get(key)
-            if st and st.get("min") is not None and st.get("max") is not None:
-                tag = st.get("t") or "str"
-                ranged.append(
-                    (_stat_decode(tag, st["min"]), _stat_decode(tag, st["max"]), f["path"])
-                )
-            else:
-                always.append(f["path"])
-        touched_idx = self._probe_touched_ranges(source, key, ranged)
-        touched = [ranged[i][2] for i in sorted(touched_idx)] + always
+        ranged, always = self._ranged_files(files)
+        touched_idx = self._probe_touched_ranges(source, self.key_cols, ranged)
+        touched = [ranged[i][3] for i in sorted(touched_idx)] + always
         old_v = self.current_version()
         snap = self._snapshot_dir(old_v)
         if not touched:
@@ -1408,45 +1494,106 @@ class ParquetKeyedTable:
         self._link_files(old_v, new_v, {f["path"] for f in files} - touched_set)
         return self._flip(new_v, "range_upsert")
 
+    def _ranged_files(self, files: Sequence[dict]) -> tuple[list[tuple], list[str]]:
+        """Split manifest files into probe-able intervals and
+        always-merged paths. Each bounded entry is
+        ``(lo_tuple, hi_tuple, prefix_len, path)``: the lexicographic
+        key-tuple bounds from manifest ``kb`` when present (exact —
+        first/last row of the key-sorted file), else the first key
+        column's footer interval as a 1-prefix bound. Files with
+        neither are conservatively always merged."""
+        key = self.key_cols[0]
+        bounded: list[tuple] = []
+        always: list[str] = []
+        for f in files:
+            kb = f.get("kb")
+            if kb and len(kb.get("lo", [])) == len(self.key_cols):
+                tags = kb["t"]
+                lo = tuple(_stat_decode(t, v) for t, v in zip(tags, kb["lo"]))
+                hi = tuple(_stat_decode(t, v) for t, v in zip(tags, kb["hi"]))
+                bounded.append((lo, hi, len(self.key_cols), f["path"]))
+                continue
+            st = (f.get("stats") or {}).get(key)
+            if st and st.get("min") is not None and st.get("max") is not None:
+                tag = st.get("t") or "str"
+                bounded.append(
+                    ((_stat_decode(tag, st["min"]),), (_stat_decode(tag, st["max"]),), 1, f["path"])
+                )
+            else:
+                always.append(f["path"])
+        return bounded, always
+
     @staticmethod
     def _probe_touched_ranges(
-        source: DataFrame, key: str, ranged: Sequence[tuple]
+        source: DataFrame, key_cols: Sequence[str], ranged: Sequence[tuple]
     ) -> set[int]:
-        """Indices of ``ranged`` ``(min, max, path)`` intervals that
-        contain at least one non-null source key. Exact for ANY
+        """Indices of ``ranged`` ``(lo_tuple, hi_tuple, prefix_len,
+        path)`` intervals containing at least one fully-non-null source
+        key tuple (a key with any null component matches no target row
+        under join equality, so it probes nothing). Exact for ANY
         interval structure (overlaps included). One Arrow-batched pass
-        over the source; driver traffic bounded by the file count."""
+        over the source; driver traffic bounded by the file count.
+
+        Single-column keys take a vectorized numpy searchsorted path;
+        composite keys sort the batch's key tuples once and
+        binary-search each file's lexicographic interval — prefix
+        bounds (footer-fallback files) compare on the tuple prefix,
+        which is order-consistent with the full-tuple sort."""
         if not ranged:
             return set()
+        n_files = len(ranged)
+        n_keys = len(key_cols)
         mins = [r[0] for r in ranged]
         maxs = [r[1] for r in ranged]
-        n_files = len(ranged)
+        plens = [r[2] for r in ranged]
+        scalar = n_keys == 1
 
         def probe(batches):
+            import bisect
+
             import numpy as np
             import pandas as pd
 
-            mn = np.array(mins, dtype=object)
-            mx = np.array(maxs, dtype=object)
             seen: set[int] = set()
+            if scalar:
+                mn = np.array([m[0] for m in mins], dtype=object)
+                mx = np.array([m[0] for m in maxs], dtype=object)
             for pdf in batches:
-                ks = pdf[key].dropna()
-                if ks.empty:
-                    continue
-                try:
-                    k = np.sort(ks.to_numpy(dtype=object))
-                    lo = np.searchsorted(k, mn, side="left")
-                    hi = np.searchsorted(k, mx, side="right")
-                    seen.update(int(i) for i in np.nonzero(hi > lo)[0])
-                except TypeError:
-                    # incomparable domains: never skip on a guess
-                    seen.update(range(n_files))
                 if len(seen) == n_files:
                     break
+                ks = pdf[list(key_cols)].dropna()
+                if ks.empty:
+                    continue
+                if scalar:
+                    try:
+                        k = np.sort(ks[key_cols[0]].to_numpy(dtype=object))
+                        lo = np.searchsorted(k, mn, side="left")
+                        hi = np.searchsorted(k, mx, side="right")
+                        seen.update(int(i) for i in np.nonzero(hi > lo)[0])
+                    except TypeError:
+                        # incomparable domains: never skip on a guess
+                        seen.update(range(n_files))
+                    continue
+                try:
+                    keys = sorted(map(tuple, ks.itertuples(index=False, name=None)))
+                except TypeError:
+                    seen.update(range(n_files))
+                    continue
+                for i in range(n_files):
+                    if i in seen:
+                        continue
+                    plen = plens[i]
+                    try:
+                        lo_i = bisect.bisect_left(keys, mins[i], key=lambda t: t[:plen])
+                        hi_i = bisect.bisect_right(keys, maxs[i], key=lambda t: t[:plen])
+                        if hi_i > lo_i:
+                            seen.add(i)
+                    except TypeError:
+                        seen.add(i)  # incomparable: never skip on a guess
             yield pd.DataFrame({"fid": sorted(seen)}, dtype="int32")
 
         hit = (
-            source.select(key)
+            source.select(*key_cols)
             .mapInPandas(probe, schema="fid int")
             .distinct()
             .collect()
@@ -1488,26 +1635,15 @@ class ParquetKeyedTable:
         merge. A delete that touches nothing is a no-op (no new
         version)."""
         m = self.manifest()
-        key = self.key_cols[0]
         files = (m or {}).get("files", [])
         if len(files) < self.MIN_SCOPED_FILES:
             target = self.read(spark)
             return self._commit(
                 delete_matching(target, keys_df, self.key_cols), "delete"
             )
-        ranged: list[tuple] = []
-        always: list[str] = []
-        for f in files:
-            st = (f.get("stats") or {}).get(key)
-            if st and st.get("min") is not None and st.get("max") is not None:
-                tag = st.get("t") or "str"
-                ranged.append(
-                    (_stat_decode(tag, st["min"]), _stat_decode(tag, st["max"]), f["path"])
-                )
-            else:
-                always.append(f["path"])
-        touched_idx = self._probe_touched_ranges(keys_df, key, ranged)
-        touched = [ranged[i][2] for i in sorted(touched_idx)] + always
+        ranged, always = self._ranged_files(files)
+        touched_idx = self._probe_touched_ranges(keys_df, self.key_cols, ranged)
+        touched = [ranged[i][3] for i in sorted(touched_idx)] + always
         old_v = self.current_version()
         if not touched:
             # provably-no-match delete still commits a version (DELETE

@@ -426,6 +426,98 @@ def test_salted_aggregate_matches_plain(spark):
     assert as_sorted_tuples(salted) == as_sorted_tuples(plain)
 
 
+def test_parquet_backed_odata_server_matches_in_memory(spark, tmp_path):
+    """ParquetBackedODataServer (executor-side fixture synthesis,
+    VERDICT r8 #8) serves byte-identical protocol responses to the
+    in-memory server over the same rows: $filter pushdown to the
+    parquet read, $select projection, $top paging and nextLink
+    continuation all agree."""
+    from bw_new_data_integration_spark.sources.odata_testing import (
+        InMemoryODataServer,
+        ParquetBackedODataServer,
+    )
+
+    p = str(tmp_path / "odata_tbl.parquet")
+    spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("int").alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    ).toPandas().to_parquet(p, index=False)
+    import pandas as pd
+
+    records = pd.read_parquet(p).to_dict("records")
+    mem = InMemoryODataServer(records)
+    pq_srv = ParquetBackedODataServer(p)
+
+    def walk(server, url):
+        out = []
+        while url:
+            page = server.fetch(url)
+            out.extend(page["value"])
+            url = page.get("@odata.nextLink")
+        return out
+
+    for url in (
+        "t?$select=k,v&$filter=g eq 3&$top=13",
+        "t?$top=97",
+        "t?$select=k&$filter=g eq 0 and k eq 7&$top=5",
+    ):
+        a, b = walk(mem, url), walk(pq_srv, url)
+        assert a == b, f"mismatch for {url}"
+    # a filter matching nothing pages cleanly
+    assert walk(pq_srv, "t?$filter=g eq 999&$top=10") == []
+
+
+def test_advised_aggregate_cost_gate(spark, tmp_path):
+    """advised_aggregate engages the sketch→hot_keys→salted composition
+    only when the input-size estimate clears the gate; below it (or
+    when nothing is advised hot) the plan is the plain one-phase GROUP
+    BY — no __salt column, no second exchange. Both branches are
+    value-identical."""
+    from bw_new_data_integration_spark.operators import aggregate
+
+    # file-backed input so plan_input_bytes has a real estimate; 90% of
+    # rows share one hot key
+    p = str(tmp_path / "skewed")
+    spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 50).cast("string")))
+        .alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    ).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    assert (aggregate.plan_input_bytes(df) or 0) > 0
+    measures = {
+        "n": (F.count(F.lit(1)), "sum"),
+        "s": (F.sum(F.col("v").cast("decimal(27,6)")), "sum"),
+        "mx": (F.max("v"), "max"),
+    }
+    plain = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(27,6)")).alias("s"),
+        F.max("v").alias("mx"),
+    )
+    # under the gate: plain plan (no salt column anywhere in the plan),
+    # identical values
+    import contextlib
+    import io
+
+    gated = aggregate.advised_aggregate(df, ["g"], measures)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gated.explain(extended=True)
+    assert "__salt" not in buf.getvalue()
+    assert as_sorted_tuples(gated) == as_sorted_tuples(plain)
+    # over the gate (forced): advisor engages, salts the hot key, same values
+    engaged = aggregate.advised_aggregate(df, ["g"], measures, min_input_bytes=0)
+    assert as_sorted_tuples(engaged) == as_sorted_tuples(plain)
+    # forced-on but nothing hot enough: falls back to plain
+    quiet = aggregate.advised_aggregate(
+        df, ["g"], measures, min_input_bytes=0, min_share=0.999
+    )
+    assert as_sorted_tuples(quiet) == as_sorted_tuples(plain)
+
+
 def test_stream_outer_join_evicts_state(spark, tmp_path):
     """Left-outer stream-stream join: unmatched probes emit exactly when
     their state is evicted — state_metrics must show removals, and state
@@ -1217,6 +1309,98 @@ def test_range_scoped_upsert_composite_key(spark, tmp_path):
     assert ("s06", "2024-01-03") not in {
         (r["store"], r["day"]) for r in t.read(spark).collect()
     }
+
+
+def test_cluster_layout_adopted_from_persisted_manifest(spark, tmp_path):
+    """Reopening an existing table WITHOUT an explicit cluster argument
+    adopts the persisted layout: a table written cluster='none' must
+    not silently flip to range-scoped merges (whose manifests would
+    claim a layout the older files don't satisfy). An explicit
+    mismatching argument is honored as a deliberate migration, with a
+    warning."""
+    import warnings as _w
+
+    p = str(tmp_path / "adopt")
+    t0 = ParquetKeyedTable(p, ["k"], cluster="none")
+    t0.overwrite(spark.createDataFrame([Row(k=i, v=i) for i in range(50)]))
+    assert t0.manifest()["cluster"] == "none"
+    # default reopen adopts the persisted layout
+    t1 = ParquetKeyedTable(p, ["k"])
+    assert t1.cluster == "none"
+    t1.upsert(spark, spark.createDataFrame([Row(k=1, v=-1)]))
+    assert t1.manifest()["cluster"] == "none"
+    # explicit mismatch: honored, but warned
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        t2 = ParquetKeyedTable(p, ["k"], cluster="range")
+    assert t2.cluster == "range"
+    assert any("persisted layout" in str(w.message) for w in caught)
+    # a fresh path stays on the unpartitioned default (range)
+    assert ParquetKeyedTable(str(tmp_path / "new"), ["k"]).cluster == "range"
+
+
+def test_range_scoped_upsert_tuple_bounds_shared_leading_key(spark, tmp_path):
+    """Tuple-boundary scoping (VERDICT r8 #3): when many composite keys
+    share ONE leading value (a hot store across (store, day) keys), the
+    leading column's interval covers every file, but the manifest's
+    lexicographic key-tuple bounds (kb: first/last row of each
+    key-sorted file) discriminate on the minor column — a one-key patch
+    rewrites only the file(s) whose day-range contains it. Proven
+    in-query by comparing against the same patch with kb stripped from
+    the manifest (footer-fallback probing), which touches every file."""
+    import json as _json
+
+    t = ParquetKeyedTable(str(tmp_path / "hot"), ["store", "day"])
+    t.upsert(spark, spark.createDataFrame(
+        [Row(store="hot", day=f"2024-{1 + i // 31:02d}-{1 + i % 31:02d}", v=i)
+         for i in range(600)]
+    ))
+    t.compact(spark, target_file_bytes=2048)
+    m0 = t.manifest()
+    n_files = m0["n_files"]
+    assert n_files >= 6
+    # every compacted file carries exact tuple bounds
+    assert all("kb" in f for f in m0["files"])
+    # all files share the single leading value: leading-interval probing
+    # cannot discriminate between them
+    assert all(f["kb"]["lo"][0] == "hot" and f["kb"]["hi"][0] == "hot"
+               for f in m0["files"])
+
+    patch = spark.createDataFrame([Row(store="hot", day="2024-03-15", v=-1)])
+    t.upsert(spark, patch)
+    m1 = t.manifest()
+    assert m1["operation"] == "range_upsert"
+    # tuple bounds: only the file(s) covering day 2024-03-15 rewritten
+    assert m1["n_linked"] >= n_files - 2, (
+        f"tuple scoping should link nearly all of {n_files} files, "
+        f"linked only {m1['n_linked']}"
+    )
+    got = {(r["store"], r["day"]): r["v"] for r in t.read(spark).collect()}
+    assert got[("hot", "2024-03-15")] == -1
+    assert len(got) == 600
+
+    # CONTROL: strip kb from the current manifest -> the probe falls
+    # back to the leading-column footer interval, which intersects every
+    # file, so the same one-key patch rewrites everything
+    mpath = os.path.join(t._snapshot_dir(t.current_version()), "_manifest.json")
+    with open(mpath) as fh:
+        man = _json.load(fh)
+    for f in man["files"]:
+        f.pop("kb", None)
+    with open(mpath, "w") as fh:
+        _json.dump(man, fh)
+    n_before = man["n_files"]
+    t.upsert(spark, spark.createDataFrame([Row(store="hot", day="2024-03-16", v=-2)]))
+    m2 = t.manifest()
+    assert m2["operation"] == "range_upsert"
+    assert m2["n_linked"] == 0, (
+        "leading-only fallback cannot skip any shared-leading-key file "
+        f"(expected 0 linked of {n_before}, got {m2['n_linked']})"
+    )
+    # and values stay correct under the coarser probe
+    got = {(r["store"], r["day"]): r["v"] for r in t.read(spark).collect()}
+    assert got[("hot", "2024-03-16")] == -2
+    assert got[("hot", "2024-03-15")] == -1
 
 
 def test_maybe_compact_policy(spark, tmp_path):
