@@ -54,13 +54,33 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     missed lopsided input serializes the whole stage — the asymmetry
     favors over-shuffling.
 
-    Leaf counting uses only the public surface (``df.explain()``
-    output; VERDICT r7 #4 — the previous private-py4j queryExecution
-    probe breaks under Spark Connect and on any py4j surface change).
-    An unrecognized plan format counts zero leaves and falls back to
-    REBALANCE — the safe side of the asymmetry above."""
-    target_parts = df.sparkSession.sparkContext.defaultParallelism
-    if _leaf_count(df) != 1 or df.rdd.getNumPartitions() < target_parts:
+    Leaf counting reads the public ``df.explain()`` output (VERDICT
+    r7 #4). The remaining probes prefer the exact classic surfaces
+    (``defaultParallelism``, ``rdd.getNumPartitions``) and fall back
+    to public ones on Spark Connect sessions, where those don't exist
+    (ADVICE r8): the partition floor from
+    ``spark.sql.shuffle.partitions`` (the width the downstream groupBy
+    gets anyway), the current scan width estimated from
+    ``inputFiles()`` bytes over ``spark.sql.files.maxPartitionBytes``.
+    Anything unestimable (unknown plan format, non-file-backed single
+    leaf, remote paths) falls back to REBALANCE — the safe side of the
+    asymmetry above."""
+    try:
+        target_parts = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        try:
+            target_parts = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            return df.repartition(F.col(id_col))  # width picked by conf/AQE
+    if _leaf_count(df) != 1:
+        return df.repartition(target_parts, F.col(id_col))
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no df.rdd; estimate from bytes
+        cur = _est_scan_partitions(df)
+    if cur is None or cur < target_parts:
         return df.repartition(target_parts, F.col(id_col))
     return df
 
@@ -86,6 +106,44 @@ def _leaf_count(df: DataFrame) -> int:
     except Exception:
         return 0
     return len(_LEAF_RE.findall(buf.getvalue()))
+
+
+def _size_to_bytes(s: str) -> int | None:
+    """Parse a Spark size conf value ('134217728', '128m', '1g',
+    '128MB') to bytes; None when unparseable."""
+    m = re.match(r"^\s*(\d+)\s*([kmgt]?)b?\s*$", s.lower())
+    if not m:
+        return None
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    return int(m.group(1)) * mult[m.group(2)]
+
+
+def _est_scan_partitions(df: DataFrame) -> int | None:
+    """Estimated scan-task count for a file-backed plan, from public
+    surfaces only: total ``inputFiles()`` bytes over
+    ``spark.sql.files.maxPartitionBytes`` (ignores small-file packing
+    and open costs, so it can only UNDER-estimate width — which errs
+    toward rebalancing, the safe side). None for non-file-backed plans
+    or paths this process can't stat (remote storage)."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in set(files):
+        p = uri[7:] if uri.startswith("file://") else uri
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    mpb = _size_to_bytes(
+        str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    ) or (128 << 20)
+    return max(1, -(-total // mpb))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1750,6 +1750,31 @@ def test_spread_rebalances_lopsided_union(spark):
     assert _spread(ok, "doc_id") is ok
 
 
+def test_spread_connect_fallback_estimators(spark, tmp_path):
+    """The Spark-Connect fallback probes _spread uses when df.rdd /
+    sparkContext don't exist (ADVICE r8): size-conf parsing and the
+    bytes-over-maxPartitionBytes scan-width estimate. The estimate may
+    only UNDER-state width (errs toward rebalancing, the safe side)."""
+    from bw_new_data_integration_spark.operators.dedup import (
+        _est_scan_partitions,
+        _size_to_bytes,
+    )
+
+    assert _size_to_bytes("134217728") == 134217728
+    assert _size_to_bytes("128m") == 128 << 20
+    assert _size_to_bytes("128MB") == 128 << 20
+    assert _size_to_bytes("1g") == 1 << 30
+    assert _size_to_bytes("garbage") is None
+
+    p = str(tmp_path / "est")
+    spark.range(50_000).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    est = _est_scan_partitions(df)
+    assert est is not None and 1 <= est <= df.rdd.getNumPartitions()
+    # non-file-backed plans are unestimable -> None (caller rebalances)
+    assert _est_scan_partitions(spark.range(10)) is None
+
+
 def test_kmeans_seeding_is_partial_topk_not_global_sort(spark):
     """VERDICT r7 #5 adjudication evidence: seed selection is NOT a
     full O(N log N) sort — Catalyst compiles orderBy().limit(k) to
