@@ -407,6 +407,67 @@ def main() -> None:
         print(f"# upsert_incremental_window: {wrows} rows in {dt:.2f}s "
               f"({wrows / dt:,.0f} rows/sec, partition-scoped)", file=sys.stderr)
 
+    # table-format history scaling (VERDICT r8 #7): a FIXED-size batch
+    # range-scope-merged into 1x vs 10x history on an unpartitioned
+    # range-clustered table. The layout's claim is commit cost
+    # O(touched + batch), not O(history): wall and touched-file count
+    # must stay ~flat while history grows 10x (the key-layout analogue
+    # of upsert_incremental_window's flat-across-history result).
+    def _range_history_sample(mult: int) -> tuple[float, int, int, int]:
+        tdir = tempfile.mkdtemp(prefix="bw_bench_rh_")
+        try:
+            base = registry["pipeline_daily_sales"](spark, sf_dir)
+            reps = spark.range(mult).select(F.col("id").alias("__rep"))
+            # replica id PREFIXES the key: history growth extends the
+            # key domain with new contiguous regions (the time-series
+            # shape — new periods append), instead of densifying the
+            # old ones
+            hist = (
+                base.crossJoin(F.broadcast(reps))
+                .withColumn(
+                    "business_key",
+                    F.concat_ws("#", F.col("__rep").cast("string"), "business_key"),
+                )
+                .drop("__rep")
+            )
+            t = ParquetKeyedTable(tdir, ["business_key"])
+            t.overwrite(hist)  # history load, untimed
+            # fixed batch regardless of mult: a CONTIGUOUS lexicographic
+            # slice of replica 0's keys (identical rows and key interval
+            # at 1x and 10x history) — the range-scoped merge's
+            # production shape, a key-local incremental batch
+            batch = (
+                base.where(F.col("business_key").between("5", "53"))
+                .withColumn("business_key", F.concat_ws("#", F.lit("0"), "business_key"))
+                .localCheckpoint(eager=True)
+            )
+            n_batch = batch.count()
+            m0 = t.manifest()
+            _cold_reset()
+            t0 = time.time()
+            t.upsert(spark, batch)
+            dt = time.time() - t0
+            m1 = t.manifest()
+            # history files the scoped merge actually read+rewrote
+            # (everything not carried forward as a hard link)
+            touched = m0["n_files"] - m1["n_linked"]
+            return dt, n_batch, touched, m0["n_files"]
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+
+    for _mult, _mname in ((1, "range_merge_hist1x"), (10, "range_merge_hist10x")):
+        if wanted(_mname):
+            dt, n_batch, touched, n_files = _range_history_sample(_mult)
+            per_query[_mname] = round(dt, 3)
+            reprobe_fns[_mname] = (
+                lambda _m=_mult: _range_history_sample(_m)[0]
+            )
+            print(
+                f"# {_mname}: {n_batch}-row fixed batch into {_mult}x history "
+                f"in {dt:.2f}s; touched {touched}/{n_files} files",
+                file=sys.stderr,
+            )
+
     # bare approx profile: the REGISTERED profile_table_approx gate now
     # embeds an exact twin (its error-bound oracle needs it), so its
     # time no longer measures the sketch plan alone. This metric keeps
@@ -467,13 +528,16 @@ def main() -> None:
         )
 
     def _skew_advised_sample() -> float:
-        # the advisor-driven hybrid plan (VERDICT r7 #6). Per-batch
-        # sketches are INGEST-time artifacts (maintained as batches
-        # land, like dedup_incremental_lsh's bucket index) — their
-        # one-off build is reported as skew_sketch_build, not charged
-        # to every query. The timed path is what a query actually pays:
-        # merge the stored sketches, hot_keys advises the salted set,
-        # hot keys take the two-phase aggregate, the tail the plain one.
+        # the COST-GATED advisor-driven hybrid plan (VERDICT r8 #4).
+        # Per-batch sketches are INGEST-time artifacts (maintained as
+        # batches land, like dedup_incremental_lsh's bucket index) —
+        # their one-off build is reported as skew_sketch_build, not
+        # charged to every query. The timed path is what a query
+        # actually pays: advised_aggregate's input-size gate decides
+        # plain-vs-advisor (sf0.1's 11 MB input falls through to plain;
+        # at sf1+ the advisor engages), merges the stored sketches,
+        # hot_keys advises the salted set, hot keys take the two-phase
+        # aggregate, the tail the plain one.
         from bw_new_data_integration_spark.operators import sketch as sk_ops
 
         batched = skewed.withColumn("b", F.spark_partition_id() % 4)
@@ -484,16 +548,15 @@ def main() -> None:
         per_query.setdefault("skew_sketch_build", round(time.time() - t0, 3))
 
         def run():
-            merged = sk_ops.topk_sketch_merge(stored, None, k=32)
-            hot = [r["key"] for r in sk_ops.hot_keys(merged, min_share=0.2).collect()]
-            return agg_ops.salted_aggregate(
+            return agg_ops.advised_aggregate(
                 skewed,
                 ["k"],
                 {
                     "s": (F.sum(F.col("l_quantity").cast("decimal(27,6)")), "sum"),
                     "n": (F.count(F.lit(1)), "sum"),
                 },
-                hot_only=F.col("k").isin(hot),
+                min_share=0.2,
+                stored_sketches=stored,
             ).count()
 
         return _timed_cold(run)
@@ -656,6 +719,13 @@ def main() -> None:
         "partial_only": sorted(only) if only else None,
         "common_core_wall": common_core_wall,
         "common_core_n": len(core_present),
+        # same-set wall over whatever core members exist in THIS record
+        # (VERDICT r8 #6): on a full sweep it equals the strict number;
+        # after a partial --only merge it is recomputed over the merged
+        # queries below, so scale sidecars built from chunked probes
+        # still self-report a cross-record comparable core wall.
+        "common_core_sameset_wall": common_core_wall,
+        "common_core_sameset_n": len(core_present),
         "common_core": COMMON_CORE,
         "mover_reprobe": mover_reprobe,
         "sf": sf,
@@ -712,8 +782,14 @@ def main() -> None:
             prev = None
         if prev and isinstance(prev.get("queries"), dict):
             prev["queries"].update(per_query)
+            # a query excluded in the base record (e.g. it failed the
+            # full sweep) that produced a value in THIS re-probe is no
+            # longer excluded — a monotone union would understate wall
+            # coverage forever (ADVICE r8)
+            succeeded_now = set(per_query) - set(excluded)
             prev["excluded_from_wall"] = sorted(
-                set(prev.get("excluded_from_wall") or []) | set(excluded)
+                (set(prev.get("excluded_from_wall") or []) - succeeded_now)
+                | set(excluded)
             )
             if prev.get("partial_only") is None:
                 # the base record was a FULL sweep: keep it labeled as
@@ -724,6 +800,14 @@ def main() -> None:
             prev["mover_reprobe"] = {
                 **(prev.get("mover_reprobe") or {}), **mover_reprobe
             }
+            # recompute the same-set core wall over the MERGED queries
+            # (partial-labeled records otherwise report only the
+            # probe's own core members — VERDICT r8 #6)
+            merged_core = [n for n in COMMON_CORE if n in prev["queries"]]
+            prev["common_core_sameset_wall"] = round(
+                sum(prev["queries"][n] for n in merged_core), 3
+            )
+            prev["common_core_sameset_n"] = len(merged_core)
             full = prev
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1)

@@ -662,11 +662,14 @@ def s10_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # $top paging, server-minted @odata.nextLink continuation (reference
 # load_store_hours.py:111-138, full_refresh_fy2023_2025.py:78-101),
 # feeding the J2 create-vs-update split end-to-end. The protocol runs
-# against the deterministic in-memory server (sources/odata_testing.py)
-# seeded from the customer table — records collect driver-side only to
-# SEED the fake endpoint (bounded, like s2's XMLA synthesis); the scan
-# itself runs the production reader: one $filter slice per nation,
-# each page-walked on an executor via mapInPandas.
+# against the deterministic parquet-backed server
+# (sources/odata_testing.py): the fixture is synthesized EXECUTOR-side
+# (VERDICT r8 #8) — what ships in the fetch closure is the parquet
+# path, and each slice walk loads only its own nation's rows via
+# predicate pushdown, so the gate runs at ANY scale factor (no driver
+# collect, no row cap). The scan itself runs the production reader:
+# one $filter slice per nation, each page-walked on an executor via
+# mapInPandas.
 # ---------------------------------------------------------------------------
 @register(
     "s9_odata_scan",
@@ -687,14 +690,15 @@ def s9_odata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from bw_new_data_integration_spark.sources import odata
-    from bw_new_data_integration_spark.sources.odata_testing import InMemoryODataServer
+    from bw_new_data_integration_spark.sources.odata_testing import (
+        ParquetBackedODataServer,
+    )
 
     c = _t(spark, sf_dir, "customer")
-    records = [
-        r.asDict()
-        for r in _collect_capped(c.orderBy("c_custkey"), 200_000, "s9_odata_scan")
-    ]
-    server = InMemoryODataServer(records)
+    server = ParquetBackedODataServer(
+        _os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal", "c_nationkey"],
+    )
     schema = T.StructType(
         [
             T.StructField("c_custkey", T.LongType()),
@@ -702,7 +706,11 @@ def s9_odata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("c_nationkey", T.IntegerType()),
         ]
     )
-    nations = sorted({r["c_nationkey"] for r in records})
+    # slice catalog: one $filter per nation — a 25-row distinct, the
+    # only thing the driver materializes
+    nations = sorted(
+        r["c_nationkey"] for r in c.select("c_nationkey").distinct().collect()
+    )
     scanned = odata.read_paged_partitioned(
         spark,
         lambda: server.fetch,

@@ -64,6 +64,13 @@ class InMemoryODataServer:
 
     # -- the server --------------------------------------------------------
 
+    def _matched(self, flt: str | None) -> list[dict]:
+        matched = self._filter_cache.get(flt)
+        if matched is None:
+            matched = [r for r in self.records if self._matches(r, flt)]
+            self._filter_cache[flt] = matched
+        return matched
+
     def fetch(self, url: str) -> dict:
         self.requests_served += 1
         entity, _, qs = url.partition("?")
@@ -73,10 +80,7 @@ class InMemoryODataServer:
         top = min(int(params.get("$top", self.page_size_cap)), self.page_size_cap)
         offset = int(params.get("$skiptoken", 0))
 
-        matched = self._filter_cache.get(flt)
-        if matched is None:
-            matched = [r for r in self.records if self._matches(r, flt)]
-            self._filter_cache[flt] = matched
+        matched = self._matched(flt)
         page = matched[offset : offset + top]
         if select:
             fields = select.split(",")
@@ -87,3 +91,43 @@ class InMemoryODataServer:
             nxt["$skiptoken"] = str(offset + top)
             out["@odata.nextLink"] = f"{entity}?{urlencode(nxt)}"
         return out
+
+
+class ParquetBackedODataServer(InMemoryODataServer):
+    """An InMemoryODataServer whose table is a PARQUET FILE, loaded
+    lazily with the ``$filter`` pushed down to the read (VERDICT r8
+    #8: distributed fixture synthesis).
+
+    What ships in a ``fetch_factory`` closure is the path string, not
+    the rows — so the s9 paged-scan gate can run at ANY scale factor:
+    each executor-side slice walk reads only its own slice's rows
+    (pyarrow predicate pushdown on the equality conjunction), never
+    the whole table, and the driver never collects fixture rows at
+    all. The paging/projection/continuation protocol is inherited
+    unchanged."""
+
+    def __init__(
+        self, path: str, columns: list[str] | None = None, page_size_cap: int = 5000
+    ) -> None:
+        super().__init__([], page_size_cap)
+        self.path = path
+        self.columns = list(columns) if columns else None
+
+    def _matched(self, flt: str | None) -> list[dict]:
+        matched = self._filter_cache.get(flt)
+        if matched is None:
+            import pyarrow.parquet as pq
+
+            filters = None
+            if flt:
+                filters = []
+                for clause in flt.split(" and "):
+                    field, op, value = clause.split(" ", 2)
+                    if op != "eq":
+                        raise ValueError(f"unsupported $filter operator: {op}")
+                    filters.append((field, "==", self._literal(value)))
+            matched = pq.read_table(
+                self.path, columns=self.columns, filters=filters
+            ).to_pylist()
+            self._filter_cache[flt] = matched
+        return matched
