@@ -1111,6 +1111,67 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cost-gated advisor entry point (VERDICT r8 #4): at oracle SF the
+# lineitem scan is far under advised_aggregate's 64 MB gate, so the
+# production entry point must FALL THROUGH to the plain one-phase
+# GROUP BY — this gate value-proves that path against the same plain
+# oracle (the engaged path is value-proven by skew_advisor_salted_e2e,
+# and the cost-gate pytest proves both branches agree on one input).
+# ---------------------------------------------------------------------------
+@register(
+    "skew_agg_cost_gated",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN m >= 512 THEN 0 WHEN m >= 256 THEN 1 WHEN m >= 128 THEN 2
+              WHEN m >= 64 THEN 3 WHEN m >= 32 THEN 4 WHEN m >= 16 THEN 5
+              WHEN m >= 8 THEN 6 WHEN m >= 4 THEN 7 WHEN m >= 2 THEN 8
+              ELSE 9 END AS skew_key,
+         l_quantity, l_extendedprice
+  FROM (SELECT l_orderkey % 1024 AS m, l_quantity, l_extendedprice FROM lineitem)
+)
+SELECT CAST(skew_key AS INT) AS skew_key,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM s GROUP BY 1
+""",
+)
+def skew_agg_cost_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """advised_aggregate under the input-size gate: small inputs take the plain one-phase plan; same values either way."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 1024).alias("m"), "l_quantity", "l_extendedprice"
+    )
+    key = (
+        F.when(F.col("m") >= 512, 0).when(F.col("m") >= 256, 1)
+        .when(F.col("m") >= 128, 2).when(F.col("m") >= 64, 3)
+        .when(F.col("m") >= 32, 4).when(F.col("m") >= 16, 5)
+        .when(F.col("m") >= 8, 6).when(F.col("m") >= 4, 7)
+        .when(F.col("m") >= 2, 8).otherwise(9)
+    )
+    skewed = li.select(
+        key.cast("int").alias("skew_key"), "l_quantity", "l_extendedprice"
+    )
+    out = aggregate.advised_aggregate(
+        skewed,
+        ["skew_key"],
+        {
+            "n": (F.count(F.lit(1)), "sum"),
+            "sum_qty": (F.sum(F.col("l_quantity").cast("decimal(27,6)")), "sum"),
+            "min_price": (F.min("l_extendedprice"), "min"),
+            "max_price": (F.max("l_extendedprice"), "max"),
+        },
+    )
+    return out.select(
+        "skew_key",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketch → advisor → salted plan, end-to-end (VERDICT r7 #6). The r7
 # round gated the pieces separately (heavy_hitters_sketch pins the
 # sketch, salted_skew_aggregate pins salted == plain); this gate runs

@@ -472,6 +472,12 @@ def _streaming_dedup_plan(spark: SparkSession, sf_dir: str, bounded: bool) -> Da
     # every event twice
     shutil.copy(_os.path.join(sf_dir, "events.parquet"), _os.path.join(staging, "copy1.parquet"))
     shutil.copy(_os.path.join(sf_dir, "events.parquet"), _os.path.join(staging, "copy2.parquet"))
+    # single availableNow batch, deliberately: a multi-batch variant
+    # (maxFilesPerTrigger=1) was measured and REJECTED at sf10 — the
+    # second batch mass-evicts the entire 10M-key horizon in one state
+    # maintenance step (116s vs 26s single-batch; eviction is priced
+    # for steady drip, not one cliff). Steady-state boundedness is
+    # pinned by the eviction pytest; this gate pins value semantics.
     events = st.read_event_stream(spark, staging)
     if bounded:
         deduped = st.dedup_stream(events, keys=("event_id",), watermark="14 days")

@@ -100,7 +100,16 @@ def _stat_encode(v):
     import datetime
     import decimal
 
-    if isinstance(v, (datetime.date, datetime.datetime)):
+    if isinstance(v, datetime.datetime):
+        # normalize to UTC-NAIVE: footer stats of INT64-micros columns
+        # decode tz-aware, but probe/predicate values (pandas batches,
+        # user literals under the pinned UTC session) are naive — a
+        # mixed aware/naive comparison raises and every conservative
+        # path would silently stop skipping on timestamp columns
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return str(v)
@@ -139,10 +148,16 @@ def _coerce_pred_value(tag: str, v):
         return datetime.date.fromisoformat(str(v))
     if tag == "ts":
         if isinstance(v, datetime.datetime):
-            return v
-        if isinstance(v, datetime.date):
-            return datetime.datetime(v.year, v.month, v.day)
-        return datetime.datetime.fromisoformat(str(v))
+            pass
+        elif isinstance(v, datetime.date):
+            v = datetime.datetime(v.year, v.month, v.day)
+        else:
+            v = datetime.datetime.fromisoformat(str(v))
+        # stats are stored UTC-naive (see _stat_encode); bring aware
+        # literals into the same domain
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v
     return str(v)
 
 

@@ -34,7 +34,12 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str, schema: T.StructType = EVENTS_SCHEMA) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over a directory of event files. In
     production this is Kafka/CDC; the file source exercises the same
     plan.
@@ -58,7 +63,14 @@ def read_event_stream(spark: SparkSession, path: str, schema: T.StructType = EVE
        difference."""
     if isinstance(schema["ts"].dataType, T.LongType):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # sequential micro-batches (one file each): the replay /
+        # redelivery shape — a later delivery arrives AFTER the
+        # watermark advanced, so watermark-bounded operators downstream
+        # actually exercise late-drop and state eviction
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif not isinstance(df.schema["ts"].dataType, T.TimestampType):

@@ -1311,6 +1311,61 @@ def test_range_scoped_upsert_composite_key(spark, tmp_path):
     }
 
 
+def test_range_scoping_and_pruning_on_timestamp_keys(spark, tmp_path):
+    """Timestamp business keys get real data skipping: INT64-micros
+    writes carry footer min/max (legacy INT96 had none), stats and kb
+    bounds are stored UTC-NAIVE so they compare cleanly with naive
+    probe/predicate values (a mixed aware/naive comparison would raise
+    and silently disable every skip path). Pins both the range-scoped
+    merge on a (ts, str) composite key and read_where pruning on a ts
+    predicate."""
+    import datetime as _dt
+
+    t = ParquetKeyedTable(str(tmp_path / "tsk"), ["event_hour", "event_type"])
+    rows = spark.range(0, 24 * 60).select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=(F.col("id") % 720).cast("int"))).alias("event_hour"),
+        F.when(F.col("id") % 2 == 0, "click").otherwise("view").alias("event_type"),
+        F.col("id").alias("n"),
+    ).dropDuplicates(["event_hour", "event_type"])
+    t.upsert(spark, rows)
+    t.compact(spark, target_file_bytes=2048)
+    m0 = t.manifest()
+    assert m0["n_files"] >= ParquetKeyedTable.MIN_SCOPED_FILES
+    # ts footer stats exist and are tz-naive encoded
+    st = m0["files"][0]["stats"]["event_hour"]
+    assert st["t"] == "ts" and "+" not in st["min"]
+    assert all("kb" in f for f in m0["files"])
+
+    # a one-hour patch must touch ~1 file, not the month
+    patch = spark.createDataFrame(
+        [(_dt.datetime(2024, 1, 10, 12, 0), "click", -1)],
+        "event_hour timestamp, event_type string, n bigint",
+    )
+    t.upsert(spark, patch)
+    m1 = t.manifest()
+    assert m1["operation"] == "range_upsert"
+    assert m1["n_linked"] >= m0["n_files"] - 2, (
+        f"ts-key scoping must link nearly all of {m0['n_files']} files, "
+        f"linked {m1['n_linked']}"
+    )
+    got = t.read(spark).where(
+        (F.col("event_hour") == F.lit("2024-01-10 12:00:00").cast("timestamp"))
+        & (F.col("event_type") == "click")
+    ).collect()
+    assert [r["n"] for r in got] == [-1]
+
+    # read_where prunes files on a naive ts predicate
+    _, rep = t.read_where(
+        spark,
+        [("event_hour", "between",
+          (_dt.datetime(2024, 1, 10, 0, 0), _dt.datetime(2024, 1, 10, 23, 0)))],
+        with_report=True,
+    )
+    assert rep["files_skipped"] > 0
+    assert rep["files_read"] < rep["files_total"]
+
+
 def test_cluster_layout_adopted_from_persisted_manifest(spark, tmp_path):
     """Reopening an existing table WITHOUT an explicit cluster argument
     adopts the persisted layout: a table written cluster='none' must
