@@ -1,18 +1,32 @@
-"""Custom stateful streaming operator: gap-based sessionization via
-``applyInPandasWithState``.
+"""Custom stateful streaming operator: gap-based sessionization,
+dual-engine.
 
 The batch twin (operators/window_ops.sessionize) is a window function;
 continuously, per-user session state must live across micro-batches —
-exactly the shape Structured Streaming's arbitrary-state API exists
+exactly the shape Structured Streaming's arbitrary-state APIs exist
 for. State per user = (last event time, sessions so far); a new
 session starts when the gap since the last event exceeds the
 threshold. Arrow-batched: the Python function sees pandas frames, one
 group per call, and the state store scales with distinct users, not
 events.
 
+Engines (the same seam, availability probe, and shared-fold
+discipline as tws.stream_running_ledger / topk.stream_heavy_hitters):
+``applyInPandasWithState`` carries the state as one opaque tuple;
+``transformWithStateInPandas`` (the Spark-4 forward path — named
+state, TTL, timers) holds it in a named ValueState and needs the
+protobuf runtime, so ``engine="auto"`` feature-detects and falls back.
+Both engines fold batches through the SAME code object
+(``_sessions_fold``), so their arithmetic cannot drift.
+
 Run with an ``availableNow`` trigger this computes the same answer as
 the batch operator — the cutover contract between scheduled-batch and
 continuous mode.
+
+Scale note (docs/SCALING.md r9): the measured cost is ≈0.3 µs/event
+JVM-side plus ≈95 µs/user-per-batch on the Python state API (one call,
+one state round-trip, one one-row frame per group) — wall scales with
+the KEYSPACE, the API's per-group floor, not with plan waste.
 """
 
 from __future__ import annotations
@@ -22,6 +36,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = T.StructType(
@@ -40,14 +55,47 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Per-user running session count over an event-time stream.
+def _sessions_fold(
+    last_s: int | None, n_sessions: int, ts: pd.Series, gap_s: int
+) -> tuple[int | None, int]:
+    """Fold one micro-batch of event times into the (last_s,
+    n_sessions) state tuple — shared by both engines so they cannot
+    drift. Whole-second truncation per event matches the batch
+    operator (ts.cast('long')); Arrow may deliver ns or us resolution,
+    divide by the actual unit."""
+    per_sec = {"datetime64[ns]": 1_000_000_000, "datetime64[us]": 1_000_000}[str(ts.dtype)]
+    ts_s = (ts.astype("int64") // per_sec).sort_values()
+    for t in ts_s:
+        if last_s is None or t - last_s > gap_s:
+            n_sessions += 1
+        last_s = int(t)
+    return last_s, n_sessions
 
-    Emits one (user_id, n_sessions) row per user per micro-batch in
-    update mode; the latest row per user is the current count.
-    """
-    gap_s = gap_minutes * 60
 
+class SessionizeProcessor(StatefulProcessor):
+    """Per-user (last_s, n_sessions) in a named ValueState; one updated
+    row per user per micro-batch (transformWithStateInPandas engine)."""
+
+    def __init__(self, gap_s: int) -> None:
+        self._gap_s = gap_s
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("sessions", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        last_s, n_sessions = self._state.get() if self._state.exists() else (None, 0)
+        for pdf in rows:
+            last_s, n_sessions = _sessions_fold(last_s, n_sessions, pdf["ts"], self._gap_s)
+        self._state.update((last_s, n_sessions))
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n_sessions]})
+
+    def close(self) -> None:
+        pass
+
+
+def _sessionize_apply_in_pandas(events: DataFrame, gap_s: int) -> DataFrame:
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -55,27 +103,46 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             last_s, n_sessions = state.get
         else:
             last_s, n_sessions = None, 0
-        # whole-second truncation per event matches the batch operator
-        # (ts.cast('long')) — streaming and batch must agree exactly.
-        # Arrow may deliver ns or us resolution; divide by the actual unit.
         ts = pd.concat([pdf["ts"] for pdf in pdfs])
-        per_sec = {"datetime64[ns]": 1_000_000_000, "datetime64[us]": 1_000_000}[str(ts.dtype)]
-        ts_s = (ts.astype("int64") // per_sec).sort_values()
-        for t in ts_s:
-            if last_s is None or t - last_s > gap_s:
-                n_sessions += 1
-            last_s = int(t)
+        last_s, n_sessions = _sessions_fold(last_s, n_sessions, ts, gap_s)
         state.update((last_s, n_sessions))
         yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [n_sessions]})
 
-    return (
-        events.select("user_id", "ts")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            update,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_sessionize(
+    events: DataFrame, gap_minutes: int = 30, engine: str = "auto"
+) -> DataFrame:
+    """Per-user running session count over an event-time stream.
+
+    Emits one (user_id, n_sessions) row per user per micro-batch in
+    update mode; the latest row per user is the current count.
+
+    ``engine``: ``"tws"`` = transformWithStateInPandas (named state,
+    the Spark-4 forward path; needs the protobuf runtime),
+    ``"apply_in_pandas"`` = applyInPandasWithState (no extra deps),
+    ``"auto"`` = tws where available, else the fallback.
+    """
+    from bw_new_data_integration_spark.streaming.tws import tws_available
+
+    gap_s = gap_minutes * 60
+    keyed = events.select("user_id", "ts")
+    if engine == "auto":
+        engine = "tws" if tws_available() else "apply_in_pandas"
+    if engine == "apply_in_pandas":
+        return _sessionize_apply_in_pandas(keyed, gap_s)
+    if engine != "tws":
+        raise ValueError(f"unknown engine {engine!r}")
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionizeProcessor(gap_s),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -762,10 +762,25 @@ def test_streaming_rocksdb_state_store_matches_default(spark, tmp_path):
     assert len(rocks) > 0
 
 
-def test_stream_sessionize_state_spans_microbatches(spark, tmp_path):
-    """applyInPandasWithState sessionization must carry (last_ts,
-    count) state across micro-batches: two files processed one per
-    trigger must give the same per-user counts as the batch operator."""
+def _sess_engines():
+    from bw_new_data_integration_spark.streaming.tws import tws_available
+
+    engines = ["apply_in_pandas"]
+    if tws_available():
+        engines.append("tws")  # protobuf runtime present: exercise both
+    return engines
+
+
+@pytest.mark.parametrize("engine", _sess_engines())
+def test_stream_sessionize_state_spans_microbatches(spark, tmp_path, engine):
+    """Stateful sessionization must carry (last_ts, count) state across
+    micro-batches: two files processed one per trigger must give the
+    same per-user counts as the batch operator. Parametrized over the
+    dual engines (same seam as heavy hitters / the ledger): both fold
+    through _sessions_fold, and the tws engine additionally runs
+    wherever protobuf is importable."""
+    import uuid
+
     from pyspark.sql import functions as F
 
     from bw_new_data_integration_spark import catalog
@@ -792,10 +807,11 @@ def test_stream_sessionize_state_spans_microbatches(spark, tmp_path):
     # staged files carry real timestamps (unlike the raw ns fixture
     # files), so stream with the batch schema directly
     events = spark.readStream.schema(ev.schema).parquet(src)
-    sessions = stream_sessionize(events, gap_minutes=30)
+    sessions = stream_sessionize(events, gap_minutes=30, engine=engine)
+    qname = "sess_mb_" + uuid.uuid4().hex[:6]
     q = (
         sessions.writeStream.format("memory")
-        .queryName("sess_mb")
+        .queryName(qname)
         .outputMode("update")
         .option("maxFilesPerTrigger", "1")
         .trigger(availableNow=True)
@@ -804,7 +820,7 @@ def test_stream_sessionize_state_spans_microbatches(spark, tmp_path):
     q.awaitTermination()
     got = {
         r["user_id"]: r["n"]
-        for r in spark.table("sess_mb")
+        for r in spark.table(qname)
         .groupBy("user_id")
         .agg(F.max("n_sessions").alias("n"))
         .collect()
