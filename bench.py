@@ -134,6 +134,7 @@ OPTIONAL = [
     "skew_advisor_salted_e2e",
     "k1_dedupe_latest_window_baseline",
     "k10_range_merge_scoping",
+    "k11_incremental_rollup",
 ]
 
 
@@ -465,6 +466,65 @@ def main() -> None:
             print(
                 f"# {_mname}: {n_batch}-row fixed batch into {_mult}x history "
                 f"in {dt:.2f}s; touched {touched}/{n_files} files",
+                file=sys.stderr,
+            )
+
+    # incremental-rollup refresh vs base size: fixed churn (a
+    # contiguous-key patch of replica 0), 1x vs 10x base. The refresh
+    # reads the file-pruned change feed + the 101-group rollup, never
+    # the base — the wall must track the churn, not the base size
+    # (the materialized-view analogue of range_merge_hist*).
+    def _matview_refresh_sample(mult: int) -> tuple[float, int, int]:
+        from bw_new_data_integration_spark import catalog
+        from bw_new_data_integration_spark.operators.matview import maintain_rollup
+
+        tdir = tempfile.mkdtemp(prefix="bw_bench_mv_")
+        try:
+            o = catalog.load(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("k"),
+                (F.col("o_custkey") % 101).cast("bigint").alias("grp"),
+                F.col("o_totalprice").cast("double").alias("price"),
+            )
+            reps = spark.range(mult).select(F.col("id").alias("__rep"))
+            # replica id shifts the key domain: base growth appends new
+            # contiguous key regions (time-series shape)
+            hist = (
+                o.crossJoin(F.broadcast(reps))
+                .withColumn("k", F.col("__rep") * F.lit(1_000_000_000) + F.col("k"))
+                .drop("__rep")
+            )
+            t = ParquetKeyedTable(tdir + "/base", ["k"])
+            t.overwrite(hist)  # untimed load
+            roll = ParquetKeyedTable(tdir + "/roll", ["grp"])
+            maintain_rollup(spark, t, roll, ["grp"], {"sum_price": "price"})  # untimed bootstrap
+            v0 = t.current_version()
+            batch = (
+                o.where((F.col("k") >= 1000) & (F.col("k") < 3000))
+                .withColumn("price", F.col("price") * 3)
+                .localCheckpoint(eager=True)
+            )
+            t.upsert(spark, batch)  # untimed base commit (measured by range_merge_hist*)
+            feed_files = sum(map(len, t._changed_file_sets(v0, t.current_version())))
+            control_files = t.manifest(v0)["n_files"] + t.manifest()["n_files"]
+            _cold_reset()
+            t0 = time.time()
+            maintain_rollup(spark, t, roll, ["grp"], {"sum_price": "price"})
+            dt = time.time() - t0
+            return dt, feed_files, control_files
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+
+    for _mult, _mname in ((1, "matview_refresh_1x"), (10, "matview_refresh_10x")):
+        if wanted(_mname):
+            dt, feed_files, n_files = _matview_refresh_sample(_mult)
+            per_query[_mname] = round(dt, 3)
+            reprobe_fns[_mname] = (
+                lambda _m=_mult: _matview_refresh_sample(_m)[0]
+            )
+            print(
+                f"# {_mname}: fixed-churn rollup refresh over {_mult}x base "
+                f"in {dt:.2f}s; feed scanned {feed_files} files vs "
+                f"{n_files} unpruned (both snapshots)",
                 file=sys.stderr,
             )
 

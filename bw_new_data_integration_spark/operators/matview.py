@@ -1,0 +1,212 @@
+"""Incremental materialized-view (rollup) maintenance from the keyed
+table's change data feed.
+
+The reference recomputes every aggregate from scratch on each sync
+(modules/olap_sync.py re-pulls and re-aggregates the full slice; the
+nightly cron re-syncs a whole trailing window, truenas/cron-jobs.txt).
+At 100 TB a from-scratch rollup is a full-table scan per refresh; the
+scale-correct shape is *algebraic view maintenance*: additive measures
+(SUM / COUNT) are updated from the signed change feed alone —
+
+    insert / update_postimage  →  +value
+    delete / update_preimage   →  -value
+
+so a refresh costs O(churn in the base) + O(changed groups in the
+rollup), never O(base). The feed itself is file-pruned
+(``ParquetKeyedTable.changes``: hard-link identity excludes carried-
+forward files), and the rollup write is the ordinary range-scoped
+merge, so both ends of the refresh touch only what moved.
+
+Exactness: measures are summed as DECIMAL(27,6) and stored as
+DECIMAL(38,6). Decimal addition is exact and associative, so the
+incrementally-maintained rollup is BIT-equal to a from-scratch
+recompute — the k11 gate's DuckDB oracle proves exactly that. (Float
+sums would drift: (a+b)-b != a in IEEE754.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+# sums are exact under this pair: cast-to-(27,6) before the sum bounds
+# each term; the stored (38,6) leaves 11 integer digits of headroom for
+# the running total (overflow → null under non-ANSI arithmetic, which
+# the n_rows invariant would surface as a hash mismatch, never silence)
+_TERM_TYPE = "decimal(27,6)"
+_STORE_TYPE = "decimal(38,6)"
+
+
+def _state_path(rollup: ParquetKeyedTable) -> str:
+    return os.path.join(rollup.path, "_matview_state.json")
+
+
+def _read_state(rollup: ParquetKeyedTable) -> dict | None:
+    try:
+        with open(_state_path(rollup)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_state(rollup: ParquetKeyedTable, state: dict) -> None:
+    os.makedirs(rollup.path, exist_ok=True)
+    tmp = _state_path(rollup) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, _state_path(rollup))
+
+
+def _full_rollup(
+    base_df: DataFrame,
+    group_cols: Sequence[str],
+    sum_measures: Mapping[str, str],
+    count_col: str,
+) -> DataFrame:
+    aggs = [
+        F.sum(F.col(src).cast(_TERM_TYPE)).cast(_STORE_TYPE).alias(out)
+        for out, src in sum_measures.items()
+    ]
+    aggs.append(F.count(F.lit(1)).alias(count_col))
+    return base_df.groupBy(*group_cols).agg(*aggs)
+
+
+def maintain_rollup(
+    spark: SparkSession,
+    base: ParquetKeyedTable,
+    rollup: ParquetKeyedTable,
+    group_cols: Sequence[str],
+    sum_measures: Mapping[str, str],
+    count_col: str = "n_rows",
+) -> dict:
+    """Bring ``rollup`` (a grouped SUM/COUNT aggregate of ``base``,
+    keyed on ``group_cols``) up to date with the base table's current
+    version by applying only the change feed since the last refresh.
+
+    First call bootstraps: full aggregate of the current base snapshot,
+    written as the rollup's v0. Every later call reads
+    ``base.changes(last_reflected, current, include_preimages=True)``
+    — file-pruned, O(churn) — folds it into signed per-group deltas,
+    and merges only the CHANGED groups into the rollup (range-scoped);
+    groups whose row count reaches zero are deleted. A call with no
+    base movement is a no-op (no new rollup commit).
+
+    ``sum_measures`` maps rollup output column → base source column.
+    Returns a stats dict: versions spanned, groups upserted/deleted.
+    """
+    group_cols = list(group_cols)
+    if list(rollup.key_cols) != group_cols:
+        raise ValueError(
+            f"rollup key_cols {rollup.key_cols} must equal group_cols {group_cols}"
+        )
+    current = base.current_version()
+    if current < 0:
+        raise ValueError("base table has no committed version")
+    state = _read_state(rollup)
+
+    # retention raced the refresh: the last-reflected base snapshot was
+    # vacuumed, so no change feed from it exists — fall back to a full
+    # re-bootstrap (correct, just not incremental). At 100 TB this is
+    # the operational guard for retention windows shorter than the
+    # refresh lag.
+    if state is not None and not os.path.isdir(
+        base._snapshot_dir(int(state["base_version"]))
+    ):
+        state = None
+
+    if state is None or not rollup.exists():
+        snap = _full_rollup(
+            base.read(spark), group_cols, sum_measures, count_col
+        )
+        rollup.overwrite(snap)
+        _write_state(rollup, {"base_path": base.path, "base_version": current})
+        return {
+            "action": "bootstrap",
+            "from_version": None,
+            "to_version": current,
+            "groups_upserted": None,
+            "groups_deleted": 0,
+        }
+
+    reflected = int(state["base_version"])
+    if reflected == current:
+        return {
+            "action": "noop",
+            "from_version": reflected,
+            "to_version": current,
+            "groups_upserted": 0,
+            "groups_deleted": 0,
+        }
+
+    ch = base.changes(spark, reflected, current, include_preimages=True)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    d_aggs = [
+        F.sum(sign.cast(_TERM_TYPE) * F.col(src).cast(_TERM_TYPE))
+        .cast(_STORE_TYPE)
+        .alias(f"__d_{out}")
+        for out, src in sum_measures.items()
+    ]
+    d_aggs.append(F.sum(sign).alias("__d_rows"))
+    delta = ch.groupBy(*group_cols).agg(*d_aggs)
+
+    cur = rollup.read(spark)
+    # left join: only groups the feed touched flow; a measure delta can
+    # be null (all contributing values null) — contributes nothing
+    joined = delta.join(cur, on=group_cols, how="left")
+    new = joined.select(
+        *group_cols,
+        *(
+            (
+                F.coalesce(F.col(out), F.lit(0).cast(_STORE_TYPE))
+                + F.coalesce(F.col(f"__d_{out}"), F.lit(0).cast(_STORE_TYPE))
+            )
+            .cast(_STORE_TYPE)
+            .alias(out)
+            for out in sum_measures
+        ),
+        (
+            F.coalesce(F.col(count_col), F.lit(0).cast("bigint"))
+            + F.col("__d_rows")
+        ).alias(count_col),
+    )
+    # the changed-group frame feeds two commits plus their counts —
+    # materialize it once (it is small: changed groups only, never the
+    # base or the full rollup). Spark Connect lacks localCheckpoint;
+    # there the pure-JVM plan just recomputes per action (correct).
+    try:
+        new = new.localCheckpoint(eager=True)
+    except Exception:
+        pass
+    live = new.where(F.col(count_col) > 0)
+    dead = new.where(F.col(count_col) <= 0).select(*group_cols)
+
+    # one counting job for both branches, off the checkpointed frame
+    counts = {
+        r["alive"]: r["n"]
+        for r in new.groupBy((F.col(count_col) > 0).alias("alive"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    upserted = int(counts.get(True, 0))
+    if upserted:
+        rollup.upsert(spark, live)
+    deleted = int(counts.get(False, 0))
+    if deleted:
+        rollup.delete_keys(spark, dead)
+
+    _write_state(rollup, {"base_path": base.path, "base_version": current})
+    return {
+        "action": "incremental",
+        "from_version": reflected,
+        "to_version": current,
+        "groups_upserted": upserted,
+        "groups_deleted": deleted,
+    }

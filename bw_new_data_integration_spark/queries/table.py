@@ -497,3 +497,102 @@ def k10_range_merge_scoping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(scoped).alias("scoped"),
         F.lit(linked_majority).alias("linked_majority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K11 — incremental materialized-view maintenance: a grouped SUM/COUNT
+# rollup kept current from the base table's change feed, never by
+# rescanning the base. The reference recomputes every aggregate from
+# scratch on each sync (modules/olap_sync.py re-pulls and re-aggregates
+# the full slice per run; the nightly cron re-syncs a whole trailing
+# window, truenas/cron-jobs.txt:12) — algebraic maintenance replaces
+# that with O(churn): signed deltas from the file-pruned CDF
+# (insert/update_postimage +, delete/update_preimage −), summed as
+# exact decimals so the maintained rollup is BIT-equal to a recompute.
+# The oracle IS the from-scratch recompute of the final state; the
+# feed_pruned flag proves in-query that the last refresh's diff scanned
+# fewer files than the unpruned control (hard-link identity pruning).
+# ---------------------------------------------------------------------------
+@register(
+    "k11_incremental_rollup",
+    oracle="""
+WITH src AS (  -- 1/3 of orders: the gate is a table LIFECYCLE (5
+               -- commits + 3 refreshes), sized to stay cheap at sf0.1
+  SELECT o_orderkey AS k, o_custkey % 101 AS grp,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v0 AS (SELECT * FROM src WHERE k % 7 IN (0, 1, 2, 3)),
+v2 AS (  -- upsert: %7 in (2,3) price*2 update, (4,5) insert
+  SELECT k, grp, CASE WHEN k % 7 IN (2, 3) THEN price * 2 ELSE price END AS price
+  FROM v0
+  UNION ALL
+  SELECT k, grp, price * 2 FROM src WHERE k % 7 IN (4, 5)
+),
+v3 AS (SELECT * FROM v2 WHERE k % 7 <> 0),  -- delete %7 = 0
+patch AS (  -- contiguous-key upsert: every src key in [1000, 3000)
+  SELECT k, grp, price * 3 AS price FROM src WHERE k >= 1000 AND k < 3000
+),
+v4 AS (
+  SELECT * FROM v3 WHERE k < 1000 OR k >= 3000
+  UNION ALL
+  SELECT * FROM patch
+)
+SELECT CAST(grp AS BIGINT) AS grp,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS feed_pruned
+FROM v4 GROUP BY grp
+""",
+)
+def k11_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance from the file-pruned change feed (O(churn) refresh, bit-equal to recompute)."""
+    import tempfile
+
+    from bw_new_data_integration_spark.operators.matview import maintain_rollup
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_custkey") % 101).cast("bigint").alias("grp"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="bw_mv_")
+    base = ParquetKeyedTable(root + "/base", ["k"])
+    roll = ParquetKeyedTable(root + "/roll", ["grp"])
+    mv = lambda: maintain_rollup(  # noqa: E731
+        spark, base, roll, ["grp"], {"sum_price": "price"}
+    )
+
+    base.overwrite(o.where(F.col("k") % 7 <= 3))
+    mv()  # bootstrap: full aggregate, once
+    base.upsert(
+        spark,
+        o.where((F.col("k") % 7).isin(2, 3, 4, 5)).withColumn(
+            "price", F.col("price") * 2
+        ),
+    )
+    base.delete_keys(spark, o.where(F.col("k") % 7 == 0).select("k"))
+    # right-size into ~12 files at ANY sf so file-pruning has grain
+    # (a compact is a logical no-op the refresh must see through —
+    # the empty-delta/no-commit pin lives in pytest)
+    base.compact(spark, target_file_bytes=max(1, base.manifest()["total_bytes"] // 12))
+    mv()  # ONE refresh spanning upsert + delete + compact (multi-version feed)
+    v_pre = base.current_version()
+    base.upsert(spark, o.where((F.col("k") >= 1000) & (F.col("k") < 3000))
+                .withColumn("price", F.col("price") * 3))
+    pruned = len(base.changes(spark, v_pre).inputFiles())
+    control = len(base.changes(spark, v_pre, prune_files=False).inputFiles())
+    mv()  # contiguous patch refresh — the pruned diff above is what it scans
+    mv()  # base unmoved: must be a no-op (no new rollup commit)
+    return roll.read(spark).select(
+        F.col("grp").cast("bigint").alias("grp"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.lit(pruned < control).alias("feed_pruned"),
+    )

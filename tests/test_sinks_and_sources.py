@@ -2904,3 +2904,214 @@ def test_streaming_sink_produces_stats_prunable_table(spark, tmp_path):
     )
     assert rep["files_skipped"] >= 1
     assert sorted(r["k"] for r in pruned.collect()) == [20, 21, 22, 23, 24]
+
+
+# ---------------------------------------------------------------------------
+# File-pruned CDF + incremental materialized-view maintenance (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _mv_base(spark, tmp_path, n=2000):
+    t = ParquetKeyedTable(str(tmp_path / "mv_base"), ["business_key"])
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(business_key=f"k{i:04d}", grp=i % 7, v=float(i)) for i in range(n)]
+        ),
+    )
+    t.compact(spark, target_file_bytes=2048)  # many files → pruning has grain
+    return t
+
+
+def test_cdf_file_pruning_matches_full_diff(spark, tmp_path):
+    """changes() pruned to hard-link-differing files must equal the
+    full-scan diff exactly, and scan strictly fewer files after a
+    narrow-key commit carried most files forward."""
+    t = _mv_base(spark, tmp_path)
+    v0 = t.current_version()
+    n_files = t.manifest(v0)["n_files"]
+    assert n_files >= 8
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(business_key="k0100", grp=100 % 7, v=-1.0),
+             Row(business_key="zzz_new", grp=0, v=9.0)]
+        ),
+    )
+    v1 = t.current_version()
+    pruned = t.changes(spark, v0, v1)
+    control = t.changes(spark, v0, v1, prune_files=False)
+    key = lambda r: (r["business_key"], r["_change_type"])  # noqa: E731
+    assert sorted(map(key, pruned.collect())) == sorted(map(key, control.collect()))
+    assert {(r["business_key"], r["_change_type"], r["v"]) for r in pruned.collect()} == {
+        ("k0100", "update_postimage", -1.0),
+        ("zzz_new", "insert", 9.0),
+    }
+    # the scale claim: O(churn) scan, not O(table)
+    assert len(pruned.inputFiles()) < len(control.inputFiles())
+    assert len(pruned.inputFiles()) <= 4
+
+
+def test_cdf_update_preimages(spark, tmp_path):
+    """include_preimages emits the source row of every update as
+    update_preimage (Delta's four-type feed) — old values intact."""
+    t = _mv_base(spark, tmp_path, n=50)
+    v0 = t.current_version()
+    t.upsert(spark, spark.createDataFrame([Row(business_key="k0007", grp=0, v=-7.0)]))
+    rows = t.changes(spark, v0, include_preimages=True).collect()
+    by_type = {r["_change_type"]: r for r in rows}
+    assert set(by_type) == {"update_preimage", "update_postimage"}
+    assert by_type["update_preimage"]["v"] == 7.0
+    assert by_type["update_postimage"]["v"] == -7.0
+    # default stays the three-type feed (k6 gate semantics unchanged)
+    assert {r["_change_type"] for r in t.changes(spark, v0).collect()} == {
+        "update_postimage"
+    }
+
+
+def test_maintain_rollup_incremental_equals_recompute(spark, tmp_path):
+    """The incrementally-maintained rollup is BIT-equal to a full
+    recompute after inserts, updates, and deletes; a refresh with no
+    base movement commits nothing; a group whose count reaches zero is
+    deleted from the rollup."""
+    from bw_new_data_integration_spark.operators.matview import (
+        _full_rollup,
+        maintain_rollup,
+    )
+
+    t = _mv_base(spark, tmp_path, n=500)
+    roll = ParquetKeyedTable(str(tmp_path / "mv_roll"), ["grp"])
+    mv = lambda: maintain_rollup(  # noqa: E731
+        spark, t, roll, ["grp"], {"sum_v": "v"}
+    )
+    assert mv()["action"] == "bootstrap"
+
+    # updates + inserts + deletes, including wiping group 6 entirely
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(business_key=f"k{i:04d}", grp=i % 7, v=float(i) * 10) for i in range(0, 500, 3)]
+            + [Row(business_key=f"new{i}", grp=i % 7, v=1.5) for i in range(40)]
+        ),
+    )
+    t.delete_keys(
+        spark,
+        spark.createDataFrame(
+            [Row(business_key=f"k{i:04d}") for i in range(500) if i % 7 == 6]
+            + [Row(business_key=f"new{i}") for i in range(40) if i % 7 == 6]
+        ),
+    )
+    stats = mv()
+    assert stats["action"] == "incremental" and stats["groups_deleted"] == 1
+
+    got = {
+        (r["grp"]): (str(r["sum_v"]), r["n_rows"]) for r in roll.read(spark).collect()
+    }
+    want = {
+        (r["grp"]): (str(r["sum_v"]), r["n_rows"])
+        for r in _full_rollup(t.read(spark), ["grp"], {"sum_v": "v"}, "n_rows").collect()
+    }
+    assert got == want and 6 not in got
+
+    # no base movement → no-op, no rollup commit
+    v = roll.current_version()
+    assert mv()["action"] == "noop"
+    assert roll.current_version() == v
+
+    # a compact is a logical no-op: the refresh across it sees an
+    # EMPTY delta (every file renamed, no row changed) and commits
+    # nothing to the rollup
+    t.compact(spark, target_file_bytes=4096)
+    stats = mv()
+    assert stats["action"] == "incremental"
+    assert stats["groups_upserted"] == 0 and stats["groups_deleted"] == 0
+    assert roll.current_version() == v
+
+    # key mismatch is a loud error
+    import pytest as _pytest
+
+    bad = ParquetKeyedTable(str(tmp_path / "mv_bad"), ["other"])
+    with _pytest.raises(ValueError):
+        maintain_rollup(spark, t, bad, ["grp"], {"sum_v": "v"})
+
+
+def test_maintain_rollup_refresh_scans_only_churn(spark, tmp_path):
+    """After a narrow-key base commit, the refresh's change feed scans
+    O(churn) files (hard-link pruning), not the whole base."""
+    from bw_new_data_integration_spark.operators.matview import maintain_rollup
+
+    t = _mv_base(spark, tmp_path)
+    roll = ParquetKeyedTable(str(tmp_path / "mv_roll"), ["grp"])
+    maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+    v0 = t.current_version()
+    n_files = t.manifest(v0)["n_files"]
+    t.upsert(spark, spark.createDataFrame([Row(business_key="k0123", grp=4, v=0.25)]))
+    feed = t.changes(spark, v0, include_preimages=True)
+    assert len(feed.inputFiles()) <= 4 < n_files
+    stats = maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+    assert stats["groups_upserted"] == 1 and stats["groups_deleted"] == 0
+    got = {r["grp"]: r["n_rows"] for r in roll.read(spark).collect()}
+    assert got[4] == sum(1 for i in range(2000) if i % 7 == 4)
+
+
+def test_maintain_rollup_rebootstraps_after_base_vacuum(spark, tmp_path):
+    """Retention racing the refresh: when the last-reflected base
+    snapshot has been vacuumed, the refresh falls back to a full
+    re-bootstrap instead of failing on a missing change feed."""
+    from bw_new_data_integration_spark.operators.matview import (
+        _full_rollup,
+        maintain_rollup,
+    )
+
+    t = _mv_base(spark, tmp_path, n=300)
+    roll = ParquetKeyedTable(str(tmp_path / "mv_roll"), ["grp"])
+    maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+    t.upsert(spark, spark.createDataFrame([Row(business_key="k0001", grp=1, v=-1.0)]))
+    t.upsert(spark, spark.createDataFrame([Row(business_key="k0002", grp=2, v=-2.0)]))
+    t.vacuum(keep_last=1)  # the reflected snapshot is gone
+    stats = maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+    assert stats["action"] == "bootstrap"
+    got = {r["grp"]: (str(r["sum_v"]), r["n_rows"]) for r in roll.read(spark).collect()}
+    want = {
+        r["grp"]: (str(r["sum_v"]), r["n_rows"])
+        for r in _full_rollup(t.read(spark), ["grp"], {"sum_v": "v"}, "n_rows").collect()
+    }
+    assert got == want
+
+
+def test_maintain_rollup_multi_dim_multi_measure(spark, tmp_path):
+    """Composite group keys and several SUM measures flow through the
+    same signed-delta maintenance and stay bit-equal to recompute."""
+    from bw_new_data_integration_spark.operators.matview import (
+        _full_rollup,
+        maintain_rollup,
+    )
+
+    t = ParquetKeyedTable(str(tmp_path / "mv2_base"), ["business_key"])
+    rows = [
+        Row(business_key=f"k{i:04d}", region=i % 3, cat=i % 5, a=float(i), b=i * 0.5)
+        for i in range(600)
+    ]
+    t.upsert(spark, spark.createDataFrame(rows))
+    roll = ParquetKeyedTable(str(tmp_path / "mv2_roll"), ["region", "cat"])
+    measures = {"sum_a": "a", "sum_b": "b"}
+    maintain_rollup(spark, t, roll, ["region", "cat"], measures)
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(business_key=f"k{i:04d}", region=i % 3, cat=i % 5, a=-1.0, b=2.25)
+             for i in range(0, 600, 7)]
+        ),
+    )
+    t.delete_keys(
+        spark,
+        spark.createDataFrame([Row(business_key=f"k{i:04d}") for i in range(0, 600, 11)]),
+    )
+    maintain_rollup(spark, t, roll, ["region", "cat"], measures)
+    key = lambda r: (r["region"], r["cat"])  # noqa: E731
+    got = {key(r): (str(r["sum_a"]), str(r["sum_b"]), r["n_rows"])
+           for r in roll.read(spark).collect()}
+    want = {key(r): (str(r["sum_a"]), str(r["sum_b"]), r["n_rows"])
+            for r in _full_rollup(
+                t.read(spark), ["region", "cat"], measures, "n_rows").collect()}
+    assert got == want
