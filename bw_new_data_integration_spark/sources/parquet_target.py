@@ -1763,6 +1763,18 @@ class ParquetKeyedTable:
             b = self.read(spark, to_version)
         if a is None or b is None:
             return None
+        # schema evolution between the versions (K5): the feed speaks
+        # the DESTINATION schema, Delta-style — columns the source
+        # snapshot lacks read as null (an old row unchanged otherwise
+        # still produces no diff row; an update's preimage carries null
+        # there), and columns dropped by ``to_version`` are not part of
+        # the comparison
+        missing = [c for c in b.columns if c not in a.columns]
+        if missing:
+            a = a.withColumns(
+                {c: F.lit(None).cast(b.schema[c].dataType) for c in missing}
+            )
+        a = a.select(*b.columns)
         nonkey = [c for c in b.columns if c not in self.key_cols]
         sa = a.select(*self.key_cols, F.struct(*nonkey).alias("__a"))
         sb = b.select(*self.key_cols, F.struct(*nonkey).alias("__b"))

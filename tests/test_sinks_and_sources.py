@@ -3115,3 +3115,64 @@ def test_maintain_rollup_multi_dim_multi_measure(spark, tmp_path):
             for r in _full_rollup(
                 t.read(spark), ["region", "cat"], measures, "n_rows").collect()}
     assert got == want
+
+
+def test_cdf_file_pruning_partitioned_table(spark, tmp_path):
+    """File-pruned CDF on a directory-partitioned table: the basePath
+    subset read must restore hive partition columns, the pruned diff
+    must equal the full-scan control, and a one-partition patch must
+    not scan the other partitions' files."""
+    t = ParquetKeyedTable(str(tmp_path / "pcdf"), ["d", "k"], partition_by=["d"])
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(d=f"2024-01-{1 + i % 9:02d}", k=f"k{i:03d}", v=i) for i in range(180)]
+        ),
+    )
+    v0 = t.current_version()
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(d="2024-01-03", k="k002", v=-2), Row(d="2024-01-03", k="newk", v=99)]
+        ),
+    )
+    v1 = t.current_version()
+    pruned = t.changes(spark, v0, v1, include_preimages=True)
+    control = t.changes(spark, v0, v1, prune_files=False, include_preimages=True)
+    key = lambda r: (str(r["d"]), r["k"], r["_change_type"], r["v"])  # noqa: E731
+    rows = sorted(map(key, pruned.collect()))
+    assert rows == sorted(map(key, control.collect()))
+    # hive partition-type inference reads d back as a DATE on both the
+    # pruned and full paths (pre-existing read() semantics)
+    assert rows == [
+        ("2024-01-03", "k002", "update_postimage", -2),
+        ("2024-01-03", "k002", "update_preimage", 2),
+        ("2024-01-03", "newk", "insert", 99),
+    ]
+    # only the touched partition's files are scanned (both versions)
+    assert all("d=2024-01-03" in f for f in pruned.inputFiles())
+    assert len(pruned.inputFiles()) < len(control.inputFiles())
+
+
+def test_cdf_across_schema_evolution(spark, tmp_path):
+    """The change feed speaks the destination schema after an
+    evolve_schema upsert (Delta CDF semantics): rows the batch never
+    touched produce NO diff row (their new column is null on both
+    sides), updates carry a null preimage for the added column."""
+    t = ParquetKeyedTable(str(tmp_path / "evo"), ["k"])
+    t.upsert(spark, spark.createDataFrame([Row(k=i, v=i) for i in range(20)]))
+    v0 = t.current_version()
+    t.upsert(
+        spark,
+        spark.createDataFrame([Row(k=3, v=33, extra="x"), Row(k=99, v=99, extra="y")]),
+        evolve_schema=True,
+    )
+    rows = {
+        (r["k"], r["_change_type"]): (r["v"], r["extra"])
+        for r in t.changes(spark, v0, include_preimages=True).collect()
+    }
+    assert rows == {
+        (3, "update_preimage"): (3, None),
+        (3, "update_postimage"): (33, "x"),
+        (99, "insert"): (99, "y"),
+    }
