@@ -135,6 +135,7 @@ OPTIONAL = [
     "k1_dedupe_latest_window_baseline",
     "k10_range_merge_scoping",
     "k11_incremental_rollup",
+    "streaming_matview_e2e",
 ]
 
 

@@ -666,3 +666,103 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.col("err").cast("bigint").alias("err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming lakehouse end-to-end (round 9): stream → keyed-table sink →
+# per-epoch INCREMENTAL rollup refresh. Each micro-batch upserts into
+# the base table (idempotent keyed merge), then maintain_rollup folds
+# just that commit's file-pruned change feed into the grouped rollup —
+# the continuous form of the reference's re-aggregate-everything sync
+# (modules/olap_sync.py). Exactly-once composition: a replayed epoch
+# re-upserts identical rows, the new base version carries an EMPTY
+# change feed, and the rollup commits nothing. The oracle is the batch
+# recompute over all events; decimal-exact sums make the per-epoch
+# maintenance bit-equal to it regardless of how the stream was
+# batched. The multi_epoch flag proves in-query that the rollup was
+# maintained across ≥2 incremental refreshes, not one bootstrap.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_matview_e2e",
+    oracle="""
+SELECT event_type,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS sum_value,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS multi_epoch
+FROM events GROUP BY event_type
+""",
+)
+def streaming_matview_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → keyed table → per-epoch incremental rollup maintenance (exactly-once composition)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from bw_new_data_integration_spark.operators.matview import maintain_rollup
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    tune_for_oracle_parity(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base_dir = tempfile.mkdtemp(prefix="bw_smv_")
+    staging = _os.path.join(base_dir, "src")
+    _os.makedirs(staging)
+    # three staged files → three sequential micro-batches
+    for wave in range(3):
+        ev.where(F.col("event_id") % 3 == wave).coalesce(1).write.parquet(
+            _os.path.join(base_dir, f"w{wave}")
+        )
+        for f in _os.listdir(_os.path.join(base_dir, f"w{wave}")):
+            if f.endswith(".parquet"):
+                _os.rename(
+                    _os.path.join(base_dir, f"w{wave}", f),
+                    _os.path.join(staging, f"wave{wave}.parquet"),
+                )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    base = ParquetKeyedTable(_os.path.join(base_dir, "base"), ["event_id"])
+    roll = ParquetKeyedTable(_os.path.join(base_dir, "roll"), ["event_type"])
+
+    def fold_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return  # availableNow may end on an empty epoch
+            base.upsert(batch_df.sparkSession, batch_df)
+            maintain_rollup(
+                batch_df.sparkSession, base, roll, ["event_type"], {"sum_value": "value"}
+            )
+        finally:
+            batch_df.unpersist()
+
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    events = reader.parquet(staging)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            events.writeStream.outputMode("update")
+            .foreachBatch(fold_epoch)
+            .option("checkpointLocation", _os.path.join(base_dir, "ckpt"))
+            .queryName("smv_" + uuid.uuid4().hex[:8])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # ≥2 incremental refreshes happened on top of the bootstrap
+    multi_epoch = roll.current_version() >= 2
+    return roll.read(spark).select(
+        "event_type",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.lit(multi_epoch).alias("multi_epoch"),
+    )

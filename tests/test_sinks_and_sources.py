@@ -3176,3 +3176,23 @@ def test_cdf_across_schema_evolution(spark, tmp_path):
         (3, "update_postimage"): (33, "x"),
         (99, "insert"): (99, "y"),
     }
+
+
+def test_maintain_rollup_replayed_epoch_commits_nothing(spark, tmp_path):
+    """Exactly-once composition: re-upserting an identical batch makes
+    a new base version with an EMPTY change feed, so the refresh
+    commits nothing to the rollup (foreachBatch replay safety)."""
+    from bw_new_data_integration_spark.operators.matview import maintain_rollup
+
+    t = ParquetKeyedTable(str(tmp_path / "rp_base"), ["k"])
+    roll = ParquetKeyedTable(str(tmp_path / "rp_roll"), ["grp"])
+    batch = spark.createDataFrame([Row(k=i, grp=i % 3, v=float(i)) for i in range(60)])
+    t.upsert(spark, batch)
+    maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+    rv = roll.current_version()
+    t.upsert(spark, batch)  # replayed epoch: identical rows, new version
+    assert t.current_version() == 1
+    stats = maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+    assert stats["action"] == "incremental"
+    assert stats["groups_upserted"] == 0 and stats["groups_deleted"] == 0
+    assert roll.current_version() == rv
