@@ -99,6 +99,12 @@ def maintain_rollup(
 
     ``sum_measures`` maps rollup output column → base source column.
     Returns a stats dict: versions spanned, groups upserted/deleted.
+
+    Concurrency: one refresher per rollup at a time. The rollup's
+    commits take the table write lock, but the ``_matview_state.json``
+    read→refresh→write cycle is not atomic across two concurrent
+    callers — serialize refreshes (the scheduler-level interlock the
+    runner's ``--confirm`` path already provides for sinks).
     """
     group_cols = list(group_cols)
     if list(rollup.key_cols) != group_cols:

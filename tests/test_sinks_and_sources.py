@@ -3196,3 +3196,61 @@ def test_maintain_rollup_replayed_epoch_commits_nothing(spark, tmp_path):
     assert stats["action"] == "incremental"
     assert stats["groups_upserted"] == 0 and stats["groups_deleted"] == 0
     assert roll.current_version() == rv
+
+
+def test_maintain_rollup_property_random_commit_sequences(spark, tmp_path):
+    """Property: for ANY sequence of upsert/delete batches, the
+    incrementally-maintained rollup equals the from-scratch recompute
+    bit-for-bit (decimal sums), including group births and deaths.
+    Hypothesis drives the commit sequences; each example replays onto a
+    fresh table and refreshes after every commit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bw_new_data_integration_spark.operators.matview import (
+        _full_rollup,
+        maintain_rollup,
+    )
+
+    ops = st.lists(
+        st.tuples(
+            st.sampled_from(["upsert", "delete"]),
+            st.lists(st.integers(min_value=0, max_value=39), min_size=1,
+                     max_size=12, unique=True),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+    counter = iter(range(10_000))
+
+    @settings(max_examples=6, deadline=None)
+    @given(ops)
+    def run(seq):
+        i = next(counter)
+        t = ParquetKeyedTable(str(tmp_path / f"pb{i}"), ["k"])
+        roll = ParquetKeyedTable(str(tmp_path / f"pr{i}"), ["grp"])
+        t.upsert(
+            spark,
+            spark.createDataFrame([Row(k=j, grp=j % 4, v=float(j)) for j in range(20)]),
+        )
+        maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+        for kind, keys, mult in seq:
+            if kind == "upsert":
+                t.upsert(
+                    spark,
+                    spark.createDataFrame(
+                        [Row(k=j, grp=j % 4, v=float(j * mult)) for j in keys]
+                    ),
+                )
+            else:
+                t.delete_keys(spark, spark.createDataFrame([Row(k=j) for j in keys]))
+            maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+        got = {r["grp"]: (str(r["sum_v"]), r["n_rows"])
+               for r in roll.read(spark).collect()}
+        want = {r["grp"]: (str(r["sum_v"]), r["n_rows"])
+                for r in _full_rollup(t.read(spark), ["grp"], {"sum_v": "v"},
+                                      "n_rows").collect()}
+        assert got == want
+
+    run()
