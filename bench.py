@@ -136,6 +136,7 @@ OPTIONAL = [
     "k10_range_merge_scoping",
     "k11_incremental_rollup",
     "streaming_matview_e2e",
+    "k12_minmax_rollup",
 ]
 
 

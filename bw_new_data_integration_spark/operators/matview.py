@@ -68,11 +68,15 @@ def _full_rollup(
     group_cols: Sequence[str],
     sum_measures: Mapping[str, str],
     count_col: str,
+    min_measures: Mapping[str, str] | None = None,
+    max_measures: Mapping[str, str] | None = None,
 ) -> DataFrame:
     aggs = [
         F.sum(F.col(src).cast(_TERM_TYPE)).cast(_STORE_TYPE).alias(out)
         for out, src in sum_measures.items()
     ]
+    aggs += [F.min(src).alias(out) for out, src in (min_measures or {}).items()]
+    aggs += [F.max(src).alias(out) for out, src in (max_measures or {}).items()]
     aggs.append(F.count(F.lit(1)).alias(count_col))
     return base_df.groupBy(*group_cols).agg(*aggs)
 
@@ -84,6 +88,8 @@ def maintain_rollup(
     group_cols: Sequence[str],
     sum_measures: Mapping[str, str],
     count_col: str = "n_rows",
+    min_measures: Mapping[str, str] | None = None,
+    max_measures: Mapping[str, str] | None = None,
 ) -> dict:
     """Bring ``rollup`` (a grouped SUM/COUNT aggregate of ``base``,
     keyed on ``group_cols``) up to date with the base table's current
@@ -99,6 +105,16 @@ def maintain_rollup(
 
     ``sum_measures`` maps rollup output column → base source column.
     Returns a stats dict: versions spanned, groups upserted/deleted.
+
+    ``min_measures`` / ``max_measures`` maintain extrema. MIN/MAX are
+    only *insert-monotone*: a new value folds in with
+    least()/greatest(), but a DELETE (or update-preimage) that removes
+    the stored extremum invalidates it. The classic maintenance rule
+    applies: groups where any removed value ties-or-beats the stored
+    extremum are re-aggregated FROM THE BASE via a left-semi join
+    (O(affected groups' rows), one scan) while every other group stays
+    incremental — insert-heavy feeds almost never pay the recompute.
+    SUM/COUNT remain pure-delta regardless.
 
     Concurrency: one refresher per rollup at a time. The rollup's
     commits take the table write lock, but the ``_matview_state.json``
@@ -126,9 +142,12 @@ def maintain_rollup(
     ):
         state = None
 
+    min_measures = dict(min_measures or {})
+    max_measures = dict(max_measures or {})
     if state is None or not rollup.exists():
         snap = _full_rollup(
-            base.read(spark), group_cols, sum_measures, count_col
+            base.read(spark), group_cols, sum_measures, count_col,
+            min_measures, max_measures,
         )
         rollup.overwrite(snap)
         _write_state(rollup, {"base_path": base.path, "base_version": current})
@@ -154,12 +173,22 @@ def maintain_rollup(
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
+    added = sign == 1
     d_aggs = [
         F.sum(sign.cast(_TERM_TYPE) * F.col(src).cast(_TERM_TYPE))
         .cast(_STORE_TYPE)
         .alias(f"__d_{out}")
         for out, src in sum_measures.items()
     ]
+    # per extremum: the best INSERTED value (folds in monotonically)
+    # and the best REMOVED value (decides whether the stored extremum
+    # might have left the group)
+    for out, src in min_measures.items():
+        d_aggs.append(F.min(F.when(added, F.col(src))).alias(f"__i_{out}"))
+        d_aggs.append(F.min(F.when(~added, F.col(src))).alias(f"__r_{out}"))
+    for out, src in max_measures.items():
+        d_aggs.append(F.max(F.when(added, F.col(src))).alias(f"__i_{out}"))
+        d_aggs.append(F.max(F.when(~added, F.col(src))).alias(f"__r_{out}"))
     d_aggs.append(F.sum(sign).alias("__d_rows"))
     delta = ch.groupBy(*group_cols).agg(*d_aggs)
 
@@ -167,6 +196,15 @@ def maintain_rollup(
     # left join: only groups the feed touched flow; a measure delta can
     # be null (all contributing values null) — contributes nothing
     joined = delta.join(cur, on=group_cols, how="left")
+    needs_recompute = F.lit(False)
+    for out in min_measures:
+        needs_recompute = needs_recompute | F.coalesce(
+            F.col(f"__r_{out}") <= F.col(out), F.lit(False)
+        )
+    for out in max_measures:
+        needs_recompute = needs_recompute | F.coalesce(
+            F.col(f"__r_{out}") >= F.col(out), F.lit(False)
+        )
     new = joined.select(
         *group_cols,
         *(
@@ -178,10 +216,18 @@ def maintain_rollup(
             .alias(out)
             for out in sum_measures
         ),
+        # least/greatest skip nulls: a brand-new group takes the
+        # inserted extremum, an untouched-extremum group keeps its own
+        *(F.least(F.col(out), F.col(f"__i_{out}")).alias(out) for out in min_measures),
+        *(
+            F.greatest(F.col(out), F.col(f"__i_{out}")).alias(out)
+            for out in max_measures
+        ),
         (
             F.coalesce(F.col(count_col), F.lit(0).cast("bigint"))
             + F.col("__d_rows")
         ).alias(count_col),
+        needs_recompute.alias("__recompute"),
     )
     # the changed-group frame feeds two commits plus their counts —
     # materialize it once (it is small: changed groups only, never the
@@ -191,20 +237,38 @@ def maintain_rollup(
         new = new.localCheckpoint(eager=True)
     except Exception:
         pass
-    live = new.where(F.col(count_col) > 0)
-    dead = new.where(F.col(count_col) <= 0).select(*group_cols)
+    alive = F.col(count_col) > 0
+    dead = new.where(~alive).select(*group_cols)
+    safe_live = new.where(alive & ~F.col("__recompute")).drop("__recompute")
+    recomp_keys = new.where(alive & F.col("__recompute")).select(*group_cols)
 
-    # one counting job for both branches, off the checkpointed frame
+    # one counting job for all three branches, off the checkpointed frame
     counts = {
-        r["alive"]: r["n"]
-        for r in new.groupBy((F.col(count_col) > 0).alias("alive"))
+        (r["alive"], r["rec"]): r["n"]
+        for r in new.groupBy(
+            alive.alias("alive"), F.col("__recompute").alias("rec")
+        )
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    upserted = int(counts.get(True, 0))
+    n_safe = int(counts.get((True, False), 0))
+    n_recomp = int(counts.get((True, True), 0))
+    deleted = int(counts.get((False, False), 0)) + int(counts.get((False, True), 0))
+
+    live = safe_live
+    if n_recomp:
+        # extremum possibly removed: re-aggregate ONLY those groups
+        # from the base (left-semi scopes the scan to their rows)
+        live = safe_live.unionByName(
+            _full_rollup(
+                base.read(spark).join(recomp_keys, group_cols, "left_semi"),
+                group_cols, sum_measures, count_col,
+                min_measures, max_measures,
+            )
+        )
+    upserted = n_safe + n_recomp
     if upserted:
         rollup.upsert(spark, live)
-    deleted = int(counts.get(False, 0))
     if deleted:
         rollup.delete_keys(spark, dead)
 
@@ -214,5 +278,6 @@ def maintain_rollup(
         "from_version": reflected,
         "to_version": current,
         "groups_upserted": upserted,
+        "groups_recomputed": n_recomp,
         "groups_deleted": deleted,
     }

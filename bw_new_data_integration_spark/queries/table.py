@@ -596,3 +596,81 @@ def k11_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.lit(pruned < control).alias("feed_pruned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K12 — MIN/MAX view maintenance: extrema are only insert-monotone, so
+# the refresh folds inserted values with least()/greatest() and
+# re-aggregates FROM THE BASE only the groups where a removed value
+# tied-or-beat the stored extremum (classic algebraic-view rule;
+# SUM/COUNT stay pure-delta). The fixture's delete wave removes a
+# deterministic key slice so SOME groups lose their extremum (those
+# recompute via a left-semi scoped scan) while the rest stay
+# incremental — the oracle recomputes everything from the final state,
+# so any error in either path is a value mismatch.
+# ---------------------------------------------------------------------------
+@register(
+    "k12_minmax_rollup",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, o_custkey % 101 AS grp,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v0 AS (SELECT * FROM src WHERE k % 7 IN (0, 1, 2, 3)),
+v1 AS (  -- upsert: %7 in (2,3) price*2 update, (4,5) insert
+  SELECT k, grp, CASE WHEN k % 7 IN (2, 3) THEN price * 2 ELSE price END AS price
+  FROM v0
+  UNION ALL
+  SELECT k, grp, price * 2 FROM src WHERE k % 7 IN (4, 5)
+),
+v2 AS (SELECT * FROM v1 WHERE k % 7 <> 1)  -- delete %7 = 1
+SELECT CAST(grp AS BIGINT) AS grp,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS sum_price,
+       MIN(price) AS min_price,
+       MAX(price) AS max_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM v2 GROUP BY grp
+""",
+)
+def k12_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX rollup maintenance: monotone fold for inserts, group-scoped recompute when an extremum is removed."""
+    import tempfile
+
+    from bw_new_data_integration_spark.operators.matview import maintain_rollup
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_custkey") % 101).cast("bigint").alias("grp"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="bw_mmr_")
+    base = ParquetKeyedTable(root + "/base", ["k"])
+    roll = ParquetKeyedTable(root + "/roll", ["grp"])
+    mv = lambda: maintain_rollup(  # noqa: E731
+        spark, base, roll, ["grp"], {"sum_price": "price"},
+        min_measures={"min_price": "price"}, max_measures={"max_price": "price"},
+    )
+    base.overwrite(o.where(F.col("k") % 7 <= 3))
+    mv()  # bootstrap
+    base.upsert(
+        spark,
+        o.where((F.col("k") % 7).isin(2, 3, 4, 5)).withColumn(
+            "price", F.col("price") * 2
+        ),
+    )
+    base.delete_keys(spark, o.where(F.col("k") % 7 == 1).select("k"))
+    mv()  # one refresh: monotone folds + extremum-removed recomputes
+    return roll.read(spark).select(
+        F.col("grp").cast("bigint").alias("grp"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )

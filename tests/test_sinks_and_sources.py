@@ -3230,11 +3230,12 @@ def test_maintain_rollup_property_random_commit_sequences(spark, tmp_path):
         i = next(counter)
         t = ParquetKeyedTable(str(tmp_path / f"pb{i}"), ["k"])
         roll = ParquetKeyedTable(str(tmp_path / f"pr{i}"), ["grp"])
+        kw = dict(min_measures={"min_v": "v"}, max_measures={"max_v": "v"})
         t.upsert(
             spark,
             spark.createDataFrame([Row(k=j, grp=j % 4, v=float(j)) for j in range(20)]),
         )
-        maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+        maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"}, **kw)
         for kind, keys, mult in seq:
             if kind == "upsert":
                 t.upsert(
@@ -3245,12 +3246,77 @@ def test_maintain_rollup_property_random_commit_sequences(spark, tmp_path):
                 )
             else:
                 t.delete_keys(spark, spark.createDataFrame([Row(k=j) for j in keys]))
-            maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
-        got = {r["grp"]: (str(r["sum_v"]), r["n_rows"])
+            maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"}, **kw)
+        got = {r["grp"]: (str(r["sum_v"]), r["min_v"], r["max_v"], r["n_rows"])
                for r in roll.read(spark).collect()}
-        want = {r["grp"]: (str(r["sum_v"]), r["n_rows"])
+        want = {r["grp"]: (str(r["sum_v"]), r["min_v"], r["max_v"], r["n_rows"])
                 for r in _full_rollup(t.read(spark), ["grp"], {"sum_v": "v"},
-                                      "n_rows").collect()}
+                                      "n_rows", {"min_v": "v"},
+                                      {"max_v": "v"}).collect()}
         assert got == want
 
     run()
+
+
+def test_maintain_rollup_minmax_incremental_and_recompute(spark, tmp_path):
+    """MIN/MAX maintenance: insert-only feeds fold in monotonically
+    (zero recomputed groups); removing a group's stored extremum
+    triggers a recompute of exactly the affected groups; the result
+    always equals the from-scratch aggregate."""
+    from bw_new_data_integration_spark.operators.matview import (
+        _full_rollup,
+        maintain_rollup,
+    )
+
+    t = ParquetKeyedTable(str(tmp_path / "mm_base"), ["k"])
+    roll = ParquetKeyedTable(str(tmp_path / "mm_roll"), ["grp"])
+    kw = dict(min_measures={"min_v": "v"}, max_measures={"max_v": "v"})
+    mv = lambda: maintain_rollup(  # noqa: E731
+        spark, t, roll, ["grp"], {"sum_v": "v"}, **kw
+    )
+
+    def check():
+        got = {r["grp"]: (str(r["sum_v"]), r["min_v"], r["max_v"], r["n_rows"])
+               for r in roll.read(spark).collect()}
+        want = {r["grp"]: (str(r["sum_v"]), r["min_v"], r["max_v"], r["n_rows"])
+                for r in _full_rollup(t.read(spark), ["grp"], {"sum_v": "v"},
+                                      "n_rows", {"min_v": "v"}, {"max_v": "v"}).collect()}
+        assert got == want
+
+    t.upsert(spark, spark.createDataFrame(
+        [Row(k=i, grp=i % 3, v=float(i)) for i in range(90)]))
+    mv()
+    check()
+
+    # insert-only: strictly new keys with non-extreme values → monotone
+    # fold, NO recompute
+    t.upsert(spark, spark.createDataFrame(
+        [Row(k=1000 + g, grp=g, v=10.5) for g in range(3)]))
+    stats = mv()
+    assert stats["groups_recomputed"] == 0 and stats["groups_upserted"] == 3
+    check()
+
+    # new global max for group 0 via insert → still monotone
+    t.upsert(spark, spark.createDataFrame([Row(k=2000, grp=0, v=500.0)]))
+    stats = mv()
+    assert stats["groups_recomputed"] == 0
+    check()
+
+    # delete group 0's stored max (k=2000, v=500) → ONLY group 0
+    # recomputes; group 1/2 untouched
+    t.delete_keys(spark, spark.createDataFrame([Row(k=2000)]))
+    stats = mv()
+    assert stats["groups_recomputed"] == 1
+    check()
+
+    # update that shrinks group 1's max (k=88, v=88 is max of grp 1)
+    t.upsert(spark, spark.createDataFrame([Row(k=88, grp=1, v=-1.0)]))
+    stats = mv()
+    assert stats["groups_recomputed"] == 1
+    check()
+
+    # delete a non-extreme row → pure delta, no recompute
+    t.delete_keys(spark, spark.createDataFrame([Row(k=40)]))
+    stats = mv()
+    assert stats["groups_recomputed"] == 0
+    check()
