@@ -191,8 +191,39 @@ def maintain_rollup(
         d_aggs.append(F.max(F.when(~added, F.col(src))).alias(f"__r_{out}"))
     d_aggs.append(F.sum(sign).alias("__d_rows"))
     delta = ch.groupBy(*group_cols).agg(*d_aggs)
+    # the delta feeds its own key-bounds probe AND the join — pin it so
+    # the (file-pruned, but still real) CDF plan executes once
+    try:
+        delta = delta.localCheckpoint(eager=True)
+    except Exception:
+        pass
 
-    cur = rollup.read(spark)
+    # rollup-side pruning: the left join below can only match rollup
+    # rows whose leading group key falls inside the delta's key
+    # interval, and range-clustered rollups persist per-file key bounds
+    # — so a point-churn refresh reads O(touched rollup files), not the
+    # whole rollup. Null group keys defeat the interval (read_where's
+    # residual drops them), so their presence falls back to a full read.
+    gk = group_cols[0]
+    bounds = delta.agg(
+        F.min(gk).alias("lo"),
+        F.max(gk).alias("hi"),
+        F.sum(F.when(F.col(gk).isNull(), 1).otherwise(0)).alias("nulls"),
+    ).first()
+    rollup_report = None
+    if (
+        bounds["lo"] is not None
+        and not bounds["nulls"]
+        and rollup.cluster == "range"
+        and not rollup.partition_by
+    ):
+        cur, rollup_report = rollup.read_where(
+            spark,
+            [(gk, "between", (bounds["lo"], bounds["hi"]))],
+            with_report=True,
+        )
+    else:
+        cur = rollup.read(spark)
     # left join: only groups the feed touched flow; a measure delta can
     # be null (all contributing values null) — contributes nothing
     joined = delta.join(cur, on=group_cols, how="left")
@@ -280,4 +311,8 @@ def maintain_rollup(
         "groups_upserted": upserted,
         "groups_recomputed": n_recomp,
         "groups_deleted": deleted,
+        # rollup files the key-bounds pruning let the join skip (None
+        # when pruning could not engage: null keys, unclustered layout)
+        "rollup_files_read": (rollup_report or {}).get("files_read"),
+        "rollup_files_total": (rollup_report or {}).get("files_total"),
     }

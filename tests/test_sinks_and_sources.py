@@ -3320,3 +3320,32 @@ def test_maintain_rollup_minmax_incremental_and_recompute(spark, tmp_path):
     stats = mv()
     assert stats["groups_recomputed"] == 0
     check()
+
+
+def test_maintain_rollup_prunes_rollup_side_read(spark, tmp_path):
+    """The refresh's join reads only the rollup files whose key range
+    intersects the delta's group-key interval (range-clustered rollup +
+    persisted per-file bounds), not the whole rollup."""
+    from bw_new_data_integration_spark.operators.matview import maintain_rollup
+
+    t = ParquetKeyedTable(str(tmp_path / "pr_base"), ["k"])
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(k=i, grp=i % 500, v=float(i)) for i in range(2000)]
+        ),
+    )
+    roll = ParquetKeyedTable(str(tmp_path / "pr_roll"), ["grp"])
+    maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+    roll.compact(spark, target_file_bytes=1024)  # many rollup files
+    n_roll_files = roll.manifest()["n_files"]
+    assert n_roll_files >= 4
+    # churn one base key -> one group -> the join needs ~1 rollup file
+    t.upsert(spark, spark.createDataFrame([Row(k=123, grp=123 % 500, v=9.0)]))
+    stats = maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+    assert stats["groups_upserted"] == 1
+    assert stats["rollup_files_total"] == n_roll_files
+    assert stats["rollup_files_read"] is not None
+    assert stats["rollup_files_read"] < n_roll_files
+    got = {r["grp"]: r["n_rows"] for r in roll.read(spark).collect()}
+    assert got[123] == sum(1 for i in range(2000) if i % 500 == 123)
