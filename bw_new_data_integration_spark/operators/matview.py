@@ -130,24 +130,40 @@ def maintain_rollup(
     current = base.current_version()
     if current < 0:
         raise ValueError("base table has no committed version")
+
+    # Applied-through version = max(state sidecar, the txn marker the
+    # last delta-carrying commit stamped into the rollup's own manifest
+    # — Delta SetTransaction). The marker lands ATOMICALLY with the
+    # commit, so a crash between the commit and the sidecar write can
+    # never double-apply a delta: the re-run sees the marker and noops.
     state = _read_state(rollup)
+    state_v = int(state["base_version"]) if state else None
+    txn = rollup.last_txn("matview") if rollup.exists() else None
+    txn_v = (
+        int(txn["base_version"])
+        if txn and txn.get("base_path") == base.path
+        else None
+    )
+    cands = [v for v in (state_v, txn_v) if v is not None]
+    reflected = max(cands) if cands else None
 
     # retention raced the refresh: the last-reflected base snapshot was
     # vacuumed, so no change feed from it exists — fall back to a full
     # re-bootstrap (correct, just not incremental). At 100 TB this is
     # the operational guard for retention windows shorter than the
     # refresh lag.
-    if state is not None and not os.path.isdir(
-        base._snapshot_dir(int(state["base_version"]))
-    ):
-        state = None
+    if reflected is not None and not os.path.isdir(base._snapshot_dir(reflected)):
+        reflected = None
 
     min_measures = dict(min_measures or {})
     max_measures = dict(max_measures or {})
-    if state is None or not rollup.exists():
+    if reflected is None or not rollup.exists():
         snap = _full_rollup(
             base.read(spark), group_cols, sum_measures, count_col,
             min_measures, max_measures,
+        )
+        rollup.set_commit_txn(
+            {"app": "matview", "base_path": base.path, "base_version": current}
         )
         rollup.overwrite(snap)
         _write_state(rollup, {"base_path": base.path, "base_version": current})
@@ -159,8 +175,9 @@ def maintain_rollup(
             "groups_deleted": 0,
         }
 
-    reflected = int(state["base_version"])
-    if reflected == current:
+    if reflected >= current:
+        if state_v != reflected:  # heal a sidecar the crash left stale
+            _write_state(rollup, {"base_path": base.path, "base_version": reflected})
         return {
             "action": "noop",
             "from_version": reflected,
@@ -297,11 +314,21 @@ def maintain_rollup(
                 min_measures, max_measures,
             )
         )
+    # ORDER MATTERS for crash recovery: the dead-group delete is
+    # idempotent (deleting absent keys is a no-op and a re-derived
+    # delta re-flags the same groups dead), the live upsert is NOT
+    # (it adds the delta). So delete first, then stamp the upsert
+    # commit with the txn marker — if the process dies anywhere before
+    # the marker lands, a full re-run converges; once it lands, the
+    # re-run noops.
     upserted = n_safe + n_recomp
-    if upserted:
-        rollup.upsert(spark, live)
     if deleted:
         rollup.delete_keys(spark, dead)
+    if upserted:
+        rollup.set_commit_txn(
+            {"app": "matview", "base_path": base.path, "base_version": current}
+        )
+        rollup.upsert(spark, live)
 
     _write_state(rollup, {"base_path": base.path, "base_version": current})
     return {

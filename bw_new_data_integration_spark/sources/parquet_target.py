@@ -855,6 +855,16 @@ class ParquetKeyedTable:
             "version": version,
             "operation": operation,
             "timestamp": time.time(),
+            # Delta SetTransaction parity: an application can stamp the
+            # NEXT commit with a txn marker (set_commit_txn) that lands
+            # atomically with the commit — the exactly-once handshake
+            # idempotent writers (matview refresh, streaming epochs)
+            # key their recovery off
+            **(
+                {"txn": self.__dict__.pop("_pending_txn")}
+                if self.__dict__.get("_pending_txn") is not None
+                else {}
+            ),
             "key_cols": self.key_cols,
             "partition_by": self.partition_by,
             # layout contract: "range" snapshots are repartitionByRange
@@ -873,6 +883,26 @@ class ParquetKeyedTable:
         }
         with open(os.path.join(snap, "_manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1)
+
+    def set_commit_txn(self, txn: dict) -> None:
+        """Stamp the NEXT commit's manifest with an application txn
+        marker (Delta's SetTransaction): the marker becomes visible
+        atomically with the commit, never before — the primitive an
+        idempotent writer uses to tell 'this delta already landed' from
+        'the commit never happened' after a crash. Consumed by the next
+        ``_write_manifest``; unused markers are overwritten by the next
+        call."""
+        self._pending_txn = dict(txn)
+
+    def last_txn(self, app: str) -> dict | None:
+        """Newest commit manifest txn marker for ``app``, walking
+        history newest-first (Delta's ``txn.version`` read side). None
+        if no commit carries one."""
+        for v in range(self.current_version(), -1, -1):
+            m = self.manifest(v)
+            if m and isinstance(m.get("txn"), dict) and m["txn"].get("app") == app:
+                return m["txn"]
+        return None
 
     def manifest(self, version: int | None = None) -> dict | None:
         v = self.current_version() if version is None else version

@@ -3349,3 +3349,65 @@ def test_maintain_rollup_prunes_rollup_side_read(spark, tmp_path):
     assert stats["rollup_files_read"] < n_roll_files
     got = {r["grp"]: r["n_rows"] for r in roll.read(spark).collect()}
     assert got[123] == sum(1 for i in range(2000) if i % 500 == 123)
+
+
+def test_maintain_rollup_crash_recovery_exactly_once(spark, tmp_path):
+    """Crash-window recovery (Delta SetTransaction pattern): the live
+    upsert commit carries a txn marker stamped atomically with the
+    commit, the dead-group delete is ordered first (idempotent), and
+    recovery keys off max(sidecar, marker) — so dying after the commits
+    but before the sidecar write noops on re-run (no double-applied
+    delta), and dying between the delete and the upsert re-runs to the
+    exact recompute."""
+    from unittest import mock
+
+    from bw_new_data_integration_spark.operators.matview import (
+        _full_rollup,
+        maintain_rollup,
+    )
+
+    def scenario(crash_in, sub):
+        root = tmp_path / sub
+        t = ParquetKeyedTable(str(root / "b"), ["k"])
+        roll = ParquetKeyedTable(str(root / "r"), ["grp"])
+        t.upsert(
+            spark,
+            spark.createDataFrame([Row(k=i, grp=i % 5, v=float(i)) for i in range(50)]),
+        )
+        maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+        t.delete_keys(
+            spark, spark.createDataFrame([Row(k=i) for i in range(50) if i % 5 == 4])
+        )
+        t.upsert(spark, spark.createDataFrame([Row(k=0, grp=0, v=100.0)]))
+        if crash_in == "state":
+            with mock.patch(
+                "bw_new_data_integration_spark.operators.matview._write_state",
+                side_effect=RuntimeError("crash"),
+            ):
+                with pytest.raises(RuntimeError):
+                    maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+        else:
+            orig = ParquetKeyedTable.upsert
+
+            def boom(self, *a, **k):
+                if self.path == roll.path:
+                    raise RuntimeError("crash")
+                return orig(self, *a, **k)
+
+            with mock.patch.object(ParquetKeyedTable, "upsert", boom):
+                with pytest.raises(RuntimeError):
+                    maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+        stats = maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+        got = {r["grp"]: (str(r["sum_v"]), r["n_rows"])
+               for r in roll.read(spark).collect()}
+        want = {r["grp"]: (str(r["sum_v"]), r["n_rows"])
+                for r in _full_rollup(t.read(spark), ["grp"], {"sum_v": "v"},
+                                      "n_rows").collect()}
+        assert got == want
+        return stats["action"]
+
+    # both commits landed, sidecar write died → marker makes it a noop
+    assert scenario("state", "cs") == "noop"
+    # delete landed, upsert died → full re-run converges (delete is
+    # idempotent, the delta re-derives the same dead set)
+    assert scenario("upsert", "cu") == "incremental"
