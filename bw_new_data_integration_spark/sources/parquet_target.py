@@ -1090,6 +1090,18 @@ class ParquetKeyedTable:
                     }
                 }
             )
+            if isinstance(m.get("txn"), dict):
+                # SetTransaction parity: the idempotent-writer marker
+                # rides into the log as the protocol's txn action
+                actions.append(
+                    {
+                        "txn": {
+                            "appId": str(m["txn"].get("app")),
+                            "version": int(m["txn"].get("base_version", 0)),
+                            "lastUpdated": int(m["timestamp"] * 1000),
+                        }
+                    }
+                )
             for f in prev_files:
                 actions.append(
                     {"remove": {"path": f["path"], "dataChange": True}}

@@ -3411,3 +3411,29 @@ def test_maintain_rollup_crash_recovery_exactly_once(spark, tmp_path):
     # delete landed, upsert died → full re-run converges (delete is
     # idempotent, the delta re-derives the same dead set)
     assert scenario("upsert", "cu") == "incremental"
+
+
+def test_delta_log_exports_txn_action(spark, tmp_path):
+    """A commit stamped via set_commit_txn exports as the Delta
+    protocol's SetTransaction action ({"txn": {appId, version}}) in
+    that version's log entry."""
+    import json as _json
+
+    t = ParquetKeyedTable(str(tmp_path / "txn"), ["k"])
+    t.upsert(spark, spark.createDataFrame([Row(k=1, v=1)]))
+    t.set_commit_txn({"app": "matview", "base_path": "/b", "base_version": 7})
+    t.upsert(spark, spark.createDataFrame([Row(k=2, v=2)]))
+    t.export_delta_log(spark)
+    log = os.path.join(t.path, "_delta_log", f"{t.current_version():020d}.json")
+    actions = [
+        _json.loads(line) for line in open(log) if line.strip()
+    ]
+    txns = [a["txn"] for a in actions if "txn" in a]
+    assert txns == [{"appId": "matview", "version": 7, "lastUpdated": txns[0]["lastUpdated"]}]
+    # marker readable back through the table API too
+    assert t.last_txn("matview")["base_version"] == 7
+    # the un-stamped earlier commit carries none
+    first = os.path.join(t.path, "_delta_log", f"{0:020d}.json")
+    assert not any(
+        "txn" in _json.loads(line) for line in open(first) if line.strip()
+    )
