@@ -111,10 +111,13 @@ def maintain_rollup(
     least()/greatest(), but a DELETE (or update-preimage) that removes
     the stored extremum invalidates it. The classic maintenance rule
     applies: groups where any removed value ties-or-beats the stored
-    extremum are re-aggregated FROM THE BASE via a left-semi join
-    (O(affected groups' rows), one scan) while every other group stays
-    incremental — insert-heavy feeds almost never pay the recompute.
-    SUM/COUNT remain pure-delta regardless.
+    extremum are re-aggregated from the base via a left-semi join —
+    ONE base scan whose aggregate state is bounded by the affected
+    groups (the scan itself reads the base once; group columns are
+    rarely the base's cluster key, so file skipping seldom applies) —
+    while every other group stays incremental. Insert-heavy feeds
+    almost never pay the recompute; SUM/COUNT remain pure-delta
+    regardless.
 
     Concurrency: one refresher per rollup at a time. The rollup's
     commits take the table write lock, but the ``_matview_state.json``

@@ -3437,3 +3437,77 @@ def test_delta_log_exports_txn_action(spark, tmp_path):
     assert not any(
         "txn" in _json.loads(line) for line in open(first) if line.strip()
     )
+
+
+def test_keyed_table_model_based_lifecycle(spark, tmp_path):
+    """Model-based check of the table format: a random sequence of
+    upsert / delete / compact / vacuum ops replayed against a plain
+    dict model — after every op the current read equals the model, and
+    every non-vacuumed historical version still reads back as the
+    model state it committed (time travel is never silently mutated by
+    later commits, compaction, or retention)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("upsert"),
+                st.lists(st.integers(0, 30), min_size=1, max_size=8, unique=True),
+                st.integers(-2, 2),
+            ),
+            st.tuples(
+                st.just("delete"),
+                st.lists(st.integers(0, 30), min_size=1, max_size=8, unique=True),
+                st.just(0),
+            ),
+            st.tuples(st.just("compact"), st.just([]), st.just(0)),
+            st.tuples(st.just("vacuum"), st.just([]), st.integers(1, 3)),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+    counter = iter(range(10_000))
+
+    @settings(max_examples=5, deadline=None)
+    @given(ops)
+    def run(seq):
+        i = next(counter)
+        t = ParquetKeyedTable(str(tmp_path / f"mb{i}"), ["k"])
+        model = {j: float(j) for j in range(20)}
+        t.upsert(
+            spark,
+            spark.createDataFrame([Row(k=k, v=v) for k, v in model.items()]),
+        )
+        history = [dict(model)]  # index = version; None = vacuumed
+        for kind, keys, arg in seq:
+            if kind == "upsert":
+                batch = {k: float(k * arg) for k in keys}
+                t.upsert(
+                    spark,
+                    spark.createDataFrame([Row(k=k, v=v) for k, v in batch.items()]),
+                )
+                model.update(batch)
+                history.append(dict(model))
+            elif kind == "delete":
+                t.delete_keys(spark, spark.createDataFrame([Row(k=k) for k in keys]))
+                for k in keys:
+                    model.pop(k, None)
+                history.append(dict(model))
+            elif kind == "compact":
+                t.compact(spark, target_file_bytes=2048)
+                history.append(dict(model))  # logical no-op, new version
+            else:
+                for v in t.vacuum(keep_last=arg):
+                    history[v] = None
+            got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+            assert got == model, (kind, keys, arg)
+        # every surviving version still reads as the state it committed
+        assert t.current_version() == len(history) - 1
+        for v, snap in enumerate(history):
+            if snap is None:
+                continue
+            got = {r["k"]: r["v"] for r in t.read(spark, version=v).collect()}
+            assert got == snap, f"time travel to v{v} drifted"
+
+    run()
