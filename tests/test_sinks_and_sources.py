@@ -3511,3 +3511,75 @@ def test_keyed_table_model_based_lifecycle(spark, tmp_path):
             assert got == snap, f"time travel to v{v} drifted"
 
     run()
+
+
+def test_read_where_property_equals_full_scan_filter(spark, tmp_path):
+    """Property: for random predicate conjunctions over int/string
+    columns (with nulls present), read_where's manifest-pruned read
+    returns exactly the rows of a plain full-scan filter — pruning can
+    change the plan, never the answer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    t = ParquetKeyedTable(
+        str(tmp_path / "rw"), ["k"], stats_cols=["n", "s"]
+    )
+    rows = [
+        Row(
+            k=f"k{i:04d}",
+            n=(None if i % 17 == 0 else i % 97),
+            s=(None if i % 23 == 0 else f"s{i % 41:02d}"),
+            v=float(i),
+        )
+        for i in range(800)
+    ]
+    t.upsert(spark, spark.createDataFrame(rows))
+    t.compact(spark, target_file_bytes=4096)  # multiple files → real pruning
+    full = t.read(spark)
+
+    int_pred = st.tuples(
+        st.just("n"), st.sampled_from(["=", "<", "<=", ">", ">="]),
+        st.integers(-5, 100),
+    )
+    str_pred = st.tuples(
+        st.just("s"), st.sampled_from(["=", "<", ">="]),
+        st.sampled_from(["s00", "s13", "s27", "s40", "zz"]),
+    )
+    between_pred = st.tuples(
+        st.just("n"), st.just("between"),
+        st.tuples(st.integers(0, 50), st.integers(50, 100)),
+    )
+    in_pred = st.tuples(
+        st.just("s"), st.just("in"),
+        st.lists(st.sampled_from(["s01", "s07", "s22", "nope"]),
+                 min_size=1, max_size=3, unique=True),
+    )
+    preds = st.lists(
+        st.one_of(int_pred, str_pred, between_pred, in_pred),
+        min_size=1, max_size=3,
+    )
+
+    def sql_cond(col, op, val):
+        if op == "between":
+            return (F.col(col) >= F.lit(val[0])) & (F.col(col) <= F.lit(val[1]))
+        if op == "in":
+            return F.col(col).isin(list(val))
+        return {
+            "=": F.col(col) == F.lit(val),
+            "<": F.col(col) < F.lit(val),
+            "<=": F.col(col) <= F.lit(val),
+            ">": F.col(col) > F.lit(val),
+            ">=": F.col(col) >= F.lit(val),
+        }[op]
+
+    @settings(max_examples=15, deadline=None)
+    @given(preds)
+    def run(ps):
+        got = {r["k"] for r in t.read_where(spark, ps).collect()}
+        cond = F.lit(True)
+        for col, op, val in ps:
+            cond = cond & sql_cond(col, op, val)
+        want = {r["k"] for r in full.where(cond).collect()}
+        assert got == want, ps
+
+    run()
