@@ -3583,3 +3583,67 @@ def test_read_where_property_equals_full_scan_filter(spark, tmp_path):
         assert got == want, ps
 
     run()
+
+
+def test_cdf_pruning_property_all_version_pairs(spark, tmp_path):
+    """Property: on a randomly-built history (upserts, deletes, a
+    compact), the file-pruned change feed equals the full-scan control
+    for EVERY version pair (i, j), i < j, preimages included — the
+    hard-link identity argument has no edge that depends on which
+    versions you diff across."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("upsert"),
+                st.lists(st.integers(0, 25), min_size=1, max_size=6, unique=True),
+                st.integers(-2, 2),
+            ),
+            st.tuples(
+                st.just("delete"),
+                st.lists(st.integers(0, 25), min_size=1, max_size=6, unique=True),
+                st.just(0),
+            ),
+            st.tuples(st.just("compact"), st.just([]), st.just(0)),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+    counter = iter(range(10_000))
+
+    @settings(max_examples=4, deadline=None)
+    @given(ops)
+    def run(seq):
+        i = next(counter)
+        t = ParquetKeyedTable(str(tmp_path / f"cp{i}"), ["k"])
+        t.upsert(
+            spark,
+            spark.createDataFrame([Row(k=j, v=float(j)) for j in range(15)]),
+        )
+        for kind, keys, mult in seq:
+            if kind == "upsert":
+                t.upsert(
+                    spark,
+                    spark.createDataFrame(
+                        [Row(k=j, v=float(j * mult)) for j in keys]
+                    ),
+                )
+            elif kind == "delete":
+                t.delete_keys(spark, spark.createDataFrame([Row(k=j) for j in keys]))
+            else:
+                t.compact(spark, target_file_bytes=2048)
+        cur = t.current_version()
+        key = lambda r: (r["k"], r["_change_type"], r["v"])  # noqa: E731
+        for a in range(cur + 1):
+            for b in range(a + 1, cur + 1):
+                pruned = t.changes(spark, a, b, include_preimages=True)
+                control = t.changes(
+                    spark, a, b, include_preimages=True, prune_files=False
+                )
+                assert sorted(map(key, pruned.collect())) == sorted(
+                    map(key, control.collect())
+                ), (a, b, seq)
+
+    run()
