@@ -1051,6 +1051,7 @@ class ParquetKeyedTable:
         first_state: tuple[int, dict] | None = None
         last_state: tuple[int, dict] | None = None
         first_surviving: int | None = None
+        live_txns: dict[str, dict] = {}
         for v in range(self.current_version() + 1):
             m = self.manifest(v)
             if m is None:
@@ -1142,7 +1143,22 @@ class ParquetKeyedTable:
                 for a in actions:
                     fh.write(json.dumps(a) + "\n")
             prev_files = cur_files
-            state = {"metadata": last_metadata, "files": cur_files, "ts_ms": ts_ms}
+            if isinstance(m.get("txn"), dict):
+                # latest SetTransaction per appId survives into
+                # checkpoints (the protocol requires it — a truncated
+                # log must not lose the idempotent-writer watermark)
+                live_txns = dict(live_txns)
+                live_txns[str(m["txn"].get("app"))] = {
+                    "appId": str(m["txn"].get("app")),
+                    "version": int(m["txn"].get("base_version", 0)),
+                    "lastUpdated": ts_ms,
+                }
+            state = {
+                "metadata": last_metadata,
+                "files": cur_files,
+                "ts_ms": ts_ms,
+                "txns": live_txns,
+            }
             if v == first_surviving:
                 first_state = (v, state)
             last_state = (v, state)
@@ -1153,10 +1169,10 @@ class ParquetKeyedTable:
             for cv, state in dict([first_state, last_state]).items():
                 self._write_checkpoint(
                     log_dir, cv, protocol_action["protocol"], state["metadata"],
-                    state["files"], state["ts_ms"],
+                    state["files"], state["ts_ms"], txns=state["txns"],
                 )
             with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
-                n_actions = 2 + len(last_state[1]["files"])
+                n_actions = 2 + len(last_state[1]["files"]) + len(last_state[1]["txns"])
                 json.dump({"version": last_state[0], "size": n_actions}, fh)
         return log_dir
 
@@ -1168,6 +1184,7 @@ class ParquetKeyedTable:
         metadata: dict | None,
         files: list[dict],
         ts_ms: int | None = None,
+        txns: dict[str, dict] | None = None,
     ) -> str:
         """Write ``{version:020d}.checkpoint.parquet`` — the snapshot's
         full action state (protocol + metaData + every active add) in
@@ -1215,9 +1232,21 @@ class ParquetKeyedTable:
                         ]
                     ),
                 ),
+                pa.field(
+                    "txn",
+                    pa.struct(
+                        [
+                            ("appId", pa.string()),
+                            ("version", pa.int64()),
+                            ("lastUpdated", pa.int64()),
+                        ]
+                    ),
+                ),
             ]
         )
         rows: list[dict] = [{"protocol": protocol}]
+        for t in (txns or {}).values():
+            rows.append({"txn": t})
         if metadata is not None:
             md = dict(metadata)
             md["format"] = {

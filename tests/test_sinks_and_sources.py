@@ -3647,3 +3647,31 @@ def test_cdf_pruning_property_all_version_pairs(spark, tmp_path):
                 ), (a, b, seq)
 
     run()
+
+
+def test_delta_checkpoint_carries_txn_through_vacuum(spark, tmp_path):
+    """SetTransactions survive log truncation: after vacuuming away the
+    marked commit's own log entry, the exported checkpoint still
+    carries the latest txn per appId (the protocol's requirement, so
+    idempotent writers never lose their watermark)."""
+    import pyarrow.parquet as pq
+
+    t = ParquetKeyedTable(str(tmp_path / "ctxn"), ["k"])
+    t.upsert(spark, spark.createDataFrame([Row(k=1, v=1)]))
+    t.set_commit_txn({"app": "matview", "base_path": "/b", "base_version": 3})
+    t.upsert(spark, spark.createDataFrame([Row(k=2, v=2)]))
+    t.upsert(spark, spark.createDataFrame([Row(k=3, v=3)]))
+    # v0 (unmarked) is truncated away; the marked v1 survives, and the
+    # checkpoint at the LATEST version must still carry its txn even
+    # though v2's own log entry has none. (A marker whose commit is
+    # itself vacuumed is gone with its manifest — engine-side recovery
+    # then rests on the matview state sidecar, and losing both only
+    # costs a re-bootstrap.)
+    t.vacuum(keep_last=2)
+    t.export_delta_log(spark)
+    ckpt = os.path.join(
+        t.path, "_delta_log", f"{t.current_version():020d}.checkpoint.parquet"
+    )
+    rows = pq.read_table(ckpt).to_pylist()
+    txns = [r["txn"] for r in rows if r.get("txn") is not None]
+    assert txns == [{"appId": "matview", "version": 3, "lastUpdated": txns[0]["lastUpdated"]}]
