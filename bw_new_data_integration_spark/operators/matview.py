@@ -63,6 +63,65 @@ def _write_state(rollup: ParquetKeyedTable, state: dict) -> None:
     os.replace(tmp, _state_path(rollup))
 
 
+def _src(expr: str) -> F.Column:
+    """A measure source: a plain column name, or any SQL expression
+    (what lets AVG/ratio pairs ride the same signed-sum machinery)."""
+    return F.col(expr) if expr.isidentifier() else F.expr(expr)
+
+
+def _expand_measures(
+    sum_measures: Mapping[str, str],
+    avg_measures: Mapping[str, str] | None,
+    ratio_measures: Mapping[str, tuple[str, str]] | None,
+) -> dict[str, str]:
+    """AVG and ratio measures are NOT additive, but their components
+    are (the classic decomposition: AVG = SUM/COUNT-non-null, ratio =
+    SUM(num)/SUM(den)) — so the maintained state is the component sums
+    under reserved ``__avg_s_/__avg_n_/__num_/__den_`` names, and the
+    visible measure is derived at read time (:func:`finish_rollup`).
+    This is exactly how the reference's cube ratio members work
+    (Order Accuracy % etc., modules/mdx_queries.py:228-232: calculated
+    members over base SUM measures), re-expressed as maintainable
+    state."""
+    eff = dict(sum_measures)
+    for out, src in (avg_measures or {}).items():
+        eff[f"__avg_s_{out}"] = src
+        # count of NON-null source values, as a signed-summable 0/1 —
+        # matches SQL AVG's null-skipping exactly
+        eff[f"__avg_n_{out}"] = f"CASE WHEN ({src}) IS NOT NULL THEN 1 ELSE 0 END"
+    for out, (num, den) in (ratio_measures or {}).items():
+        eff[f"__num_{out}"] = num
+        eff[f"__den_{out}"] = den
+    return eff
+
+
+def finish_rollup(
+    df: DataFrame,
+    avg_measures: Mapping[str, str] | None = None,
+    ratio_measures: Mapping[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Derive the visible AVG/ratio measures from a maintained
+    rollup's component-sum columns and drop the internal state. AVG of
+    an empty/all-null group and a zero-denominator ratio are NULL
+    (SQL semantics for AVG; safe division for ratios). Division is
+    double-over-double of exact decimal sums, so the result is
+    deterministic and bit-equal to deriving from a recompute."""
+    for out in avg_measures or {}:
+        s = F.col(f"__avg_s_{out}").cast("double")
+        n = F.col(f"__avg_n_{out}").cast("double")
+        df = df.withColumn(out, F.when(n > 0, s / n))
+    for out in ratio_measures or {}:
+        num = F.col(f"__num_{out}").cast("double")
+        den = F.col(f"__den_{out}").cast("double")
+        df = df.withColumn(out, F.when(den != 0, num / den))
+    hidden = [
+        c
+        for c in df.columns
+        if c.startswith(("__avg_s_", "__avg_n_", "__num_", "__den_"))
+    ]
+    return df.drop(*hidden)
+
+
 def _full_rollup(
     base_df: DataFrame,
     group_cols: Sequence[str],
@@ -72,13 +131,21 @@ def _full_rollup(
     max_measures: Mapping[str, str] | None = None,
 ) -> DataFrame:
     aggs = [
-        F.sum(F.col(src).cast(_TERM_TYPE)).cast(_STORE_TYPE).alias(out)
+        F.sum(_src(src).cast(_TERM_TYPE)).cast(_STORE_TYPE).alias(out)
         for out, src in sum_measures.items()
     ]
-    aggs += [F.min(src).alias(out) for out, src in (min_measures or {}).items()]
-    aggs += [F.max(src).alias(out) for out, src in (max_measures or {}).items()]
+    aggs += [F.min(_src(src)).alias(out) for out, src in (min_measures or {}).items()]
+    aggs += [F.max(_src(src)).alias(out) for out, src in (max_measures or {}).items()]
     aggs.append(F.count(F.lit(1)).alias(count_col))
     return base_df.groupBy(*group_cols).agg(*aggs)
+
+
+#: Recompute-group pruning engages only when the affected-group list
+#: fits a bounded driver collect (group TUPLES, not rows — 4096 keeps
+#: the read_where IN-lists and the collect well under a megabyte).
+#: Past the cap the recompute falls back to the full base scan +
+#: left-semi, which is always correct.
+RECOMPUTE_PRUNE_MAX_GROUPS = 4096
 
 
 def maintain_rollup(
@@ -90,6 +157,8 @@ def maintain_rollup(
     count_col: str = "n_rows",
     min_measures: Mapping[str, str] | None = None,
     max_measures: Mapping[str, str] | None = None,
+    avg_measures: Mapping[str, str] | None = None,
+    ratio_measures: Mapping[str, tuple[str, str]] | None = None,
 ) -> dict:
     """Bring ``rollup`` (a grouped SUM/COUNT aggregate of ``base``,
     keyed on ``group_cols``) up to date with the base table's current
@@ -103,8 +172,23 @@ def maintain_rollup(
     groups whose row count reaches zero are deleted. A call with no
     base movement is a no-op (no new rollup commit).
 
-    ``sum_measures`` maps rollup output column → base source column.
+    ``sum_measures`` maps rollup output column → base source column
+    (or any SQL expression over base columns). ``avg_measures`` and
+    ``ratio_measures`` (out → (numerator, denominator) expressions)
+    are maintained as their additive component sums under reserved
+    ``__avg_*``/``__num_*``/``__den_*`` columns — derive the visible
+    measures with :func:`finish_rollup` at read time. This is what
+    lets the reference's ratio cube members (A3, modules/
+    mdx_queries.py:228-232) be served from an incrementally-maintained
+    view instead of a per-sync recompute.
     Returns a stats dict: versions spanned, groups upserted/deleted.
+
+    NULL group-key values are rejected (ValueError, before anything is
+    committed): the rollup is a KEYED table and keyed merge/delete
+    match with null-unsafe equality, so a null-keyed group would
+    silently duplicate instead of update. COALESCE null group values
+    upstream (the reference's pipelines do the same — F1 required-key
+    gates drop rows without a business key before the sink).
 
     ``min_measures`` / ``max_measures`` maintain extrema. MIN/MAX are
     only *insert-monotone*: a new value folds in with
@@ -113,11 +197,14 @@ def maintain_rollup(
     applies: groups where any removed value ties-or-beats the stored
     extremum are re-aggregated from the base via a left-semi join —
     ONE base scan whose aggregate state is bounded by the affected
-    groups (the scan itself reads the base once; group columns are
-    rarely the base's cluster key, so file skipping seldom applies) —
-    while every other group stays incremental. Insert-heavy feeds
-    almost never pay the recompute; SUM/COUNT remain pure-delta
-    regardless.
+    groups, and whose file set is pruned through the base's footer
+    stats on the group columns when the affected-group list fits
+    ``RECOMPUTE_PRUNE_MAX_GROUPS`` (stats exist whenever the group
+    column is in the base's ``stats_cols`` or its cluster key; on an
+    uncorrelated layout every file matches and the prune degrades to
+    the full scan, never to a wrong answer) — while every other group
+    stays incremental. Insert-heavy feeds almost never pay the
+    recompute; SUM/COUNT remain pure-delta regardless.
 
     Concurrency: one refresher per rollup at a time. The rollup's
     commits take the table write lock, but the ``_matview_state.json``
@@ -139,8 +226,15 @@ def maintain_rollup(
     # — Delta SetTransaction). The marker lands ATOMICALLY with the
     # commit, so a crash between the commit and the sidecar write can
     # never double-apply a delta: the re-run sees the marker and noops.
+    # both recovery sources must name THIS base: a rollup repointed at
+    # a different base table must re-bootstrap, not apply the old
+    # base's version watermark to the new one's history (ADVICE r9)
     state = _read_state(rollup)
-    state_v = int(state["base_version"]) if state else None
+    state_v = (
+        int(state["base_version"])
+        if state and state.get("base_path") == base.path
+        else None
+    )
     txn = rollup.last_txn("matview") if rollup.exists() else None
     txn_v = (
         int(txn["base_version"])
@@ -160,11 +254,29 @@ def maintain_rollup(
 
     min_measures = dict(min_measures or {})
     max_measures = dict(max_measures or {})
+    # AVG/ratio ride as additive component sums from here on
+    eff_sums = _expand_measures(sum_measures, avg_measures, ratio_measures)
+    null_key = None
+    for c in group_cols:
+        cond = F.col(c).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
     if reflected is None or not rollup.exists():
         snap = _full_rollup(
-            base.read(spark), group_cols, sum_measures, count_col,
+            base.read(spark), group_cols, eff_sums, count_col,
             min_measures, max_measures,
         )
+        # the grouped frame is small — pin it so the null-key probe and
+        # the overwrite share one base scan
+        try:
+            snap = snap.localCheckpoint(eager=True)
+        except Exception:
+            pass
+        if snap.where(null_key).limit(1).count():
+            raise ValueError(
+                "maintain_rollup: base has rows with NULL group-key "
+                f"values in {group_cols}; COALESCE them upstream "
+                "(keyed merge cannot match null keys)"
+            )
         rollup.set_commit_txn(
             {"app": "matview", "base_path": base.path, "base_version": current}
         )
@@ -195,20 +307,20 @@ def maintain_rollup(
     ).otherwise(F.lit(-1))
     added = sign == 1
     d_aggs = [
-        F.sum(sign.cast(_TERM_TYPE) * F.col(src).cast(_TERM_TYPE))
+        F.sum(sign.cast(_TERM_TYPE) * _src(src).cast(_TERM_TYPE))
         .cast(_STORE_TYPE)
         .alias(f"__d_{out}")
-        for out, src in sum_measures.items()
+        for out, src in eff_sums.items()
     ]
     # per extremum: the best INSERTED value (folds in monotonically)
     # and the best REMOVED value (decides whether the stored extremum
     # might have left the group)
     for out, src in min_measures.items():
-        d_aggs.append(F.min(F.when(added, F.col(src))).alias(f"__i_{out}"))
-        d_aggs.append(F.min(F.when(~added, F.col(src))).alias(f"__r_{out}"))
+        d_aggs.append(F.min(F.when(added, _src(src))).alias(f"__i_{out}"))
+        d_aggs.append(F.min(F.when(~added, _src(src))).alias(f"__r_{out}"))
     for out, src in max_measures.items():
-        d_aggs.append(F.max(F.when(added, F.col(src))).alias(f"__i_{out}"))
-        d_aggs.append(F.max(F.when(~added, F.col(src))).alias(f"__r_{out}"))
+        d_aggs.append(F.max(F.when(added, _src(src))).alias(f"__i_{out}"))
+        d_aggs.append(F.max(F.when(~added, _src(src))).alias(f"__r_{out}"))
     d_aggs.append(F.sum(sign).alias("__d_rows"))
     delta = ch.groupBy(*group_cols).agg(*d_aggs)
     # the delta feeds its own key-bounds probe AND the join — pin it so
@@ -222,18 +334,23 @@ def maintain_rollup(
     # rows whose leading group key falls inside the delta's key
     # interval, and range-clustered rollups persist per-file key bounds
     # — so a point-churn refresh reads O(touched rollup files), not the
-    # whole rollup. Null group keys defeat the interval (read_where's
-    # residual drops them), so their presence falls back to a full read.
+    # whole rollup. The same single job also screens for NULL group
+    # keys (rejected before anything commits — see docstring).
     gk = group_cols[0]
     bounds = delta.agg(
         F.min(gk).alias("lo"),
         F.max(gk).alias("hi"),
-        F.sum(F.when(F.col(gk).isNull(), 1).otherwise(0)).alias("nulls"),
+        F.sum(F.when(null_key, 1).otherwise(0)).alias("nulls"),
     ).first()
+    if bounds["nulls"]:
+        raise ValueError(
+            "maintain_rollup: change feed has rows with NULL group-key "
+            f"values in {group_cols}; COALESCE them upstream "
+            "(keyed merge cannot match null keys)"
+        )
     rollup_report = None
     if (
         bounds["lo"] is not None
-        and not bounds["nulls"]
         and rollup.cluster == "range"
         and not rollup.partition_by
     ):
@@ -265,7 +382,7 @@ def maintain_rollup(
             )
             .cast(_STORE_TYPE)
             .alias(out)
-            for out in sum_measures
+            for out in eff_sums
         ),
         # least/greatest skip nulls: a brand-new group takes the
         # inserted extremum, an untouched-extremum group keeps its own
@@ -307,13 +424,31 @@ def maintain_rollup(
     deleted = int(counts.get((False, False), 0)) + int(counts.get((False, True), 0))
 
     live = safe_live
+    recompute_report = None
     if n_recomp:
         # extremum possibly removed: re-aggregate ONLY those groups
-        # from the base (left-semi scopes the scan to their rows)
+        # from the base. The left-semi join bounds the aggregate state
+        # to the affected groups; the SCAN itself is additionally
+        # file-pruned through the base's footer stats when the group
+        # values fit a bounded driver list (VERDICT r9 #5): per-column
+        # IN predicates are a superset of the affected group tuples
+        # (exactness restored by the left-semi), so files whose
+        # group-column range misses every affected value are skipped
+        # entirely — a delete-heavy refresh on a group-correlated
+        # layout reads O(affected files), not the whole base.
+        scan = base.read(spark)
+        if n_recomp <= RECOMPUTE_PRUNE_MAX_GROUPS:
+            vals = recomp_keys.collect()  # bounded by the cap above
+            preds = [
+                (c, "in", sorted({r[c] for r in vals})) for c in group_cols
+            ]
+            scan, recompute_report = base.read_where(
+                spark, preds, with_report=True
+            )
         live = safe_live.unionByName(
             _full_rollup(
-                base.read(spark).join(recomp_keys, group_cols, "left_semi"),
-                group_cols, sum_measures, count_col,
+                scan.join(recomp_keys, group_cols, "left_semi"),
+                group_cols, eff_sums, count_col,
                 min_measures, max_measures,
             )
         )
@@ -342,7 +477,11 @@ def maintain_rollup(
         "groups_recomputed": n_recomp,
         "groups_deleted": deleted,
         # rollup files the key-bounds pruning let the join skip (None
-        # when pruning could not engage: null keys, unclustered layout)
+        # when pruning could not engage: unclustered layout)
         "rollup_files_read": (rollup_report or {}).get("files_read"),
         "rollup_files_total": (rollup_report or {}).get("files_total"),
+        # base files the MIN/MAX recompute actually scanned (None when
+        # no recompute ran or the group list exceeded the prune cap)
+        "recompute_files_read": (recompute_report or {}).get("files_read"),
+        "recompute_files_total": (recompute_report or {}).get("files_total"),
     }

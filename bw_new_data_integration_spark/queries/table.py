@@ -674,3 +674,140 @@ def k12_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_price").cast("double").alias("max_price"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K13 — the reference's pipeline served FROM a maintained view: a
+# daily-sales-grain rollup (store × day, the grain of
+# pipelines/pipelines.yaml daily_sales and the cube sync's slice,
+# modules/olap_sync.py:111-151) kept current incrementally, including
+# the cube's RATIO members (Order Accuracy % etc.,
+# modules/mdx_queries.py:228-232) and an AVG measure. Ratios/AVGs are
+# not additive — maintain_rollup maintains their component sums
+# (SUM(num)/SUM(den), SUM(x)/COUNT(x non-null)) through the signed
+# change feed and finish_rollup derives the visible measure at read.
+# The oracle recomputes the final state from scratch: any drift in
+# either the additive folds or the derivation is a value mismatch.
+# ---------------------------------------------------------------------------
+@register(
+    "k13_pipeline_matview",
+    oracle="""
+WITH src AS (
+  -- the synthetic lineitem has duplicate (orderkey, linenumber) rows;
+  -- the keyed base admits ONE row per key, so both sides pick the same
+  -- one via a total order over the used columns
+  SELECT l_orderkey AS ok,
+         l_orderkey * 8 + l_linenumber AS k,
+         CAST(l_suppkey AS VARCHAR) AS store_number,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS calendar_date,
+         CAST(l_quantity AS DOUBLE) AS quantity,
+         CAST(l_extendedprice AS DOUBLE) AS price,
+         CAST(l_extendedprice * l_discount AS DOUBLE) AS disc
+  FROM lineitem WHERE l_orderkey % 7 = 0
+  QUALIFY row_number() OVER (
+    PARTITION BY l_orderkey * 8 + l_linenumber
+    ORDER BY CAST(l_quantity AS DOUBLE) DESC, CAST(l_extendedprice AS DOUBLE) DESC,
+             CAST(l_extendedprice * l_discount AS DOUBLE) DESC,
+             CAST(l_suppkey AS VARCHAR) DESC,
+             strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') DESC
+  ) = 1
+),
+v0 AS (SELECT * FROM src WHERE ok % 3 <> 2),
+v1 AS (  -- upsert wave: double the quantity where ok%3=0, insert ok%3=2
+  SELECT ok, k, store_number, calendar_date,
+         CASE WHEN ok % 3 = 0 THEN quantity * 2 ELSE quantity END AS quantity,
+         price, disc
+  FROM v0
+  UNION ALL
+  SELECT ok, k, store_number, calendar_date, quantity, price, disc
+  FROM src WHERE ok % 3 = 2
+),
+v2 AS (SELECT * FROM v1 WHERE ok % 5 <> 1)  -- delete wave
+SELECT store_number, calendar_date,
+       CAST(CAST(SUM(CAST(quantity AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS qty,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS base_price_usd,
+       CAST(CAST(SUM(CAST(disc AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         AS discounts_usd,
+       CAST(CAST(SUM(CAST(quantity AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         / CAST(COUNT(quantity) AS DOUBLE) AS avg_qty,
+       CASE WHEN CAST(CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE) <> 0
+            THEN CAST(CAST(SUM(CAST(disc AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DECIMAL(38,6)) AS DOUBLE)
+       END AS discount_rate,
+       CAST(COUNT(*) AS BIGINT) AS line_count,
+       TRUE AS maintained_incrementally
+FROM v2 GROUP BY store_number, calendar_date
+""",
+)
+def k13_pipeline_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-sales pipeline served from an incrementally-maintained rollup with AVG + ratio measures."""
+    import tempfile
+
+    from bw_new_data_integration_spark.operators.matview import (
+        finish_rollup,
+        maintain_rollup,
+    )
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("bigint").alias("k"),
+            F.col("l_suppkey").cast("string").alias("store_number"),
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias(
+                "calendar_date"
+            ),
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+            (F.col("l_extendedprice") * F.col("l_discount"))
+            .cast("double")
+            .alias("disc"),
+        )
+    )
+    # deterministic one-row-per-key pick (the synthetic lineitem has
+    # duplicate (orderkey, linenumber) rows) — mirrored in the oracle
+    w = Window.partitionBy("k").orderBy(
+        F.desc("quantity"), F.desc("price"), F.desc("disc"),
+        F.desc("store_number"), F.desc("calendar_date"),
+    )
+    li = (
+        li.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    root = tempfile.mkdtemp(prefix="bw_pmv_")
+    base = ParquetKeyedTable(root + "/base", ["k"])
+    roll = ParquetKeyedTable(root + "/roll", ["store_number", "calendar_date"])
+    avg = {"avg_qty": "quantity"}
+    ratio = {"discount_rate": ("disc", "price")}
+    mv = lambda: maintain_rollup(  # noqa: E731
+        spark, base, roll, ["store_number", "calendar_date"],
+        {"qty": "quantity", "base_price_usd": "price", "discounts_usd": "disc"},
+        count_col="line_count", avg_measures=avg, ratio_measures=ratio,
+    )
+    base.overwrite(li.where(F.col("ok") % 3 != 2))
+    mv()  # bootstrap
+    base.upsert(
+        spark,
+        li.where(F.col("ok") % 3 == 0)
+        .withColumn("quantity", F.col("quantity") * 2)
+        .unionByName(li.where(F.col("ok") % 3 == 2)),
+    )
+    base.delete_keys(spark, li.where(F.col("ok") % 5 == 1).select("k"))
+    stats = mv()  # ONE incremental refresh spanning upsert + delete
+    incremental = stats["action"] == "incremental"
+    return finish_rollup(roll.read(spark), avg, ratio).select(
+        "store_number",
+        "calendar_date",
+        F.col("qty").cast("double").alias("qty"),
+        F.col("base_price_usd").cast("double").alias("base_price_usd"),
+        F.col("discounts_usd").cast("double").alias("discounts_usd"),
+        F.col("avg_qty").cast("double").alias("avg_qty"),
+        F.col("discount_rate").cast("double").alias("discount_rate"),
+        F.col("line_count").cast("bigint").alias("line_count"),
+        F.lit(incremental).alias("maintained_incrementally"),
+    )

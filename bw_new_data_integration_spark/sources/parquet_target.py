@@ -794,7 +794,30 @@ class ParquetKeyedTable:
         with open(tmp, "w") as f:
             f.write(str(new_v))
         os.replace(tmp, self._latest_file())  # atomic pointer flip
+        # the commit is durable — advance the txn sidecar (newest
+        # SetTransaction per app, independent of per-version manifests:
+        # what bounds last_txn's walk to O(1) and keeps markers alive
+        # through vacuum — ADVICE r9). Best-effort: the manifests stay
+        # authoritative, a failed fold only widens the next walk.
+        try:
+            self._sync_txn_sidecar(new_v)
+        except OSError:
+            pass
         return new_v
+
+    @contextlib.contextmanager
+    def _txn_guard(self):
+        """Clear a pending txn marker when the commit it was meant for
+        FAILS (ADVICE r9): without this, a later unrelated commit (a
+        compact, the next batch) would inherit the marker and falsely
+        record the failed delta as applied — permanently skipping it.
+        On success ``_write_manifest`` has already consumed the marker,
+        so there is nothing to clear."""
+        try:
+            yield
+        except BaseException:
+            self.__dict__.pop("_pending_txn", None)
+            raise
 
     def _write_manifest(self, version: int, operation: str) -> None:
         """Per-version commit manifest (Delta's transaction-log entry,
@@ -851,20 +874,19 @@ class ParquetKeyedTable:
                             if kb is not None:
                                 entry["kb"] = kb
                 files.append(entry)
+        # Delta SetTransaction parity: the marker stamped by
+        # set_commit_txn lands atomically with THIS commit and is also
+        # stashed for the post-flip sidecar fold (_sync_txn_sidecar)
+        committed_txn = self.__dict__.pop("_pending_txn", None)
+        ts = time.time()
+        if committed_txn is not None:
+            self._last_commit_txn = committed_txn
+            self._last_commit_ts = ts
         manifest = {
             "version": version,
             "operation": operation,
-            "timestamp": time.time(),
-            # Delta SetTransaction parity: an application can stamp the
-            # NEXT commit with a txn marker (set_commit_txn) that lands
-            # atomically with the commit — the exactly-once handshake
-            # idempotent writers (matview refresh, streaming epochs)
-            # key their recovery off
-            **(
-                {"txn": self.__dict__.pop("_pending_txn")}
-                if self.__dict__.get("_pending_txn") is not None
-                else {}
-            ),
+            "timestamp": ts,
+            **({"txn": committed_txn} if committed_txn is not None else {}),
             "key_cols": self.key_cols,
             "partition_by": self.partition_by,
             # layout contract: "range" snapshots are repartitionByRange
@@ -891,17 +913,76 @@ class ParquetKeyedTable:
         idempotent writer uses to tell 'this delta already landed' from
         'the commit never happened' after a crash. Consumed by the next
         ``_write_manifest``; unused markers are overwritten by the next
-        call."""
+        call, and a marker whose intended commit RAISES is cleared by
+        that writer's ``_txn_guard`` (never inherited by a later
+        unrelated commit — ADVICE r9)."""
         self._pending_txn = dict(txn)
 
+    def _txns_path(self) -> str:
+        return os.path.join(self.path, "_txns.json")
+
+    def _read_txn_sidecar(self) -> dict | None:
+        """``_txns.json``: the newest txn marker per appId plus the
+        table version the sidecar is synced through (``asof``).
+        Invariant: every txn carried by a manifest at version <= asof
+        is folded in — so readers only walk manifests in
+        (asof, current], normally empty. None when the sidecar has
+        never been written (pre-upgrade tables: full walk)."""
+        try:
+            with open(self._txns_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _sync_txn_sidecar(self, upto: int) -> None:
+        """Fold manifest txn markers for versions (asof, upto] into the
+        sidecar. Called after every pointer flip: the normal gap is
+        exactly one version (zero extra manifest reads — the just-
+        committed txn is in hand via ``_last_commit_txn``); a wider gap
+        only exists after a crash between flip and fold, healed here by
+        reading the skipped manifests (still on disk — vacuum syncs
+        first)."""
+        sc = self._read_txn_sidecar() or {"asof": -1, "apps": {}}
+        asof = int(sc.get("asof", -1))
+        if upto <= asof:
+            return
+        for v in range(asof + 1, upto + 1):
+            if v == upto and "_last_commit_txn" in self.__dict__:
+                txn = self.__dict__.pop("_last_commit_txn")
+                ts = self.__dict__.pop("_last_commit_ts", None)
+            else:
+                m = self.manifest(v)
+                txn = (m or {}).get("txn")
+                ts = (m or {}).get("timestamp")
+            if isinstance(txn, dict) and txn.get("app") is not None:
+                sc["apps"][str(txn["app"])] = {
+                    "txn": txn,
+                    "version": v,
+                    "ts_ms": int((ts or 0) * 1000),
+                }
+        sc["asof"] = upto
+        tmp = self._txns_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sc, f)
+        os.replace(tmp, self._txns_path())
+
     def last_txn(self, app: str) -> dict | None:
-        """Newest commit manifest txn marker for ``app``, walking
-        history newest-first (Delta's ``txn.version`` read side). None
+        """Newest commit txn marker for ``app`` (Delta's
+        ``txn.version`` read side). O(1) in steady state: the sidecar
+        holds the newest marker per app and is synced through ``asof``
+        on every commit, so only the (normally empty) tail of manifests
+        newer than ``asof`` is walked. Tables written before the
+        sidecar existed fall back to the full newest-first walk. None
         if no commit carries one."""
-        for v in range(self.current_version(), -1, -1):
+        sc = self._read_txn_sidecar()
+        lo = int(sc.get("asof", -1)) if sc else -1
+        for v in range(self.current_version(), lo, -1):
             m = self.manifest(v)
             if m and isinstance(m.get("txn"), dict) and m["txn"].get("app") == app:
                 return m["txn"]
+        if sc:
+            ent = sc["apps"].get(app)
+            return dict(ent["txn"]) if ent else None
         return None
 
     def manifest(self, version: int | None = None) -> dict | None:
@@ -1051,7 +1132,21 @@ class ParquetKeyedTable:
         first_state: tuple[int, dict] | None = None
         last_state: tuple[int, dict] | None = None
         first_surviving: int | None = None
-        live_txns: dict[str, dict] = {}
+        # seed from the txn sidecar: a SetTransaction whose carrying
+        # commit was vacuumed must still reach the checkpoints (the
+        # protocol retains the latest txn per appId through log
+        # truncation). Surviving manifests overwrite seeds below —
+        # vacuum removes oldest-first, so manifest markers are newer.
+        sc = self._read_txn_sidecar() or {"apps": {}}
+        live_txns: dict[str, dict] = {
+            str(e["txn"].get("app")): {
+                "appId": str(e["txn"].get("app")),
+                "version": int(e["txn"].get("base_version", 0)),
+                "lastUpdated": int(e.get("ts_ms") or 0),
+            }
+            for e in sc["apps"].values()
+            if isinstance(e.get("txn"), dict)
+        }
         for v in range(self.current_version() + 1):
             m = self.manifest(v)
             if m is None:
@@ -1302,7 +1397,7 @@ class ParquetKeyedTable:
     def overwrite(self, df: DataFrame) -> int:
         df, release = self._pin(df)
         try:
-            with self._write_lock():
+            with self._txn_guard(), self._write_lock():
                 return self._commit(df, "overwrite")
         finally:
             release()
@@ -1338,10 +1433,11 @@ class ParquetKeyedTable:
         # source plan (an XMLA/OData fetch posts exactly once)
         source, release = self._pin(source)
         try:
-            return self._upsert_pinned(
-                spark, source, order_by=order_by,
-                evolve_schema=evolve_schema, strict=strict,
-            )
+            with self._txn_guard():
+                return self._upsert_pinned(
+                    spark, source, order_by=order_by,
+                    evolve_schema=evolve_schema, strict=strict,
+                )
         finally:
             release()
 
@@ -1701,7 +1797,7 @@ class ParquetKeyedTable:
     def delete_keys(self, spark: SparkSession, keys_df: DataFrame) -> int:
         keys_df, release = self._pin(keys_df)
         try:
-            with self._write_lock():
+            with self._txn_guard(), self._write_lock():
                 target = self.read(spark)
                 if target is None:
                     return self.current_version()
@@ -1897,6 +1993,14 @@ class ParquetKeyedTable:
             raise ValueError("keep_last must be >= 1 (the current version must survive)")
         with self._write_lock():
             current = self.current_version()
+            # retention must not lose idempotent-writer watermarks: make
+            # sure every txn marker is folded into the sidecar BEFORE
+            # its manifest is deleted (normally a no-op — _flip syncs
+            # per commit; this covers crash gaps)
+            try:
+                self._sync_txn_sidecar(current)
+            except OSError:
+                pass
             removed = []
             for v in range(0, max(0, current - keep_last + 1)):
                 snap = self._snapshot_dir(v)
@@ -1954,7 +2058,7 @@ class ParquetKeyedTable:
         interleave of the two columns (operators/zorder.py), so
         row-group min/max stats stay tight on BOTH — the layout for a
         table queried by multi-dimension box predicates."""
-        with self._write_lock():
+        with self._txn_guard(), self._write_lock():
             return self._compact_locked(spark, target_file_bytes, zorder_by)
 
     def _compact_locked(

@@ -3675,3 +3675,236 @@ def test_delta_checkpoint_carries_txn_through_vacuum(spark, tmp_path):
     rows = pq.read_table(ckpt).to_pylist()
     txns = [r["txn"] for r in rows if r.get("txn") is not None]
     assert txns == [{"appId": "matview", "version": 3, "lastUpdated": txns[0]["lastUpdated"]}]
+
+
+def test_vacuumed_txn_marker_survives_via_sidecar(spark, tmp_path):
+    """ADVICE r9: the latest SetTransaction per appId must survive even
+    when the commit that CARRIED it is vacuumed — the txn sidecar
+    (folded on every flip) keeps both ``last_txn`` and the exported
+    checkpoints truthful after log truncation."""
+    import pyarrow.parquet as pq
+
+    t = ParquetKeyedTable(str(tmp_path / "vtxn"), ["k"])
+    t.set_commit_txn({"app": "matview", "base_path": "/b", "base_version": 9})
+    t.upsert(spark, spark.createDataFrame([Row(k=1, v=1)]))  # v0, marked
+    t.upsert(spark, spark.createDataFrame([Row(k=2, v=2)]))  # v1
+    t.upsert(spark, spark.createDataFrame([Row(k=3, v=3)]))  # v2
+    t.vacuum(keep_last=1)  # the MARKED manifest is deleted
+    assert t.manifest(0) is None
+    got = t.last_txn("matview")
+    assert got is not None and got["base_version"] == 9
+    # the exported checkpoint retains the marker too
+    t.export_delta_log(spark)
+    ckpt = os.path.join(
+        t.path, "_delta_log", f"{t.current_version():020d}.checkpoint.parquet"
+    )
+    rows = pq.read_table(ckpt).to_pylist()
+    txns = [r["txn"] for r in rows if r.get("txn") is not None]
+    assert [x["version"] for x in txns] == [9]
+    # steady state: the sidecar is synced through the current version,
+    # so the read side walks zero manifests
+    import json as _json
+
+    sc = _json.load(open(os.path.join(t.path, "_txns.json")))
+    assert sc["asof"] == t.current_version()
+
+
+def test_failed_commit_clears_pending_txn(spark, tmp_path):
+    """ADVICE r9: a txn marker stamped for a commit that RAISES must
+    not be inherited by the next unrelated commit (that would falsely
+    record the failed delta as applied — silently lost updates)."""
+    import pytest as _pytest
+
+    t = ParquetKeyedTable(str(tmp_path / "ftxn"), ["k"])
+    t.upsert(spark, spark.createDataFrame([Row(k=1, v=1)]))
+    t.set_commit_txn({"app": "matview", "base_path": "/b", "base_version": 5})
+    with _pytest.raises(ValueError, match="strict upsert"):
+        t.upsert(
+            spark,
+            spark.createDataFrame([Row(k=7, v=1), Row(k=7, v=2)]),
+            strict=True,
+        )
+    assert "_pending_txn" not in t.__dict__
+    t.upsert(spark, spark.createDataFrame([Row(k=8, v=8)]))
+    assert "txn" not in t.manifest()
+    assert t.last_txn("matview") is None
+
+
+def test_maintain_rollup_avg_ratio_measures(spark, tmp_path):
+    """AVG and ratio measures are maintained as additive component
+    sums and derived at read (finish_rollup): equal to deriving from a
+    from-scratch recompute across updates, deletes, and NULL measure
+    values (AVG skips nulls like SQL); zero-denominator ratios and
+    all-null AVG groups are NULL; a second refresh is a no-op."""
+    from bw_new_data_integration_spark.operators.matview import (
+        _full_rollup,
+        _expand_measures,
+        finish_rollup,
+        maintain_rollup,
+    )
+
+    t = ParquetKeyedTable(str(tmp_path / "ar_base"), ["k"])
+    rows = [
+        Row(
+            k=i,
+            grp=i % 5,
+            qty=None if i % 11 == 0 else float(i % 13),
+            # group 4: every denominator value is 0 → NULL ratio
+            price=0.0 if i % 5 == 4 else float(i),
+            disc=float(i) * 0.1,
+        )
+        for i in range(400)
+    ]
+    t.upsert(spark, spark.createDataFrame(rows, "k long, grp long, qty double, price double, disc double"))
+    roll = ParquetKeyedTable(str(tmp_path / "ar_roll"), ["grp"])
+    avg = {"avg_qty": "qty"}
+    ratio = {"disc_rate": ("disc", "price")}
+    mv = lambda: maintain_rollup(  # noqa: E731
+        spark, t, roll, ["grp"], {"sum_price": "price"},
+        avg_measures=avg, ratio_measures=ratio,
+    )
+    assert mv()["action"] == "bootstrap"
+    # group 3 becomes all-NULL qty via updates; deletes hit group 2
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(k=i, grp=i % 5, qty=None, price=float(i) * 2, disc=1.0)
+             for i in range(3, 400, 5)],
+            "k long, grp long, qty double, price double, disc double",
+        ),
+    )
+    t.delete_keys(spark, spark.createDataFrame([Row(k=i) for i in range(2, 400, 10)]))
+    stats = mv()
+    assert stats["action"] == "incremental"
+
+    def as_map(df):
+        return {
+            r["grp"]: tuple(
+                None if r[c] is None else round(r[c], 9)
+                for c in ("sum_price", "avg_qty", "disc_rate", "n_rows")
+            )
+            for r in df.collect()
+        }
+
+    got = as_map(finish_rollup(roll.read(spark), avg, ratio))
+    want = as_map(
+        finish_rollup(
+            _full_rollup(
+                t.read(spark), ["grp"],
+                _expand_measures({"sum_price": "price"}, avg, ratio), "n_rows",
+            ),
+            avg, ratio,
+        )
+    )
+    assert got == want
+    # group 3 avg is NULL (all-null qty); group 4 ratio is NULL (0 denom)
+    assert got[3][1] is None and got[4][2] is None
+    # replay: no base movement → no rollup commit
+    v = roll.current_version()
+    assert mv()["action"] == "noop" and roll.current_version() == v
+
+
+def test_maintain_rollup_rejects_null_group_keys(spark, tmp_path):
+    """ADVICE r9: null group-key values would silently corrupt the
+    keyed upsert/delete (null-unsafe key equality) — both the bootstrap
+    and the incremental path must fail loud BEFORE committing."""
+    import pytest as _pytest
+
+    from bw_new_data_integration_spark.operators.matview import maintain_rollup
+
+    schema = "k long, grp string, v double"
+    t = ParquetKeyedTable(str(tmp_path / "ng_base"), ["k"])
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(k=i, grp=None if i == 3 else f"g{i % 4}", v=1.0) for i in range(50)],
+            schema,
+        ),
+    )
+    roll = ParquetKeyedTable(str(tmp_path / "ng_roll"), ["grp"])
+    with _pytest.raises(ValueError, match="NULL group-key"):
+        maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
+    assert not roll.exists()
+
+    # clean bootstrap, then a null-group row arrives in the feed
+    t2 = ParquetKeyedTable(str(tmp_path / "ng2_base"), ["k"])
+    t2.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(k=i, grp=f"g{i % 4}", v=1.0) for i in range(50)], schema
+        ),
+    )
+    roll2 = ParquetKeyedTable(str(tmp_path / "ng2_roll"), ["grp"])
+    maintain_rollup(spark, t2, roll2, ["grp"], {"sum_v": "v"})
+    v = roll2.current_version()
+    t2.upsert(spark, spark.createDataFrame([Row(k=99, grp=None, v=5.0)], schema))
+    with _pytest.raises(ValueError, match="NULL group-key"):
+        maintain_rollup(spark, t2, roll2, ["grp"], {"sum_v": "v"})
+    assert roll2.current_version() == v  # nothing committed
+
+
+def test_maintain_rollup_repointed_base_rebootstraps(spark, tmp_path):
+    """ADVICE r9: the state sidecar's watermark must only apply to the
+    base it was recorded against — repointing a rollup at a different
+    base re-bootstraps instead of silently skipping deltas."""
+    from bw_new_data_integration_spark.operators.matview import maintain_rollup
+
+    a = ParquetKeyedTable(str(tmp_path / "rp_a"), ["k"])
+    a.upsert(spark, spark.createDataFrame([Row(k=i, grp=i % 3, v=1.0) for i in range(60)]))
+    a.upsert(spark, spark.createDataFrame([Row(k=i, grp=i % 3, v=2.0) for i in range(60, 90)]))
+    b = ParquetKeyedTable(str(tmp_path / "rp_b"), ["k"])
+    b.upsert(spark, spark.createDataFrame([Row(k=i, grp=i % 3, v=7.0) for i in range(30)]))
+
+    roll = ParquetKeyedTable(str(tmp_path / "rp_roll"), ["grp"])
+    maintain_rollup(spark, a, roll, ["grp"], {"sum_v": "v"})
+    # repoint at b (same rollup): a's version-2 watermark must not be
+    # interpreted against b's history
+    stats = maintain_rollup(spark, b, roll, ["grp"], {"sum_v": "v"})
+    assert stats["action"] == "bootstrap"
+    got = {r["grp"]: (str(r["sum_v"]), r["n_rows"]) for r in roll.read(spark).collect()}
+    assert got == {0: ("70.000000", 10), 1: ("70.000000", 10), 2: ("70.000000", 10)}
+
+
+def test_minmax_recompute_scan_is_file_pruned(spark, tmp_path):
+    """VERDICT r9 #5: when an extremum is removed, the group-scoped
+    recompute routes through footer-stats pruning on the group column —
+    on a group-correlated layout the refresh reads only the files whose
+    group range intersects the affected groups, never the whole base."""
+    from bw_new_data_integration_spark.operators.matview import (
+        _full_rollup,
+        maintain_rollup,
+    )
+
+    t = ParquetKeyedTable(str(tmp_path / "pr_base"), ["k"], stats_cols=["grp"])
+    # grp correlated with the cluster key: grp = k // 500
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(k=i, grp=i // 500, v=float(i)) for i in range(4000)]
+        ),
+    )
+    t.compact(spark, target_file_bytes=4096)  # many files, each ~one group
+    roll = ParquetKeyedTable(str(tmp_path / "pr_roll"), ["grp"])
+    mv = lambda: maintain_rollup(  # noqa: E731
+        spark, t, roll, ["grp"], {"sum_v": "v"},
+        min_measures={"min_v": "v"}, max_measures={"max_v": "v"},
+    )
+    mv()
+    # remove group 2's stored maximum (k=1499) → that group recomputes
+    t.delete_keys(spark, spark.createDataFrame([Row(k=1499)]))
+    stats = mv()
+    assert stats["groups_recomputed"] == 1
+    assert stats["recompute_files_total"] is not None
+    assert stats["recompute_files_read"] < stats["recompute_files_total"]
+    got = {
+        r["grp"]: (str(r["sum_v"]), r["min_v"], r["max_v"], r["n_rows"])
+        for r in roll.read(spark).collect()
+    }
+    want = {
+        r["grp"]: (str(r["sum_v"]), r["min_v"], r["max_v"], r["n_rows"])
+        for r in _full_rollup(
+            t.read(spark), ["grp"], {"sum_v": "v"}, "n_rows",
+            {"min_v": "v"}, {"max_v": "v"},
+        ).collect()
+    }
+    assert got == want and got[2][2] == 1498.0
