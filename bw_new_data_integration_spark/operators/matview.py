@@ -265,13 +265,17 @@ def maintain_rollup(
             base.read(spark), group_cols, eff_sums, count_col,
             min_measures, max_measures,
         )
-        # the grouped frame is small — pin it so the null-key probe and
-        # the overwrite share one base scan
+        # the grouped frame is small — pin it so the null-key/size probe
+        # and the overwrite share one base scan
         try:
             snap = snap.localCheckpoint(eager=True)
         except Exception:
             pass
-        if snap.where(null_key).limit(1).count():
+        probe = snap.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(null_key, 1).otherwise(0)).alias("nulls"),
+        ).first()
+        if probe["nulls"]:
             raise ValueError(
                 "maintain_rollup: base has rows with NULL group-key "
                 f"values in {group_cols}; COALESCE them upstream "
@@ -280,7 +284,11 @@ def maintain_rollup(
         rollup.set_commit_txn(
             {"app": "matview", "base_path": base.path, "base_version": current}
         )
-        rollup.overwrite(snap)
+        # the checkpointed frame has no observable bytes — size the
+        # write by the group count so a small rollup lands in few files
+        # (a par-wide fan-out would make every later refresh probe and
+        # rewrite dozens of one-row files)
+        rollup.overwrite(snap, source_rows=int(probe["n"]))
         _write_state(rollup, {"base_path": base.path, "base_version": current})
         return {
             "action": "bootstrap",
@@ -301,7 +309,58 @@ def maintain_rollup(
             "groups_deleted": 0,
         }
 
-    ch = base.changes(spark, reflected, current, include_preimages=True)
+    # A compact (incl. ZORDER) rewrites every file while changing no
+    # row — diffing ACROSS one defeats hard-link pruning and turns the
+    # feed into an O(table) full-outer join. state(v) == state(v-1)
+    # for a compact commit, so the span splits at each one and the
+    # per-span feeds concatenate: signed SUM/COUNT deltas are additive
+    # across sequential spans, and MIN/MAX folds stay correct (an
+    # insert-then-remove across spans can only trigger an EXTRA
+    # group recompute, never a missed one). Only the engine's own
+    # compact() stamps operation='compact', and it commits the same
+    # logical state by construction.
+    spans: list[tuple[int, int]] = []
+    lo = reflected
+    for v in range(reflected + 1, current + 1):
+        m = base.manifest(v)
+        if m and m.get("operation") == "compact":
+            if v - 1 > lo:
+                spans.append((lo, v - 1))
+            lo = v
+    if current > lo:
+        spans.append((lo, current))
+    # per-span feed: when every commit in the span is CDC-tracked
+    # (change_feed tables), fold the O(batch) per-commit events instead
+    # of snapshot-diffing — the diff is O(files rewritten), which for
+    # key-interleaved epochs is the whole base per refresh. Signed
+    # folds are additive over per-commit events, so mixing feed kinds
+    # across spans is exact.
+    def _span_feed(a: int, b: int):
+        if all(base.has_commit_changes(v) for v in range(a + 1, b + 1)):
+            return base.commit_changes(spark, a, b).drop("_commit_version")
+        return base.changes(spark, a, b, include_preimages=True)
+
+    feeds = [_span_feed(a, b) for a, b in spans]
+    if not feeds:  # every commit in the window was a compact: no churn
+        _write_state(rollup, {"base_path": base.path, "base_version": current})
+        return {
+            "action": "incremental",
+            "from_version": reflected,
+            "to_version": current,
+            "groups_upserted": 0,
+            "groups_recomputed": 0,
+            "groups_deleted": 0,
+            "rollup_files_read": None,
+            "rollup_files_total": None,
+            "recompute_files_read": None,
+            "recompute_files_total": None,
+        }
+    ch = feeds[0]
+    for f in feeds[1:]:
+        # schema may evolve between spans; the fold speaks the union
+        # vocabulary (missing columns null — same as the feed's own
+        # evolution rule)
+        ch = ch.unionByName(f, allowMissingColumns=True)
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
@@ -466,7 +525,7 @@ def maintain_rollup(
         rollup.set_commit_txn(
             {"app": "matview", "base_path": base.path, "base_version": current}
         )
-        rollup.upsert(spark, live)
+        rollup.upsert(spark, live, source_rows=upserted)
 
     _write_state(rollup, {"base_path": base.path, "base_version": current})
     return {

@@ -727,7 +727,15 @@ def streaming_matview_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.DoubleType(), True),
         ]
     )
-    base = ParquetKeyedTable(_os.path.join(base_dir, "base"), ["event_id"])
+    # change_feed=True: each epoch's upsert persists its O(batch) change
+    # events at commit time, so the per-epoch refresh folds exactly the
+    # batch — a snapshot diff would be O(files rewritten), and this
+    # stream's event_ids interleave the whole key range, making every
+    # epoch rewrite (and diff) the ENTIRE growing base (the r9 4.3x
+    # decade; docs/SCALING.md r10)
+    base = ParquetKeyedTable(
+        _os.path.join(base_dir, "base"), ["event_id"], change_feed=True
+    )
     roll = ParquetKeyedTable(_os.path.join(base_dir, "roll"), ["event_type"])
 
     def fold_epoch(batch_df: DataFrame, epoch_id: int) -> None:

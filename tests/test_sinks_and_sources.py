@@ -3908,3 +3908,98 @@ def test_minmax_recompute_scan_is_file_pruned(spark, tmp_path):
         ).collect()
     }
     assert got == want and got[2][2] == 1498.0
+
+
+def test_commit_changes_matches_per_version_diffs(spark, tmp_path):
+    """CDC-on-write (Delta enableChangeDataFeed parity): every commit's
+    persisted change events equal the per-version snapshot diff exactly
+    — inserts ride as the commit's own data files (all_insert, zero
+    write amplification), merges/deletes persist four-type events, and
+    compacts/no-match deletes contribute nothing."""
+    t = ParquetKeyedTable(str(tmp_path / "cdc"), ["k"], change_feed=True)
+    t.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i)) for i in range(100)]))
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(k=i, v=float(i) * 2) for i in range(0, 100, 3)]
+            + [Row(k=i, v=1.0) for i in range(100, 120)]
+        ),
+    )
+    t.delete_keys(spark, spark.createDataFrame([Row(k=i) for i in range(0, 120, 10)]))
+    t.compact(spark, target_file_bytes=4096)
+    t.delete_keys(spark, spark.createDataFrame([Row(k=10_000)]))  # no match
+    assert all(t.has_commit_changes(v) for v in range(t.current_version() + 1))
+    for v in range(t.current_version() + 1):
+        got = sorted(
+            map(tuple, t.commit_changes(spark, v - 1, v).drop("_commit_version").collect())
+        )
+        if v == 0:
+            want = sorted(tuple(r) + ("insert",) for r in t.read(spark, 0).collect())
+        else:
+            want = sorted(
+                map(tuple, t.changes(spark, v - 1, v, include_preimages=True).collect())
+            )
+        assert got == want, f"version {v} mismatch"
+    # the merge commit's feed reads its O(batch) change files, not the
+    # snapshot pair the diff would scan
+    feed_files = t.commit_changes(spark, 0, 1).inputFiles()
+    assert all("_changes" in f for f in feed_files)
+    diff_files = t.changes(spark, 0, 1, include_preimages=True).inputFiles()
+    assert len(feed_files) < len(diff_files)
+
+
+def test_maintain_rollup_over_change_feed_base(spark, tmp_path):
+    """Interleaved-key epochs rewrite every base file, so snapshot-diff
+    feeds are O(base) per refresh; a change_feed base folds the
+    persisted O(batch) events instead — and stays bit-equal to the
+    recompute, MIN/MAX included (transient extrema inserted then
+    removed across commits can only trigger extra recomputes)."""
+    from bw_new_data_integration_spark.operators.matview import (
+        _full_rollup,
+        maintain_rollup,
+    )
+
+    t = ParquetKeyedTable(str(tmp_path / "cdcb"), ["k"], change_feed=True)
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(k=i, grp=i % 5, v=float(i % 97)) for i in range(0, 3000, 3)]
+        ),
+    )
+    roll = ParquetKeyedTable(str(tmp_path / "cdcr"), ["grp"])
+    mv = lambda: maintain_rollup(  # noqa: E731
+        spark, t, roll, ["grp"], {"sum_v": "v"},
+        min_measures={"min_v": "v"}, max_measures={"max_v": "v"},
+    )
+    mv()
+    # epoch 1: interleaved updates + inserts; epoch 2: deletes that
+    # remove several groups' extrema (v == 96 rows) — then a transient:
+    # insert a huge value, refresh, delete it, refresh
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(k=i, grp=i % 5, v=float((i * 7) % 97)) for i in range(0, 3000, 9)]
+            + [Row(k=i, grp=i % 5, v=float(i % 97)) for i in range(1, 3000, 3)]
+        ),
+    )
+    t.delete_keys(spark, spark.createDataFrame([Row(k=i) for i in range(0, 3000, 21)]))
+    stats = mv()
+    assert stats["action"] == "incremental"
+    t.upsert(spark, spark.createDataFrame([Row(k=99991, grp=2, v=1e9)]))
+    mv()
+    t.delete_keys(spark, spark.createDataFrame([Row(k=99991)]))
+    stats = mv()
+    assert stats["groups_recomputed"] >= 1  # the transient max left grp 2
+    got = {
+        r["grp"]: (str(r["sum_v"]), r["min_v"], r["max_v"], r["n_rows"])
+        for r in roll.read(spark).collect()
+    }
+    want = {
+        r["grp"]: (str(r["sum_v"]), r["min_v"], r["max_v"], r["n_rows"])
+        for r in _full_rollup(
+            t.read(spark), ["grp"], {"sum_v": "v"}, "n_rows",
+            {"min_v": "v"}, {"max_v": "v"},
+        ).collect()
+    }
+    assert got == want
+    assert all(t.has_commit_changes(v) for v in range(t.current_version() + 1))
