@@ -193,6 +193,47 @@ def _excluded_from_wall(name: str) -> bool:
     return "_baseline" in name or name.startswith("xmla_backfill39")
 
 
+def merge_partial_record(
+    prev: dict,
+    per_query: dict[str, float],
+    excluded: list[str],
+    only: set[str],
+    mover_reprobe: dict,
+) -> dict:
+    """Merge a targeted ``--only`` probe into an existing full-sweep (or
+    partial) sidecar record, in place. The contract (ADVICE r8 +
+    VERDICT r8 #6, unit-pinned in tests/test_bench_record.py):
+
+    - per-query values upsert; untouched entries and the fuller run's
+      wall totals are kept (a partial run must never clobber the sweep).
+    - a query excluded in the base record that produced a value in THIS
+      probe LEAVES ``excluded_from_wall`` (a monotone union would
+      understate wall coverage forever).
+    - a full-sweep base keeps its label (``partial_only`` stays None)
+      and lists targeted re-probes under ``reprobed``; a partial base
+      accumulates ``partial_only``.
+    - ``common_core_sameset_wall/n`` are recomputed over the MERGED
+      queries, so scale sidecars built from chunked probes self-report
+      a cross-record comparable core wall.
+    """
+    prev["queries"].update(per_query)
+    succeeded_now = set(per_query) - set(excluded)
+    prev["excluded_from_wall"] = sorted(
+        (set(prev.get("excluded_from_wall") or []) - succeeded_now) | set(excluded)
+    )
+    if prev.get("partial_only") is None:
+        prev["reprobed"] = sorted(set(prev.get("reprobed") or []) | set(only))
+    else:
+        prev["partial_only"] = sorted(set(prev["partial_only"]) | set(only))
+    prev["mover_reprobe"] = {**(prev.get("mover_reprobe") or {}), **mover_reprobe}
+    merged_core = [n for n in COMMON_CORE if n in prev["queries"]]
+    prev["common_core_sameset_wall"] = round(
+        sum(prev["queries"][n] for n in merged_core), 3
+    )
+    prev["common_core_sameset_n"] = len(merged_core)
+    return prev
+
+
 def _prev_round_record(repo_dir: str) -> tuple[int, dict] | None:
     """Latest BENCH_r{N}.json's (N, per-query dict), or None. Used by
     the mechanized mover re-probe (VERDICT r6 #1)."""
@@ -843,34 +884,9 @@ def main() -> None:
         except (OSError, ValueError):
             prev = None
         if prev and isinstance(prev.get("queries"), dict):
-            prev["queries"].update(per_query)
-            # a query excluded in the base record (e.g. it failed the
-            # full sweep) that produced a value in THIS re-probe is no
-            # longer excluded — a monotone union would understate wall
-            # coverage forever (ADVICE r8)
-            succeeded_now = set(per_query) - set(excluded)
-            prev["excluded_from_wall"] = sorted(
-                (set(prev.get("excluded_from_wall") or []) - succeeded_now)
-                | set(excluded)
+            full = merge_partial_record(
+                prev, per_query, excluded, set(only), mover_reprobe
             )
-            if prev.get("partial_only") is None:
-                # the base record was a FULL sweep: keep it labeled as
-                # such and list targeted re-probes separately
-                prev["reprobed"] = sorted(set(prev.get("reprobed") or []) | set(only))
-            else:
-                prev["partial_only"] = sorted(set(prev["partial_only"]) | set(only))
-            prev["mover_reprobe"] = {
-                **(prev.get("mover_reprobe") or {}), **mover_reprobe
-            }
-            # recompute the same-set core wall over the MERGED queries
-            # (partial-labeled records otherwise report only the
-            # probe's own core members — VERDICT r8 #6)
-            merged_core = [n for n in COMMON_CORE if n in prev["queries"]]
-            prev["common_core_sameset_wall"] = round(
-                sum(prev["queries"][n] for n in merged_core), 3
-            )
-            prev["common_core_sameset_n"] = len(merged_core)
-            full = prev
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1)
     print(f"# full record written to {sidecar}", file=sys.stderr)

@@ -1,0 +1,91 @@
+"""Unit pins for bench.py's record bookkeeping (VERDICT r9 #9 /
+ADVICE r8): targeted --only probes merge into the existing sidecar
+without clobbering it, re-probed successes leave the inherited
+excluded_from_wall set, and the same-set core wall is recomputed over
+the merged queries. Pure-function tests — no Spark session."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+bench = importlib.util.module_from_spec(spec)
+sys.modules["bench"] = bench
+spec.loader.exec_module(bench)
+
+
+def _full_sweep_record():
+    core = bench.COMMON_CORE
+    return {
+        "metric": "headline_queries_wall",
+        "value": 100.0,
+        "queries": {core[0]: 1.0, core[1]: 2.0, "other_q": 3.0,
+                    "broken_q": 0.0, "ann_brute_topk_exact_baseline": 9.0},
+        "excluded_from_wall": ["broken_q", "ann_brute_topk_exact_baseline"],
+        "partial_only": None,
+        "common_core_sameset_wall": 3.0,
+        "common_core_sameset_n": 2,
+        "mover_reprobe": {},
+    }
+
+
+def test_reprobed_success_leaves_excluded_set():
+    """A query excluded in the base record (it failed the sweep) that
+    produces a value in a re-probe must LEAVE excluded_from_wall —
+    a monotone union would understate wall coverage forever."""
+    prev = _full_sweep_record()
+    merged = bench.merge_partial_record(
+        prev, {"broken_q": 4.5}, excluded=[], only={"broken_q"}, mover_reprobe={}
+    )
+    assert "broken_q" not in merged["excluded_from_wall"]
+    # the *_baseline twin stays excluded (it was not re-probed)
+    assert "ann_brute_topk_exact_baseline" in merged["excluded_from_wall"]
+    assert merged["queries"]["broken_q"] == 4.5
+
+
+def test_full_sweep_base_keeps_label_and_lists_reprobes():
+    prev = _full_sweep_record()
+    merged = bench.merge_partial_record(
+        prev, {"other_q": 2.5}, excluded=[], only={"other_q"}, mover_reprobe={}
+    )
+    assert merged["partial_only"] is None  # still labeled a full sweep
+    assert merged["reprobed"] == ["other_q"]
+    # untouched entries survive
+    assert merged["queries"][bench.COMMON_CORE[0]] == 1.0
+
+
+def test_partial_base_accumulates_partial_only():
+    prev = _full_sweep_record()
+    prev["partial_only"] = ["earlier_q"]
+    merged = bench.merge_partial_record(
+        prev, {"other_q": 2.5}, excluded=[], only={"other_q"}, mover_reprobe={}
+    )
+    assert merged["partial_only"] == ["earlier_q", "other_q"]
+    assert "reprobed" not in merged
+
+
+def test_sameset_core_wall_recomputed_over_merged_queries():
+    """Chunked scale probes must self-report a core wall over the UNION
+    of everything measured so far, not just the last chunk."""
+    core = bench.COMMON_CORE
+    prev = _full_sweep_record()
+    merged = bench.merge_partial_record(
+        prev, {core[2]: 5.0, core[0]: 0.5}, excluded=[],
+        only={core[2], core[0]}, mover_reprobe={},
+    )
+    assert merged["common_core_sameset_n"] == 3
+    assert merged["common_core_sameset_wall"] == round(0.5 + 2.0 + 5.0, 3)
+
+
+def test_probe_excluded_baseline_stays_excluded_and_mover_merges():
+    prev = _full_sweep_record()
+    merged = bench.merge_partial_record(
+        prev,
+        {"ann_brute_topk_exact_baseline": 8.0},
+        excluded=["ann_brute_topk_exact_baseline"],
+        only={"ann_brute_topk_exact_baseline"},
+        mover_reprobe={"other_q": {"prev": 3.0, "floor": 2.9}},
+    )
+    assert "ann_brute_topk_exact_baseline" in merged["excluded_from_wall"]
+    assert merged["mover_reprobe"]["other_q"]["floor"] == 2.9

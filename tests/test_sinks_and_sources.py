@@ -4003,3 +4003,62 @@ def test_maintain_rollup_over_change_feed_base(spark, tmp_path):
     }
     assert got == want
     assert all(t.has_commit_changes(v) for v in range(t.current_version() + 1))
+
+
+def test_rocksdb_state_provider_dedup(spark, tmp_path):
+    """The RocksDB state-store opt-in (continuous/multi-batch stateful
+    streams) works end-to-end on this Spark build: a doubled two-batch
+    stream dedups exactly once under the provider. Guards the provider
+    class name and session wiring across pyspark upgrades."""
+    import shutil
+
+    from bw_new_data_integration_spark.streaming import stream as st
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    staging = tmp_path / "rdb_src"
+    staging.mkdir()
+    df = spark.createDataFrame(
+        [Row(event_id=i, ts=f"2024-01-0{1 + i % 5} 10:00:00", event_type="t")
+         for i in range(200)]
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    for copy in ("c1", "c2"):  # same rows twice = at-least-once source
+        d = tmp_path / f"w_{copy}"
+        df.coalesce(1).write.parquet(str(d))
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(str(d / f), str(staging / f"{copy}.parquet"))
+    try:
+        st.use_rocksdb_state(spark)
+        import uuid as _uuid
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        )
+        events = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(staging))
+        )
+        deduped = st.dedup_stream(events, keys=("event_id",), watermark="1 day")
+        name = "rdbt_" + _uuid.uuid4().hex[:8]
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert spark.table(name).count() == 200
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
