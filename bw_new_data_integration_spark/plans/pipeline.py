@@ -343,7 +343,17 @@ def build_plan(
         out = out.filter(slicer)
     if spec.aggregate is not None:
         out = spec.aggregate.apply(out)
+    return finish_plan(out, spec, audit_ts=audit_ts)
 
+
+def finish_plan(
+    out: DataFrame, spec: PipelineSpec, audit_ts: bool = False
+) -> DataFrame:
+    """The post-aggregate pipeline stages ('All' filter → coerce/rename
+    → business key → required-key filter → NON EMPTY), applicable to
+    any frame at the pipeline's aggregate grain — what lets an
+    incrementally-maintained rollup (plans/matview_pipeline.py) serve
+    the same pipeline output without re-aggregating the source."""
     mapping = spec.mapping
     dtypes = {f.name: f.dataType for f in out.schema.fields}
     if spec.drop_all_rows:

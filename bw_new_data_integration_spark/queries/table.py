@@ -811,3 +811,116 @@ def k13_pipeline_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("line_count").cast("bigint").alias("line_count"),
         F.lit(incremental).alias("maintained_incrementally"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K14 — a YAML pipeline served from a maintained view, end-to-end: the
+# offers pipeline's aggregate block (pipelines/pipelines.yaml, reference
+# pipelines.yaml:100-133) compiles into maintain_rollup arguments, the
+# landing table is CDC-on-write (the feed folds O(batch) per commit),
+# and the UNCHANGED post-aggregate stages (mapping, business key, gates
+# — plans/pipeline.finish_plan) run over the rollup. The reference
+# re-aggregates the full slice per sync (modules/olap_sync.py); here
+# the same YAML runs off O(churn) maintenance with BIT-equal output —
+# the oracle recomputes the whole pipeline from the final state.
+# ---------------------------------------------------------------------------
+@register(
+    "k14_yaml_pipeline_matview",
+    oracle="""
+WITH src AS (
+  SELECT l_orderkey AS ok, l_orderkey * 8 + l_linenumber AS k,
+         l_shipdate, l_suppkey, l_partkey, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey % 5 = 0
+  QUALIFY row_number() OVER (
+    PARTITION BY l_orderkey * 8 + l_linenumber
+    ORDER BY l_extendedprice DESC, l_discount DESC, l_suppkey DESC,
+             l_partkey DESC, l_shipdate DESC
+  ) = 1
+),
+v0 AS (SELECT * FROM src WHERE ok % 4 <> 1),
+v1 AS (  -- upsert wave: reprice ok%4=0, insert ok%4=1
+  SELECT ok, k, l_shipdate, l_suppkey, l_partkey,
+         CASE WHEN ok % 4 = 0 THEN l_extendedprice * 2 ELSE l_extendedprice END
+           AS l_extendedprice,
+         l_discount
+  FROM v0
+  UNION ALL
+  SELECT ok, k, l_shipdate, l_suppkey, l_partkey, l_extendedprice, l_discount
+  FROM src WHERE ok % 4 = 1
+),
+v2 AS (SELECT * FROM v1 WHERE ok % 6 <> 2),  -- delete wave
+agg AS (
+  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS calendar_date,
+         CAST(l_suppkey AS VARCHAR) AS store_number,
+         CAST(l_partkey AS VARCHAR) AS offer_code,
+         CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE)
+           AS discount_amount_usd,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+           AS net_sales_usd,
+         CAST(COUNT(*) AS INT) AS order_count
+  FROM v2 GROUP BY 1, 2, 3
+)
+SELECT calendar_date, store_number, offer_code, discount_amount_usd,
+       net_sales_usd, order_count,
+       store_number || '_' || strftime(CAST(calendar_date AS DATE), '%Y%m%d')
+         || '_' || offer_code AS business_key
+FROM agg
+""",
+)
+def k14_yaml_pipeline_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offers YAML pipeline served from an incrementally-maintained rollup over a CDC landing table."""
+    import tempfile
+
+    from bw_new_data_integration_spark.plans import pipeline as plans
+    from bw_new_data_integration_spark.plans.matview_pipeline import (
+        maintain_pipeline_rollup,
+        serve_pipeline_from_matview,
+        staging_frame,
+    )
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    tune_for_oracle_parity(spark)
+    spec = plans.load_pipelines(_PIPELINES_YAML)["offers"]
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("bigint").alias("k"),
+            "l_shipdate", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount",
+        )
+    )
+    # one row per key, picked identically on both sides (the synthetic
+    # lineitem has duplicate (orderkey, linenumber) rows)
+    w = Window.partitionBy("k").orderBy(
+        F.desc("l_extendedprice"), F.desc("l_discount"), F.desc("l_suppkey"),
+        F.desc("l_partkey"), F.desc("l_shipdate"),
+    )
+    li = li.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn")
+    staged = staging_frame(li, spec)
+    root = tempfile.mkdtemp(prefix="bw_ymv_")
+    base = ParquetKeyedTable(root + "/base", ["k"], change_feed=True)
+    roll = ParquetKeyedTable(
+        root + "/roll", ["calendar_date", "store_number", "offer_code"]
+    )
+    mv = lambda: maintain_pipeline_rollup(spark, spec, base, roll)  # noqa: E731
+    base.upsert(spark, staged.where(F.col("ok") % 4 != 1))
+    mv()  # bootstrap
+    base.upsert(
+        spark,
+        staging_frame(
+            li.where(F.col("ok") % 4 == 0)
+            .withColumn("l_extendedprice", F.col("l_extendedprice") * 2)
+            .unionByName(li.where(F.col("ok") % 4 == 1)),
+            spec,
+        ),
+    )
+    base.delete_keys(spark, staged.where(F.col("ok") % 6 == 2).select("k"))
+    mv()  # ONE incremental refresh over the CDC per-commit feed
+    return serve_pipeline_from_matview(spark, spec, roll).select(
+        "calendar_date", "store_number", "offer_code",
+        F.col("discount_amount_usd").cast("double").alias("discount_amount_usd"),
+        F.col("net_sales_usd").cast("double").alias("net_sales_usd"),
+        F.col("order_count").cast("int").alias("order_count"),
+        "business_key",
+    )

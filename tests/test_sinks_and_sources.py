@@ -4062,3 +4062,90 @@ def test_rocksdb_state_provider_dedup(spark, tmp_path):
         assert spark.table(name).count() == 200
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_pipeline_matview_equals_run_pipeline(spark, tmp_path):
+    """A YAML pipeline served from its maintained rollup is bit-equal
+    to the batch pipeline (build_plan) over the same final state —
+    grain, measures, mapping, business key and gates included."""
+    import datetime as dt
+
+    from bw_new_data_integration_spark.plans import pipeline as plans
+    from bw_new_data_integration_spark.plans.matview_pipeline import (
+        maintain_pipeline_rollup,
+        serve_pipeline_from_matview,
+        staging_frame,
+    )
+    from bw_new_data_integration_spark.queries._shared import _PIPELINES_YAML
+
+    spec = plans.load_pipelines(_PIPELINES_YAML)["offers"]
+    rows = [
+        Row(
+            k=i,
+            l_shipdate=dt.date(2024, 1, 1 + i % 9),
+            l_suppkey=i % 7,
+            l_partkey=i % 11,
+            l_extendedprice=float(100 + i),
+            l_discount=round((i % 5) * 0.02, 2),
+        )
+        for i in range(400)
+    ]
+    src = spark.createDataFrame(rows)
+    base = ParquetKeyedTable(str(tmp_path / "ymv_base"), ["k"], change_feed=True)
+    roll = ParquetKeyedTable(
+        str(tmp_path / "ymv_roll"), ["calendar_date", "store_number", "offer_code"]
+    )
+    base.upsert(spark, staging_frame(src.where(F.col("k") % 3 != 1), spec))
+    maintain_pipeline_rollup(spark, spec, base, roll)
+    base.upsert(
+        spark,
+        staging_frame(
+            src.where(F.col("k") % 3 == 0)
+            .withColumn("l_extendedprice", F.col("l_extendedprice") * 3)
+            .unionByName(src.where(F.col("k") % 3 == 1)),
+            spec,
+        ),
+    )
+    base.delete_keys(spark, src.where(F.col("k") % 8 == 2).select("k"))
+    stats = maintain_pipeline_rollup(spark, spec, base, roll)
+    assert stats["action"] == "incremental"
+
+    served = sorted(map(tuple, serve_pipeline_from_matview(spark, spec, roll).collect()))
+    # the batch pipeline over the SAME final state (base minus dims =
+    # the raw source equivalent)
+    final_src = base.read(spark)
+    batch = sorted(
+        map(
+            tuple,
+            plans.finish_plan(spec.aggregate.apply(final_src), spec).collect(),
+        )
+    )
+    assert served == batch and len(served) > 0
+
+
+def test_translate_measures_covers_all_agg_kinds():
+    from bw_new_data_integration_spark.plans.matview_pipeline import (
+        _translate_measures,
+    )
+    from bw_new_data_integration_spark.plans.pipeline import AggSpec, PipelineSpec
+
+    spec = PipelineSpec(
+        name="x",
+        source_table="t",
+        mapping=None,
+        aggregate=AggSpec(
+            dims={"g": "g"},
+            measures={
+                "total": {"expr": "v", "agg": "sum"},
+                "n": {"expr": "*", "agg": "count"},
+                "n_v": {"expr": "v", "agg": "count"},
+                "lo": {"expr": "v", "agg": "min"},
+                "hi": {"expr": "v", "agg": "max"},
+                "mean": {"expr": "v", "agg": "avg"},
+            },
+        ),
+    )
+    sums, mins, maxs, avgs, count_col, int_sums = _translate_measures(spec)
+    assert sums["total"] == "v" and count_col == "n"
+    assert "n_v" in sums and "NULL" in sums["n_v"] and "n_v" in int_sums
+    assert mins == {"lo": "v"} and maxs == {"hi": "v"} and avgs == {"mean": "v"}
