@@ -137,6 +137,8 @@ OPTIONAL = [
     "k11_incremental_rollup",
     "streaming_matview_e2e",
     "k12_minmax_rollup",
+    "k13_pipeline_matview",
+    "k14_yaml_pipeline_matview",
 ]
 
 

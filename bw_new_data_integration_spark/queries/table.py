@@ -791,13 +791,16 @@ def k13_pipeline_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base.overwrite(li.where(F.col("ok") % 3 != 2))
     mv()  # bootstrap
-    base.upsert(
-        spark,
+    # pin the wave: the window-dedup shuffle must not re-run per write job
+    wave = (
         li.where(F.col("ok") % 3 == 0)
         .withColumn("quantity", F.col("quantity") * 2)
-        .unionByName(li.where(F.col("ok") % 3 == 2)),
+        .unionByName(li.where(F.col("ok") % 3 == 2))
+        .localCheckpoint(eager=True)
     )
-    base.delete_keys(spark, li.where(F.col("ok") % 5 == 1).select("k"))
+    base.upsert(spark, wave)
+    dead = li.where(F.col("ok") % 5 == 1).select("k").localCheckpoint(eager=True)
+    base.delete_keys(spark, dead)
     stats = mv()  # ONE incremental refresh spanning upsert + delete
     incremental = stats["action"] == "incremental"
     return finish_rollup(roll.read(spark), avg, ratio).select(
@@ -906,16 +909,17 @@ def k14_yaml_pipeline_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = lambda: maintain_pipeline_rollup(spark, spec, base, roll)  # noqa: E731
     base.upsert(spark, staged.where(F.col("ok") % 4 != 1))
     mv()  # bootstrap
-    base.upsert(
-        spark,
-        staging_frame(
-            li.where(F.col("ok") % 4 == 0)
-            .withColumn("l_extendedprice", F.col("l_extendedprice") * 2)
-            .unionByName(li.where(F.col("ok") % 4 == 1)),
-            spec,
-        ),
-    )
-    base.delete_keys(spark, staged.where(F.col("ok") % 6 == 2).select("k"))
+    # pin the wave: an un-pinned plan would re-run the window-dedup
+    # shuffle for each of the merge write and the CDC events join
+    wave = staging_frame(
+        li.where(F.col("ok") % 4 == 0)
+        .withColumn("l_extendedprice", F.col("l_extendedprice") * 2)
+        .unionByName(li.where(F.col("ok") % 4 == 1)),
+        spec,
+    ).localCheckpoint(eager=True)
+    base.upsert(spark, wave)
+    dead = staged.where(F.col("ok") % 6 == 2).select("k").localCheckpoint(eager=True)
+    base.delete_keys(spark, dead)
     mv()  # ONE incremental refresh over the CDC per-commit feed
     return serve_pipeline_from_matview(spark, spec, roll).select(
         "calendar_date", "store_number", "offer_code",
