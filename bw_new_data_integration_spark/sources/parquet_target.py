@@ -2207,6 +2207,8 @@ class ParquetKeyedTable:
                 f = self._read_subset(spark, v, rels).withColumn(
                     "_change_type", F.lit("insert")
                 )
+            elif v == 0:  # untracked first commit: the snapshot IS the inserts
+                f = self.read(spark, 0).withColumn("_change_type", F.lit("insert"))
             else:  # untracked commit: exact per-version snapshot diff
                 f = self.changes(spark, v - 1, v, include_preimages=True)
                 if f is None:

@@ -4149,3 +4149,20 @@ def test_translate_measures_covers_all_agg_kinds():
     assert sums["total"] == "v" and count_col == "n"
     assert "n_v" in sums and "NULL" in sums["n_v"] and "n_v" in int_sums
     assert mins == {"lo": "v"} and maxs == {"hi": "v"} and avgs == {"mean": "v"}
+
+
+def test_commit_changes_untracked_table_full_fallback(spark, tmp_path):
+    """commit_changes on a table WITHOUT change_feed: every version
+    falls back to the per-version snapshot diff, and the untagged first
+    commit contributes its whole snapshot as inserts (not silence)."""
+    t = ParquetKeyedTable(str(tmp_path / "legacy"), ["k"])
+    t.upsert(spark, spark.createDataFrame([Row(k=i, v=i) for i in range(20)]))
+    t.upsert(spark, spark.createDataFrame([Row(k=5, v=99), Row(k=25, v=25)]))
+    cc = t.commit_changes(spark, -1)
+    by = {
+        (r["_commit_version"], r["_change_type"]): 1
+        for r in cc.select("_commit_version", "_change_type").distinct().collect()
+    }
+    n0 = cc.where("_commit_version = 0").count()
+    assert n0 == 20 and (0, "insert") in by
+    assert (1, "update_preimage") in by and (1, "insert") in by
