@@ -4166,3 +4166,35 @@ def test_commit_changes_untracked_table_full_fallback(spark, tmp_path):
     n0 = cc.where("_commit_version = 0").count()
     assert n0 == 20 and (0, "insert") in by
     assert (1, "update_preimage") in by and (1, "insert") in by
+
+
+def test_maintain_rollup_mixed_tracked_untracked_window(spark, tmp_path):
+    """A refresh window mixing CDC-tracked commits with an untracked
+    one (overwrite carries no change files) falls back to the exact
+    net snapshot diff for that span — bit-equal to recompute either
+    way."""
+    from bw_new_data_integration_spark.operators.matview import (
+        _full_rollup,
+        maintain_rollup,
+    )
+
+    t = ParquetKeyedTable(str(tmp_path / "mix"), ["k"], change_feed=True)
+    roll = ParquetKeyedTable(str(tmp_path / "mixr"), ["grp"])
+    mv = lambda: maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})  # noqa: E731
+    t.upsert(spark, spark.createDataFrame([Row(k=i, grp=i % 3, v=float(i)) for i in range(90)]))
+    mv()
+    t.upsert(spark, spark.createDataFrame([Row(k=i, grp=i % 3, v=-1.0) for i in range(0, 90, 5)]))
+    # untracked commit in the middle of the window: full replace
+    t.overwrite(
+        spark.createDataFrame([Row(k=i, grp=i % 4, v=float(i) * 2) for i in range(40)])
+    )
+    t.upsert(spark, spark.createDataFrame([Row(k=99, grp=9, v=7.0)]))
+    assert not all(t.has_commit_changes(v) for v in range(t.current_version() + 1))
+    stats = mv()
+    assert stats["action"] == "incremental"
+    got = {r["grp"]: (str(r["sum_v"]), r["n_rows"]) for r in roll.read(spark).collect()}
+    want = {
+        r["grp"]: (str(r["sum_v"]), r["n_rows"])
+        for r in _full_rollup(t.read(spark), ["grp"], {"sum_v": "v"}, "n_rows").collect()
+    }
+    assert got == want
