@@ -1,0 +1,168 @@
+"""Incremental keyed-table → batched-REST-sink synchronization.
+
+The reference's nightly job re-pushes the WHOLE trailing window to the
+Dataverse API every run (modules/olap_sync.py:111-151 re-aggregates,
+then modules/dataverse.py upserts every row; truenas/cron-jobs.txt
+schedules it) — at its measured 1,800–2,600 rows/s the API is the
+bottleneck, so pushed rows are the scarcest resource in the whole
+pipeline. This module replaces the re-push with a CHANGE-DRIVEN sync:
+only rows that changed since the last synced table version are
+upserted, only vanished keys are deleted, everything else never leaves
+the cluster. Composed with a maintained rollup
+(operators/matview.py + plans/matview_pipeline.py), the entire
+reference flow — source → landing table → grain rollup → REST sink —
+runs O(churn) end to end.
+
+Delivery contract: AT-LEAST-ONCE with an idempotent sink. The sink's
+keyed upsert (PATCH on the alternate key — K1) is idempotent and its
+delete tolerates already-absent keys, so a crash between the push and
+the watermark write only re-pushes the same delta. The watermark is a
+``_sync_state_<app>.json`` sidecar next to the table (same shape as the
+matview state sidecar: table path + synced version).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bw_new_data_integration_spark.sources import odata
+from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+
+def _state_path(table: ParquetKeyedTable, app: str) -> str:
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", app)
+    return os.path.join(table.path, f"_sync_state_{safe}.json")
+
+
+def _read_state(table: ParquetKeyedTable, app: str) -> dict | None:
+    try:
+        with open(_state_path(table, app)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_state(table: ParquetKeyedTable, app: str, version: int) -> None:
+    tmp = _state_path(table, app) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"table_path": table.path, "version": version}, f)
+    os.replace(tmp, _state_path(table, app))
+
+
+def net_changes(
+    spark: SparkSession,
+    table: ParquetKeyedTable,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """The NET per-key outcome of every commit in ``(from, to]`` — what
+    a state-mirroring consumer (a REST sink, a search index) must
+    apply: one row per changed key, ``_change_type`` ∈ {insert,
+    update_postimage, delete}. Intermediate states collapse away (a key
+    updated five times then deleted yields one delete).
+
+    When every commit in the span is CDC-tracked this collapses the
+    O(batch) per-commit events (latest commit wins per key, preimages
+    dropped); otherwise it is exactly ``table.changes`` — the snapshot
+    diff, which is net by construction."""
+    if all(table.has_commit_changes(v) for v in range(from_version + 1, to_version + 1)):
+        ev = table.commit_changes(spark, from_version, to_version)
+        ev = ev.where(F.col("_change_type") != "update_preimage")
+        w = Window.partitionBy(*table.key_cols).orderBy(F.desc("_commit_version"))
+        last = (
+            ev.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "_commit_version")
+        )
+        # a key inserted AND deleted within the span nets to nothing for
+        # a sink that never saw it — but the sink may have seen it if a
+        # previous sync already pushed part of this span; the watermark
+        # only ever advances whole spans, so a trailing delete is safe
+        # to push (idempotent) and required when the key predates the
+        # span. Keep deletes for keys that existed at from_version only
+        # when cheap to know; pushing an extra delete is harmless.
+        return last
+    return table.changes(spark, from_version, to_version, include_preimages=False)
+
+
+def sync_to_rest(
+    spark: SparkSession,
+    table: ParquetKeyedTable,
+    transport_factory: Callable[[], odata.Transport],
+    key_col: str,
+    app: str = "rest_sync",
+    finish: Callable[[DataFrame], DataFrame] | None = None,
+    batch_size: int = 400,
+    delete_batch_size: int = 100,
+    concurrency: int = 6,
+) -> dict:
+    """Push the table's changes since the last sync to a batched keyed
+    REST sink (K1 write discipline: 400/batch, retry ×5,
+    429/Retry-After, refresh-on-401 — ``odata.write_batched``).
+
+    ``finish`` maps changed TABLE rows to SINK records (e.g.
+    ``plans.pipeline.finish_plan`` for a pipeline-shaped rollup: it
+    derives the business key and applies the mapping; it must be
+    row-local, which every finish_plan stage is). It is applied to the
+    changed subset only — and to DELETE preimages too, so the sink key
+    of a vanished row is derived from the same template. ``key_col``
+    names the sink's alternate key in ``finish``'s output.
+
+    First call pushes the full current snapshot (bootstrap). Returns
+    stats: versions spanned, upserted/deleted row counts, sink batch
+    counts."""
+    current = table.current_version()
+    if current < 0:
+        raise ValueError("table has no committed version")
+    st = _read_state(table, app)
+    frm = (
+        int(st["version"])
+        if st and st.get("table_path") == table.path
+        else None
+    )
+    finish = finish or (lambda df: df)
+    if frm is not None and frm >= current:
+        return {"action": "noop", "from_version": frm, "to_version": current,
+                "upserted": 0, "deleted": 0}
+    if frm is None:
+        up = finish(table.read(spark))
+        stats = odata.write_batched(
+            up, transport_factory, key_col,
+            batch_size=batch_size, concurrency=concurrency,
+        )
+        _write_state(table, app, current)
+        return {"action": "bootstrap", "from_version": None, "to_version": current,
+                "upserted": stats["created"] + stats["updated"], "deleted": 0,
+                "sink_batches": stats["batches"], "errors": stats["errors"]}
+    net = net_changes(spark, table, frm, current)
+    # both branches reuse the net frame: pin it (small: changed keys)
+    try:
+        net = net.localCheckpoint(eager=True)
+    except Exception:
+        pass
+    upserts = finish(net.where(F.col("_change_type") != "delete").drop("_change_type"))
+    deletes = finish(net.where(F.col("_change_type") == "delete").drop("_change_type"))
+    up_stats = odata.write_batched(
+        upserts, transport_factory, key_col,
+        batch_size=batch_size, concurrency=concurrency,
+    )
+    del_stats = odata.delete_batched(
+        deletes.select(key_col), transport_factory, key_col,
+        batch_size=delete_batch_size, concurrency=concurrency,
+    )
+    _write_state(table, app, current)
+    return {
+        "action": "incremental",
+        "from_version": frm,
+        "to_version": current,
+        "upserted": up_stats["created"] + up_stats["updated"],
+        "deleted": del_stats["created"] + del_stats["updated"],
+        "sink_batches": up_stats["batches"] + del_stats["batches"],
+        "errors": up_stats["errors"] + del_stats["errors"],
+    }

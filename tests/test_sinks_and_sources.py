@@ -4198,3 +4198,144 @@ def test_maintain_rollup_mixed_tracked_untracked_window(spark, tmp_path):
         for r in _full_rollup(t.read(spark), ["grp"], {"sum_v": "v"}, "n_rows").collect()
     }
     assert got == want
+
+
+def _capture_transport(path):
+    """A sink transport that records every request's records to a JSONL
+    file (executor-side; local mode shares the FS) and succeeds."""
+    import json as _json
+
+    def factory():
+        def transport(batch):
+            with open(path, "a") as f:
+                for rec in batch:
+                    f.write(_json.dumps(rec, default=str) + "\n")
+            return [204] * len(batch)
+
+        return transport
+
+    return factory
+
+
+def test_sync_to_rest_pushes_only_changes(spark, tmp_path):
+    """Change-driven REST sync (vs the reference's full nightly
+    re-push): bootstrap pushes the snapshot; afterwards only changed
+    rows are upserted and only vanished keys deleted; an unchanged
+    table is a no-op; at-least-once replay after a lost watermark
+    re-pushes the same delta."""
+    import json as _json
+
+    from bw_new_data_integration_spark.sources import sync
+
+    t = ParquetKeyedTable(str(tmp_path / "s"), ["bk"], change_feed=True)
+    rows = [Row(bk=f"k{i}", v=float(i)) for i in range(50)]
+    t.upsert(spark, spark.createDataFrame(rows))
+    log1 = str(tmp_path / "push1.jsonl")
+    st = sync.sync_to_rest(spark, t, _capture_transport(log1), "bk", app="a")
+    assert st["action"] == "bootstrap" and st["upserted"] == 50
+    # churn: update 5, insert 2, delete 3
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(bk=f"k{i}", v=-1.0) for i in range(5)]
+            + [Row(bk="new1", v=1.0), Row(bk="new2", v=2.0)]
+        ),
+    )
+    t.delete_keys(spark, spark.createDataFrame([Row(bk=f"k{i}") for i in (10, 11, 12)]))
+    log2 = str(tmp_path / "push2.jsonl")
+    st = sync.sync_to_rest(spark, t, _capture_transport(log2), "bk", app="a")
+    assert st["action"] == "incremental"
+    assert st["upserted"] == 7 and st["deleted"] == 3 and st["errors"] == 0
+    pushed = [_json.loads(l) for l in open(log2)]
+    up_keys = {r["bk"] for r in pushed if "v" in r}
+    del_keys = {r["bk"] for r in pushed if "v" not in r}
+    assert up_keys == {f"k{i}" for i in range(5)} | {"new1", "new2"}
+    assert del_keys == {"k10", "k11", "k12"}
+    # unchanged table: no-op, no pushes
+    st = sync.sync_to_rest(spark, t, _capture_transport(str(tmp_path / "p3")), "bk", app="a")
+    assert st["action"] == "noop"
+    # lost watermark (crash before state write): replay re-pushes the
+    # SAME idempotent delta, never corrupts
+    os.remove(os.path.join(t.path, "_sync_state_a.json"))
+    st = sync.sync_to_rest(spark, t, _capture_transport(str(tmp_path / "p4")), "bk", app="a")
+    assert st["action"] == "bootstrap" and st["upserted"] == 49  # 50 - 3 + 2
+
+
+def test_sync_pipeline_matview_end_to_end(spark, tmp_path):
+    """The full reference flow, each leg O(churn): source increment →
+    CDC landing table → maintained pipeline rollup → change-driven REST
+    push of the MAPPED records (business key included) — only the
+    groups the increment touched reach the API."""
+    import datetime as dt
+    import json as _json
+
+    from bw_new_data_integration_spark.plans import pipeline as plans
+    from bw_new_data_integration_spark.plans.matview_pipeline import (
+        maintain_pipeline_rollup,
+        serve_pipeline_from_matview,
+        staging_frame,
+    )
+    from bw_new_data_integration_spark.queries._shared import _PIPELINES_YAML
+    from bw_new_data_integration_spark.sources import sync
+
+    spec = plans.load_pipelines(_PIPELINES_YAML)["offers"]
+    src = spark.createDataFrame(
+        [
+            Row(
+                k=i,
+                l_shipdate=dt.date(2024, 2, 1 + i % 5),
+                l_suppkey=i % 4,
+                l_partkey=i % 3,
+                l_extendedprice=float(100 + i),
+                l_discount=0.05,
+            )
+            for i in range(300)
+        ]
+    )
+    base = ParquetKeyedTable(str(tmp_path / "lz"), ["k"], change_feed=True)
+    roll = ParquetKeyedTable(
+        str(tmp_path / "rl"),
+        ["calendar_date", "store_number", "offer_code"],
+        change_feed=True,
+    )
+
+    def finish(df):
+        from bw_new_data_integration_spark.operators.matview import finish_rollup
+
+        agged = finish_rollup(df).select(
+            "calendar_date", "store_number", "offer_code",
+            F.col("discount_amount_usd").cast("double").alias("discount_amount_usd"),
+            F.col("net_sales_usd").cast("double").alias("net_sales_usd"),
+            F.col("order_count").cast("bigint").alias("order_count"),
+        )
+        return plans.finish_plan(agged, spec)
+
+    base.upsert(spark, staging_frame(src, spec))
+    maintain_pipeline_rollup(spark, spec, base, roll)
+    log1 = str(tmp_path / "b.jsonl")
+    st = sync.sync_to_rest(
+        spark, roll, _capture_transport(log1), "business_key", app="cube", finish=finish
+    )
+    n_groups = roll.read(spark).count()
+    assert st["action"] == "bootstrap" and st["upserted"] == n_groups
+    # one source row changes → exactly one grain group reaches the API
+    base.upsert(
+        spark,
+        staging_frame(src.where(F.col("k") == 7).withColumn("l_extendedprice", F.lit(999.0)), spec),
+    )
+    maintain_pipeline_rollup(spark, spec, base, roll)
+    log2 = str(tmp_path / "i.jsonl")
+    st = sync.sync_to_rest(
+        spark, roll, _capture_transport(log2), "business_key", app="cube", finish=finish
+    )
+    pushed = [_json.loads(l) for l in open(log2)]
+    assert st["action"] == "incremental" and st["upserted"] == 1 and st["deleted"] == 0
+    assert len(pushed) == 1 and "business_key" in pushed[0]
+    # the pushed record equals the served pipeline's row for that group
+    served = {
+        r["business_key"]: r
+        for r in serve_pipeline_from_matview(spark, spec, roll).collect()
+    }
+    got = pushed[0]
+    want = served[got["business_key"]]
+    assert abs(got["net_sales_usd"] - want["net_sales_usd"]) < 1e-9
