@@ -3228,32 +3228,48 @@ def test_maintain_rollup_property_random_commit_sequences(spark, tmp_path):
     @given(ops)
     def run(seq):
         i = next(counter)
-        t = ParquetKeyedTable(str(tmp_path / f"pb{i}"), ["k"])
-        roll = ParquetKeyedTable(str(tmp_path / f"pr{i}"), ["grp"])
-        kw = dict(min_measures={"min_v": "v"}, max_measures={"max_v": "v"})
-        t.upsert(
-            spark,
-            spark.createDataFrame([Row(k=j, grp=j % 4, v=float(j)) for j in range(20)]),
-        )
-        maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"}, **kw)
-        for kind, keys, mult in seq:
-            if kind == "upsert":
-                t.upsert(
-                    spark,
-                    spark.createDataFrame(
-                        [Row(k=j, grp=j % 4, v=float(j * mult)) for j in keys]
-                    ),
-                )
-            else:
-                t.delete_keys(spark, spark.createDataFrame([Row(k=j) for j in keys]))
+        # two variants per example: the classic snapshot-diff feed with
+        # a refresh per commit, and a CDC-on-write base folded in ONE
+        # multi-commit window (per-commit events unioned — the case
+        # where transient extrema inserted then removed across commits
+        # must trigger recomputes, never silent corruption)
+        for cdf in (False, True):
+            t = ParquetKeyedTable(
+                str(tmp_path / f"pb{i}_{int(cdf)}"), ["k"], change_feed=cdf
+            )
+            roll = ParquetKeyedTable(str(tmp_path / f"pr{i}_{int(cdf)}"), ["grp"])
+            kw = dict(min_measures={"min_v": "v"}, max_measures={"max_v": "v"})
+            t.upsert(
+                spark,
+                spark.createDataFrame(
+                    [Row(k=j, grp=j % 4, v=float(j)) for j in range(20)]
+                ),
+            )
             maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"}, **kw)
-        got = {r["grp"]: (str(r["sum_v"]), r["min_v"], r["max_v"], r["n_rows"])
-               for r in roll.read(spark).collect()}
-        want = {r["grp"]: (str(r["sum_v"]), r["min_v"], r["max_v"], r["n_rows"])
-                for r in _full_rollup(t.read(spark), ["grp"], {"sum_v": "v"},
-                                      "n_rows", {"min_v": "v"},
-                                      {"max_v": "v"}).collect()}
-        assert got == want
+            for kind, keys, mult in seq:
+                if kind == "upsert":
+                    t.upsert(
+                        spark,
+                        spark.createDataFrame(
+                            [Row(k=j, grp=j % 4, v=float(j * mult)) for j in keys]
+                        ),
+                    )
+                else:
+                    t.delete_keys(spark, spark.createDataFrame([Row(k=j) for j in keys]))
+                if not cdf:
+                    maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"}, **kw)
+            if cdf:
+                assert all(
+                    t.has_commit_changes(v) for v in range(1, t.current_version() + 1)
+                )
+                maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"}, **kw)
+            got = {r["grp"]: (str(r["sum_v"]), r["min_v"], r["max_v"], r["n_rows"])
+                   for r in roll.read(spark).collect()}
+            want = {r["grp"]: (str(r["sum_v"]), r["min_v"], r["max_v"], r["n_rows"])
+                    for r in _full_rollup(t.read(spark), ["grp"], {"sum_v": "v"},
+                                          "n_rows", {"min_v": "v"},
+                                          {"max_v": "v"}).collect()}
+            assert got == want
 
     run()
 
