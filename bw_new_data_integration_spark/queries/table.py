@@ -928,3 +928,89 @@ def k14_yaml_pipeline_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("order_count").cast("int").alias("order_count"),
         "business_key",
     )
+
+
+# ---------------------------------------------------------------------------
+# K15 — CDC-on-write, gated end-to-end: the PER-COMMIT change feed
+# (Delta table_changes parity, round 10) read back from the persisted
+# _changes sidecars across a full lifecycle. Unlike k6 (the NET diff
+# between two snapshots), every commit's own events appear with their
+# _commit_version; the oracle reconstructs each commit's events from
+# the lifecycle states — insert set, update pre/postimages, delete
+# preimages — so any drift in the write-side event join, the
+# all_insert file reuse, or the reader's version stitching is a value
+# mismatch.
+# ---------------------------------------------------------------------------
+@register(
+    "k15_commit_change_feed",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+s0 AS (SELECT * FROM src WHERE k % 3 <> 1),
+s1 AS (
+  SELECT k, CASE WHEN k % 3 = 0 THEN price * 2 ELSE price END AS price, status
+  FROM s0
+  UNION ALL SELECT k, price, status FROM src WHERE k % 3 = 1
+),
+ev0 AS (
+  SELECT k, price, status, 'insert' AS _change_type, 0 AS _commit_version FROM s0
+),
+ev1_ins AS (
+  SELECT k, price, status, 'insert', 1 FROM s1
+  WHERE k NOT IN (SELECT k FROM s0)
+),
+ev1_pre AS (
+  SELECT s0.k, s0.price, s0.status, 'update_preimage', 1
+  FROM s0 JOIN s1 USING (k) WHERE s0.price <> s1.price
+),
+ev1_post AS (
+  SELECT s1.k, s1.price, s1.status, 'update_postimage', 1
+  FROM s0 JOIN s1 USING (k) WHERE s0.price <> s1.price
+),
+ev2_del AS (
+  SELECT k, price, status, 'delete', 2 FROM s1 WHERE k % 5 = 2
+)
+SELECT k, price, status, _change_type, CAST(_commit_version AS INT) AS _commit_version
+FROM (
+  SELECT * FROM ev0 UNION ALL SELECT * FROM ev1_ins
+  UNION ALL SELECT * FROM ev1_pre UNION ALL SELECT * FROM ev1_post
+  UNION ALL SELECT * FROM ev2_del
+)
+""",
+)
+def k15_commit_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit CDC feed (table_changes parity) read from the write-time _changes sidecars across a lifecycle."""
+    import tempfile
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    t = ParquetKeyedTable(
+        tempfile.mkdtemp(prefix="bw_cdc_") + "/t", ["k"], change_feed=True
+    )
+    t.upsert(spark, o.where(F.col("k") % 3 != 1))  # v0: all_insert
+    wave = (
+        o.where(F.col("k") % 3 == 0)
+        .withColumn("price", F.col("price") * 2)
+        .unionByName(o.where(F.col("k") % 3 == 1))
+        .localCheckpoint(eager=True)
+    )
+    t.upsert(spark, wave)  # v1: update + insert events
+    t.delete_keys(
+        spark, o.where(F.col("k") % 5 == 2).select("k").localCheckpoint(eager=True)
+    )  # v2: delete events
+    return t.commit_changes(spark, -1).select(
+        "k", "price", "status", "_change_type",
+        F.col("_commit_version").cast("int").alias("_commit_version"),
+    )
