@@ -139,6 +139,7 @@ OPTIONAL = [
     "k12_minmax_rollup",
     "k13_pipeline_matview",
     "k14_yaml_pipeline_matview",
+    "k15_commit_change_feed",
 ]
 
 
