@@ -2152,7 +2152,10 @@ class ParquetKeyedTable:
         ``cdf='files'``. Written BEFORE the pointer flip — a crash
         leaves an unreferenced version dir, never a referenced commit
         missing its events."""
-        par = events.sparkSession.sparkContext.defaultParallelism
+        try:
+            par = events.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: no sparkContext
+            par = 32
         events.coalesce(max(1, par // 8)).write.mode("overwrite").parquet(
             os.path.join(self._snapshot_dir(version), "_changes")
         )
