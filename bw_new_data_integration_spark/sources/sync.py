@@ -126,6 +126,12 @@ def sync_to_rest(
         if st and st.get("table_path") == table.path
         else None
     )
+    # retention raced the sync: the last-synced snapshot was vacuumed,
+    # so no change feed from it exists — re-push the full snapshot
+    # (idempotent sink ops make the re-push safe), same operational
+    # guard as the matview refresh
+    if frm is not None and not os.path.isdir(table._snapshot_dir(frm)):
+        frm = None
     finish = finish or (lambda df: df)
     if frm is not None and frm >= current:
         return {"action": "noop", "from_version": frm, "to_version": current,

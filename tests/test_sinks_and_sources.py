@@ -4355,3 +4355,21 @@ def test_sync_pipeline_matview_end_to_end(spark, tmp_path):
     got = pushed[0]
     want = served[got["business_key"]]
     assert abs(got["net_sales_usd"] - want["net_sales_usd"]) < 1e-9
+
+
+def test_sync_to_rest_rebootstraps_after_vacuum(spark, tmp_path):
+    """Retention racing the sync: when the last-synced snapshot has
+    been vacuumed, the sync re-pushes the full current snapshot
+    (idempotent sink) instead of failing on a missing change feed."""
+    from bw_new_data_integration_spark.sources import sync
+
+    t = ParquetKeyedTable(str(tmp_path / "vs"), ["bk"], change_feed=True)
+    t.upsert(spark, spark.createDataFrame([Row(bk=f"k{i}", v=float(i)) for i in range(10)]))
+    sync.sync_to_rest(spark, t, _capture_transport(str(tmp_path / "a.jsonl")), "bk", app="x")
+    t.upsert(spark, spark.createDataFrame([Row(bk="k3", v=-1.0)]))
+    t.upsert(spark, spark.createDataFrame([Row(bk="k4", v=-2.0)]))
+    t.vacuum(keep_last=1)  # the synced snapshot is gone
+    st = sync.sync_to_rest(
+        spark, t, _capture_transport(str(tmp_path / "b.jsonl")), "bk", app="x"
+    )
+    assert st["action"] == "bootstrap" and st["upserted"] == 10
