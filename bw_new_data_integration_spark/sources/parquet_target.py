@@ -1213,7 +1213,10 @@ class ParquetKeyedTable:
         live_txns: dict[str, dict] = {
             str(e["txn"].get("app")): {
                 "appId": str(e["txn"].get("app")),
-                "version": int(e["txn"].get("base_version", 0)),
+                # writers that don't carry a base_version watermark fall
+                # back to the marker's carrying TABLE version (recorded
+                # in the sidecar) — never a masking 0
+                "version": int(e["txn"].get("base_version", e.get("version", 0))),
                 "lastUpdated": int(e.get("ts_ms") or 0),
             }
             for e in sc["apps"].values()
@@ -1265,7 +1268,9 @@ class ParquetKeyedTable:
                     {
                         "txn": {
                             "appId": str(m["txn"].get("app")),
-                            "version": int(m["txn"].get("base_version", 0)),
+                            # fall back to the carrying table version,
+                            # not 0 (foreign writers' watermarks)
+                            "version": int(m["txn"].get("base_version", v)),
                             "lastUpdated": int(m["timestamp"] * 1000),
                         }
                     }
@@ -1317,7 +1322,7 @@ class ParquetKeyedTable:
                 live_txns = dict(live_txns)
                 live_txns[str(m["txn"].get("app"))] = {
                     "appId": str(m["txn"].get("app")),
-                    "version": int(m["txn"].get("base_version", 0)),
+                    "version": int(m["txn"].get("base_version", v)),
                     "lastUpdated": ts_ms,
                 }
             state = {
@@ -2114,8 +2119,14 @@ class ParquetKeyedTable:
         row with no target match → ``insert``; a match with any non-key
         difference → ``update_preimage`` + ``update_postimage``; an
         identical match → no event. O(|target ∩ batch key range| +
-        |batch|) — the same inputs the merge itself reads."""
-        nonkey = [c for c in source.columns if c not in self.key_cols]
+        |batch|) — the same inputs the merge itself reads.
+
+        ``nonkey`` is the TARGET's non-key columns — exactly what
+        ``merge_upsert`` writes (it drops extra source columns via
+        ``source.select(*target.columns)``), so a source batch with
+        extra columns produces the same events on a change_feed table
+        as the merge commits on a plain one."""
+        nonkey = [c for c in target.columns if c not in self.key_cols]
         st = target.select(*self.key_cols, F.struct(*nonkey).alias("__t"))
         ss = source.select(*self.key_cols, F.struct(*nonkey).alias("__s"))
         j = ss.join(st, self.key_cols, "left")

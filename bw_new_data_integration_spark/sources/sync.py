@@ -18,7 +18,19 @@ keyed upsert (PATCH on the alternate key — K1) is idempotent and its
 delete tolerates already-absent keys, so a crash between the push and
 the watermark write only re-pushes the same delta. The watermark is a
 ``_sync_state_<app>.json`` sidecar next to the table (same shape as the
-matview state sidecar: table path + synced version).
+matview state sidecar: table path + synced version). The watermark only
+advances when EVERY batch landed (``errors == 0``) — a partially failed
+push leaves the watermark in place so the next run re-pushes the whole
+span (idempotent), never silently skipping the failed rows.
+
+Retention race: when vacuum removed the last-synced snapshot, the sync
+re-bootstraps from the full current snapshot. Upserts are covered by
+the re-push; DELETIONS that happened inside the lost span are
+reconciled by diffing the sink's current key set (``list_sink_keys``)
+against the snapshot — keys at the sink but absent from the snapshot
+get tombstones. Without a ``list_sink_keys`` callable the re-bootstrap
+cannot see the sink's orphans; the returned stats carry
+``deletes_unreconciled: True`` so the caller knows rows may linger.
 """
 
 from __future__ import annotations
@@ -101,6 +113,7 @@ def sync_to_rest(
     batch_size: int = 400,
     delete_batch_size: int = 100,
     concurrency: int = 6,
+    list_sink_keys: Callable[[], "list | None"] | None = None,
 ) -> dict:
     """Push the table's changes since the last sync to a batched keyed
     REST sink (K1 write discipline: 400/batch, retry ×5,
@@ -114,9 +127,12 @@ def sync_to_rest(
     of a vanished row is derived from the same template. ``key_col``
     names the sink's alternate key in ``finish``'s output.
 
-    First call pushes the full current snapshot (bootstrap). Returns
-    stats: versions spanned, upserted/deleted row counts, sink batch
-    counts."""
+    ``list_sink_keys`` (optional) returns the sink's CURRENT key values
+    (e.g. a paged ``$select=key`` scan); used only on a vacuum-forced
+    re-bootstrap to reconcile deletions the lost change span would have
+    carried. First call pushes the full current snapshot (bootstrap).
+    Returns stats: versions spanned, upserted/deleted row counts, sink
+    batch counts, errors, and ``watermark_advanced``."""
     current = table.current_version()
     if current < 0:
         raise ValueError("table has no committed version")
@@ -130,22 +146,60 @@ def sync_to_rest(
     # so no change feed from it exists — re-push the full snapshot
     # (idempotent sink ops make the re-push safe), same operational
     # guard as the matview refresh
+    rebootstrap = False
     if frm is not None and not os.path.isdir(table._snapshot_dir(frm)):
         frm = None
+        rebootstrap = True
     finish = finish or (lambda df: df)
     if frm is not None and frm >= current:
         return {"action": "noop", "from_version": frm, "to_version": current,
-                "upserted": 0, "deleted": 0}
+                "upserted": 0, "deleted": 0, "errors": 0,
+                "watermark_advanced": False}
     if frm is None:
-        up = finish(table.read(spark))
+        snapshot = finish(table.read(spark))
         stats = odata.write_batched(
-            up, transport_factory, key_col,
+            snapshot, transport_factory, key_col,
             batch_size=batch_size, concurrency=concurrency,
         )
-        _write_state(table, app, current)
-        return {"action": "bootstrap", "from_version": None, "to_version": current,
-                "upserted": stats["created"] + stats["updated"], "deleted": 0,
-                "sink_batches": stats["batches"], "errors": stats["errors"]}
+        deleted = 0
+        del_errors = 0
+        del_batches = 0
+        deletes_unreconciled = False
+        if rebootstrap:
+            # the lost span may have carried deletes the re-push cannot
+            # express: keys now at the sink but absent from the
+            # snapshot must get tombstones, or they linger forever
+            if list_sink_keys is not None:
+                sink_keys = list(list_sink_keys() or [])
+                if sink_keys:
+                    orphans = (
+                        spark.createDataFrame(
+                            [(k,) for k in sink_keys], [key_col]
+                        )
+                        .join(snapshot.select(key_col), [key_col], "left_anti")
+                    )
+                    ds = odata.delete_batched(
+                        orphans, transport_factory, key_col,
+                        batch_size=delete_batch_size, concurrency=concurrency,
+                    )
+                    deleted = ds["created"] + ds["updated"]
+                    del_errors = ds["errors"]
+                    del_batches = ds["batches"]
+            else:
+                deletes_unreconciled = True
+        errors = stats["errors"] + del_errors
+        advanced = errors == 0
+        if advanced:
+            _write_state(table, app, current)
+        out = {"action": "rebootstrap" if rebootstrap else "bootstrap",
+               "from_version": None, "to_version": current,
+               "upserted": stats["created"] + stats["updated"],
+               "deleted": deleted,
+               "sink_batches": stats["batches"] + del_batches,
+               "errors": errors, "watermark_advanced": advanced}
+        if rebootstrap and deletes_unreconciled:
+            out["deletes_unreconciled"] = True
+        return out
     net = net_changes(spark, table, frm, current)
     # both branches reuse the net frame: pin it (small: changed keys)
     try:
@@ -162,7 +216,14 @@ def sync_to_rest(
         deletes.select(key_col), transport_factory, key_col,
         batch_size=delete_batch_size, concurrency=concurrency,
     )
-    _write_state(table, app, current)
+    errors = up_stats["errors"] + del_stats["errors"]
+    # at-least-once: a failed batch means part of the span never
+    # reached the sink — leave the watermark where it was so the NEXT
+    # sync replays the whole span (idempotent PATCH/DELETE make the
+    # replay safe); advancing here would skip the failed rows forever
+    advanced = errors == 0
+    if advanced:
+        _write_state(table, app, current)
     return {
         "action": "incremental",
         "from_version": frm,
@@ -170,5 +231,6 @@ def sync_to_rest(
         "upserted": up_stats["created"] + up_stats["updated"],
         "deleted": del_stats["created"] + del_stats["updated"],
         "sink_batches": up_stats["batches"] + del_stats["batches"],
-        "errors": up_stats["errors"] + del_stats["errors"],
+        "errors": errors,
+        "watermark_advanced": advanced,
     }

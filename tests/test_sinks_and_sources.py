@@ -3178,6 +3178,60 @@ def test_cdf_across_schema_evolution(spark, tmp_path):
     }
 
 
+def test_cdf_upsert_with_extra_source_columns(spark, tmp_path):
+    """ADVICE r10: an upsert whose source carries EXTRA columns commits
+    on a change_feed table exactly as it does on a plain one —
+    merge_upsert drops the extras, and the change events are computed
+    over the target's columns (what the merge actually writes)."""
+    t = ParquetKeyedTable(str(tmp_path / "xcol"), ["k"], change_feed=True)
+    t.upsert(spark, spark.createDataFrame([Row(k=i, v=i) for i in range(10)]))
+    v0 = t.current_version()
+    # extra column `junk` not in the target: silently dropped, commit succeeds
+    t.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(k=3, v=33, junk="x"), Row(k=99, v=99, junk="y"), Row(k=4, v=4, junk="z")]
+        ),
+    )
+    rows = {
+        (r["k"], r["_change_type"]): r["v"]
+        for r in t.changes(spark, v0, include_preimages=True).collect()
+    }
+    # k=4 is byte-identical after dropping junk → no event
+    assert rows == {
+        (3, "update_preimage"): 3,
+        (3, "update_postimage"): 33,
+        (99, "insert"): 99,
+    }
+    assert "junk" not in t.read(spark).columns
+
+
+def test_checkpoint_txn_fallback_is_carrying_version(spark, tmp_path):
+    """ADVICE r10: a txn marker WITHOUT a base_version field (a foreign
+    writer's payload) exports its carrying table version into the
+    checkpoint, not a masking 0."""
+    import pyarrow.parquet as pq
+
+    t = ParquetKeyedTable(str(tmp_path / "ftxn"), ["k"])
+    t.upsert(spark, spark.createDataFrame([Row(k=1, v=1)]))  # v0
+    t.set_commit_txn({"app": "foreign_writer"})  # no base_version
+    t.upsert(spark, spark.createDataFrame([Row(k=2, v=2)]))  # v1, marked
+    t.upsert(spark, spark.createDataFrame([Row(k=3, v=3)]))  # v2
+    t.export_delta_log(spark)
+    ckpt = os.path.join(
+        t.path, "_delta_log", f"{t.current_version():020d}.checkpoint.parquet"
+    )
+    rows = pq.read_table(ckpt).to_pylist()
+    txns = [r["txn"] for r in rows if r.get("txn") is not None]
+    assert [x["version"] for x in txns] == [1]  # the marker rode v1
+    # and the sidecar-seeded path (marker's commit vacuumed) agrees
+    t.vacuum(keep_last=1)
+    t.export_delta_log(spark)
+    rows = pq.read_table(ckpt).to_pylist()
+    txns = [r["txn"] for r in rows if r.get("txn") is not None]
+    assert [x["version"] for x in txns] == [1]
+
+
 def test_maintain_rollup_replayed_epoch_commits_nothing(spark, tmp_path):
     """Exactly-once composition: re-upserting an identical batch makes
     a new base version with an EMPTY change feed, so the refresh
@@ -4372,4 +4426,66 @@ def test_sync_to_rest_rebootstraps_after_vacuum(spark, tmp_path):
     st = sync.sync_to_rest(
         spark, t, _capture_transport(str(tmp_path / "b.jsonl")), "bk", app="x"
     )
-    assert st["action"] == "bootstrap" and st["upserted"] == 10
+    assert st["action"] == "rebootstrap" and st["upserted"] == 10
+    # without a sink-key listing, orphaned deletes can't be seen —
+    # the stats must say so (ADVICE r10)
+    assert st["deletes_unreconciled"] is True
+
+
+def test_sync_rebootstrap_reconciles_deletes_with_sink_keys(spark, tmp_path):
+    """A delete inside the vacuumed span must not orphan the sink key:
+    with ``list_sink_keys`` the re-bootstrap diffs the sink's key set
+    against the snapshot and pushes tombstones (ADVICE r10)."""
+    import json as _json
+
+    from bw_new_data_integration_spark.sources import sync
+
+    t = ParquetKeyedTable(str(tmp_path / "vr"), ["bk"], change_feed=True)
+    t.upsert(spark, spark.createDataFrame([Row(bk=f"k{i}", v=float(i)) for i in range(8)]))
+    sync.sync_to_rest(spark, t, _capture_transport(str(tmp_path / "a.jsonl")), "bk", app="x")
+    # the delete happens INSIDE the span retention will erase
+    t.delete_keys(spark, spark.createDataFrame([Row(bk="k2"), Row(bk="k5")]))
+    t.upsert(spark, spark.createDataFrame([Row(bk="k0", v=-1.0)]))
+    t.vacuum(keep_last=1)
+    log = str(tmp_path / "b.jsonl")
+    sink_keys = [f"k{i}" for i in range(8)]  # what the sink holds now
+    st = sync.sync_to_rest(
+        spark, t, _capture_transport(log), "bk", app="x",
+        list_sink_keys=lambda: sink_keys,
+    )
+    assert st["action"] == "rebootstrap"
+    assert st["upserted"] == 6 and st["deleted"] == 2
+    assert "deletes_unreconciled" not in st
+    pushed = [_json.loads(l) for l in open(log)]
+    del_keys = {r["bk"] for r in pushed if "v" not in r}
+    assert del_keys == {"k2", "k5"}
+
+
+def test_sync_watermark_holds_on_failed_batches(spark, tmp_path):
+    """At-least-once (ADVICE r10): exhausted-retry batches surface as
+    ``errors`` from write_batched — the watermark must NOT advance, so
+    the next (healthy) sync replays the same span instead of silently
+    skipping the failed rows forever."""
+    import json as _json
+
+    from bw_new_data_integration_spark.sources import sync
+
+    t = ParquetKeyedTable(str(tmp_path / "wf"), ["bk"], change_feed=True)
+    t.upsert(spark, spark.createDataFrame([Row(bk=f"k{i}", v=float(i)) for i in range(6)]))
+    sync.sync_to_rest(spark, t, _capture_transport(str(tmp_path / "a.jsonl")), "bk", app="x")
+    t.upsert(spark, spark.createDataFrame([Row(bk="k1", v=-1.0), Row(bk="k2", v=-2.0)]))
+
+    def failing_factory():
+        def transport(batch):
+            return [400] * len(batch)  # non-retryable: counts straight to errors
+
+        return transport
+
+    st = sync.sync_to_rest(spark, t, failing_factory, "bk", app="x")
+    assert st["errors"] > 0 and st["watermark_advanced"] is False
+    # the sink heals: the SAME span replays in full
+    log = str(tmp_path / "retry.jsonl")
+    st = sync.sync_to_rest(spark, t, _capture_transport(log), "bk", app="x")
+    assert st["action"] == "incremental" and st["watermark_advanced"] is True
+    pushed = [_json.loads(l) for l in open(log)]
+    assert {r["bk"] for r in pushed} == {"k1", "k2"}
