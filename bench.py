@@ -196,12 +196,92 @@ def _excluded_from_wall(name: str) -> bool:
     return "_baseline" in name or name.startswith("xmla_backfill39")
 
 
+# --- host-drift calibration (VERDICT r10 #1) --------------------------------
+# The shared box's speed changed 1.37x WITHIN round 10 (same code, solo
+# probes; docs/ROUND10_NOTES.md §5), so raw walls are not comparable
+# across rounds without a per-record speed reference. Every record now
+# carries a fixed two-part calibration probe taken at run START and END:
+#   - python_spin_ms: a pure-Python sha256+arithmetic loop (no Spark, no
+#     disk) — single-core interpreter/CPU speed, the signal that exposed
+#     the r10 drift;
+#   - spark_job_ms:   a tiny constant-input Spark job (range→sum, no
+#     shuffle read) — JVM + scheduler + multi-core throughput.
+# drift_factor = geometric mean of (measured / CAL_REF) over both parts,
+# averaged over start and end probes. Normalized walls = raw / drift.
+# CAL_REF is PINNED from the r11 round-open quiet window (min-of-5 on an
+# idle box, steal ~0%); it is the record's fixed unit of "one box-second"
+# and must NOT be re-pinned casually — re-pinning rescales the whole
+# normalized series (append a dated note here if it ever changes).
+CAL_REF = {
+    "python_spin_ms": 95.0,
+    "spark_job_ms": 150.0,
+    "pinned": "r11 round-open quiet floor (docs/ROUND11_NOTES.md)",
+}
+
+
+def _python_spin_ms() -> float:
+    import hashlib
+
+    blob = b"x" * 64
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(200_000):
+        h.update(blob)
+    acc = 0
+    for i in range(1_500_000):
+        acc = (acc * 31 + i) % 1000003
+    return (time.perf_counter() - t0) * 1000.0
+
+
+def calibration_probe(spark=None, samples: int = 5) -> dict:
+    """Min-of-N host-speed probe (min: interference only ever slows)."""
+    out = {"python_spin_ms": round(min(_python_spin_ms() for _ in range(samples)), 1)}
+    if spark is not None:
+        # untimed JIT warmup ×6: the C2 tier keeps recompiling this job
+        # for many iterations (measured: floor 650ms after 3 runs,
+        # 180ms after ~15), and the probe must measure the BOX, not the
+        # JVM's compile state — a cold-JVM start probe has to reach the
+        # same steady state the end-of-run probe gets for free
+        for _ in range(12):
+            spark.range(30_000_000).selectExpr("sum(id % 7)").collect()
+        sp = []
+        for _ in range(max(8, samples)):
+            t0 = time.perf_counter()
+            spark.range(30_000_000).selectExpr("sum(id % 7)").collect()
+            sp.append((time.perf_counter() - t0) * 1000.0)
+        out["spark_job_ms"] = round(min(sp), 1)
+    return out
+
+
+def drift_factor(probes: list[dict], ref: dict | None = None) -> float:
+    """Geometric-mean speed ratio of the probed host vs CAL_REF, >1 =
+    slower box. Averages over the given probes (typically run start +
+    end, so mid-run degradation is split, not ignored). Pure —
+    unit-pinned in tests/test_bench_record.py."""
+    import math
+
+    ref = ref or CAL_REF
+    ratios: list[float] = []
+    for p in probes:
+        parts = [
+            p[k] / ref[k]
+            for k in ("python_spin_ms", "spark_job_ms")
+            if p.get(k) and ref.get(k)
+        ]
+        if parts:
+            ratios.append(math.exp(sum(math.log(x) for x in parts) / len(parts)))
+    if not ratios:
+        return 1.0
+    return round(sum(ratios) / len(ratios), 4)
+
+
 def merge_partial_record(
     prev: dict,
     per_query: dict[str, float],
     excluded: list[str],
     only: set[str],
     mover_reprobe: dict,
+    calibration: dict | None = None,
 ) -> dict:
     """Merge a targeted ``--only`` probe into an existing full-sweep (or
     partial) sidecar record, in place. The contract (ADVICE r8 +
@@ -234,6 +314,13 @@ def merge_partial_record(
         sum(prev["queries"][n] for n in merged_core), 3
     )
     prev["common_core_sameset_n"] = len(merged_core)
+    if calibration is not None:
+        # the base record's own calibration stays authoritative for its
+        # normalized walls; the probe's host speed is appended so each
+        # upserted value is interpretable against the box that timed it
+        prev.setdefault("calibration_reprobes", []).append(
+            {"probed": sorted(only), **calibration}
+        )
     return prev
 
 
@@ -299,6 +386,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
+
+    cal_start = calibration_probe(spark)
+    print(f"# calibration start: {cal_start} (ref {CAL_REF})", file=sys.stderr)
 
     registry = q.registry()
     names = [n for n in HEADLINE + [o for o in OPTIONAL if o in registry] if wanted(n)]
@@ -803,6 +893,18 @@ def main() -> None:
                 f"vs BENCH_r{prev[0]:02d}", file=sys.stderr,
             )
 
+    # end-of-run calibration: mid-run host degradation (the r10 failure
+    # mode) shows up as end > start; drift averages the two
+    cal_end = calibration_probe(spark)
+    drift = drift_factor([cal_start, cal_end])
+    calibration = {
+        "start": cal_start,
+        "end": cal_end,
+        "ref": CAL_REF,
+        "drift_factor": drift,
+    }
+    print(f"# calibration end: {cal_end} -> drift_factor={drift}", file=sys.stderr)
+
     # wall totals are derived AFTER the re-probe so solo floors count
     total = sum(v for k, v in per_query.items() if not _excluded_from_wall(k))
     core_present = [n for n in COMMON_CORE if n in per_query]
@@ -836,6 +938,13 @@ def main() -> None:
         "mover_reprobe": mover_reprobe,
         "sf": sf,
         "noise_probe_3x": noise,
+        # drift-normalized twins (VERDICT r10 #1): raw / drift_factor ≈
+        # what this run would have read on the CAL_REF-speed box. The
+        # normalized common-core wall is the cross-round comparison
+        # number from r11 on; raw stays the ground truth.
+        "calibration": calibration,
+        "value_normalized": round(total / drift, 3),
+        "common_core_wall_normalized": round(common_core_wall / drift, 3),
         "method": {
             "discipline": f"cache-cold-per-query, min-of-{runs}",
             "detail": (
@@ -888,7 +997,7 @@ def main() -> None:
             prev = None
         if prev and isinstance(prev.get("queries"), dict):
             full = merge_partial_record(
-                prev, per_query, excluded, set(only), mover_reprobe
+                prev, per_query, excluded, set(only), mover_reprobe, calibration
             )
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1)
@@ -901,13 +1010,16 @@ def main() -> None:
         "queries": per_query,
         "common_core_wall": common_core_wall,
         "common_core_n": len(core_present),
+        "common_core_wall_normalized": round(common_core_wall / drift, 3),
+        "drift_factor": drift,
         "mover_reprobe_n": len(mover_reprobe),
         "sf": sf,
         "method": (
             f"cache-cold min-of-{runs}; wall excludes {len(excluded)} "
             f"*_baseline twins; common_core_wall = frozen {len(COMMON_CORE)}-query "
             f"cross-round basis; >1.3x movers vs prev round re-floored with 3 "
-            f"extra samples; full record in {sidecar_name}"
+            f"extra samples; drift_factor = host speed vs pinned CAL_REF "
+            f"(normalized = raw/drift); full record in {sidecar_name}"
         ),
     }
     line = json.dumps(compact, separators=(",", ":"))

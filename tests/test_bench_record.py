@@ -89,3 +89,52 @@ def test_probe_excluded_baseline_stays_excluded_and_mover_merges():
     )
     assert "ann_brute_topk_exact_baseline" in merged["excluded_from_wall"]
     assert merged["mover_reprobe"]["other_q"]["floor"] == 2.9
+
+
+def test_drift_factor_geomean_and_average():
+    """drift_factor = mean over probes of the geometric mean of
+    per-component speed ratios vs CAL_REF; missing components are
+    skipped; no probes -> 1.0 (VERDICT r10 #1)."""
+    ref = {"python_spin_ms": 100.0, "spark_job_ms": 200.0}
+    # 2x slower on both components -> exactly 2.0
+    assert bench.drift_factor(
+        [{"python_spin_ms": 200.0, "spark_job_ms": 400.0}], ref
+    ) == 2.0
+    # geometric mean: 1x and 4x -> 2x
+    assert bench.drift_factor(
+        [{"python_spin_ms": 100.0, "spark_job_ms": 800.0}], ref
+    ) == 2.0
+    # average over start+end probes: 1x and 3x -> 2x
+    assert bench.drift_factor(
+        [
+            {"python_spin_ms": 100.0, "spark_job_ms": 200.0},
+            {"python_spin_ms": 300.0, "spark_job_ms": 600.0},
+        ],
+        ref,
+    ) == 2.0
+    # spark component missing (no session): spin-only ratio
+    assert bench.drift_factor([{"python_spin_ms": 150.0}], ref) == 1.5
+    # degenerate inputs never divide by zero or crash the record
+    assert bench.drift_factor([], ref) == 1.0
+    assert bench.drift_factor([{}], ref) == 1.0
+
+
+def test_merge_partial_record_appends_calibration_reprobe():
+    """A targeted --only probe's calibration lands in
+    calibration_reprobes (with what it probed) and never overwrites the
+    base record's own calibration/normalized walls."""
+    prev = _full_sweep_record()
+    prev["calibration"] = {"drift_factor": 1.0}
+    cal = {"start": {"python_spin_ms": 190.0}, "drift_factor": 2.0}
+    merged = bench.merge_partial_record(
+        prev, {"other_q": 9.0}, excluded=[], only={"other_q"},
+        mover_reprobe={}, calibration=cal,
+    )
+    assert merged["calibration"] == {"drift_factor": 1.0}
+    assert merged["calibration_reprobes"] == [{"probed": ["other_q"], **cal}]
+    # a second probe accumulates
+    bench.merge_partial_record(
+        merged, {"other_q": 8.0}, excluded=[], only={"other_q"},
+        mover_reprobe={}, calibration=cal,
+    )
+    assert len(merged["calibration_reprobes"]) == 2
