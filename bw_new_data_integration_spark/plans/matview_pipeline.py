@@ -62,6 +62,7 @@ def _translate_measures(spec: PipelineSpec):
     mins: dict[str, str] = {}
     maxs: dict[str, str] = {}
     avgs: dict[str, str] = {}
+    ratios: dict[str, tuple[str, str]] = {}
     count_col = None
     int_sums: set[str] = set()  # stored as decimal, presented as bigint
     for name, m in agg.measures.items():
@@ -84,9 +85,14 @@ def _translate_measures(spec: PipelineSpec):
             maxs[name] = raw
         elif kind == "avg":
             avgs[name] = raw
+        elif kind == "ratio":
+            # {agg: ratio, num: expr, den: expr} — maintained as the
+            # component-sum pair (matview ratio_measures), derived at
+            # read; the cube's calculated-member vocabulary
+            ratios[name] = (m["num"], m["den"])
         else:
             raise ValueError(f"measure {name!r}: unsupported agg {kind!r}")
-    return sums, mins, maxs, avgs, count_col or _HIDDEN_COUNT, int_sums
+    return sums, mins, maxs, avgs, ratios, count_col or _HIDDEN_COUNT, int_sums
 
 
 def maintain_pipeline_rollup(
@@ -98,7 +104,7 @@ def maintain_pipeline_rollup(
     """Bring the pipeline's grain rollup up to date with the landing
     table's current version (see :func:`operators.matview.
     maintain_rollup` for the feed/exactness/crash-recovery contract)."""
-    sums, mins, maxs, avgs, count_col, _ = _translate_measures(spec)
+    sums, mins, maxs, avgs, ratios, count_col, _ = _translate_measures(spec)
     return maintain_rollup(
         spark,
         base,
@@ -109,6 +115,7 @@ def maintain_pipeline_rollup(
         min_measures=mins,
         max_measures=maxs,
         avg_measures=avgs,
+        ratio_measures=ratios,
     )
 
 
@@ -123,8 +130,8 @@ def serve_pipeline_from_matview(
     source re-aggregation. Sum measures surface as doubles (AggSpec
     casts its exact-decimal sums to double), counts as bigint, AVG as
     the derived sum/count double."""
-    sums, _mins, _maxs, avgs, count_col, int_sums = _translate_measures(spec)
-    df = finish_rollup(rollup.read(spark), avg_measures=avgs)
+    sums, _mins, _maxs, avgs, ratios, count_col, int_sums = _translate_measures(spec)
+    df = finish_rollup(rollup.read(spark), avg_measures=avgs, ratio_measures=ratios)
     cols = []
     for name in spec.aggregate.dims:
         cols.append(F.col(name))

@@ -95,7 +95,6 @@ class AggSpec:
         "min": F.min,
         "max": F.max,
         "count": F.count,
-        "avg": F.avg,
     }
 
     def apply(self, df: DataFrame) -> DataFrame:
@@ -108,6 +107,27 @@ class AggSpec:
             raw = spec.get("expr", name)
             if agg_name == "count" and raw == "*":
                 aggs.append(F.count(F.lit(1)).alias(name))
+                continue
+            if agg_name == "avg":
+                # decimal-sum / non-null-count, NULL on empty — the
+                # exact decomposition the maintained path stores
+                # (operators/matview.py), so batch and served outputs
+                # are bit-equal (a plain F.avg over doubles is not
+                # deterministic under partial-aggregation order)
+                expr = F.expr(raw)
+                s = F.sum(expr.cast("decimal(27,6)")).cast("double")
+                n = F.count(expr).cast("double")
+                aggs.append(F.when(n > 0, s / n).alias(name))
+                continue
+            if agg_name == "ratio":
+                # {agg: ratio, num: expr, den: expr} — the cube's
+                # calculated-member shape (Order Accuracy % etc.,
+                # reference modules/mdx_queries.py:228-232): SUM(num) /
+                # SUM(den), NULL on zero denominator, decimal sums
+                # divided as doubles (matview ratio parity)
+                num = F.sum(F.expr(spec["num"]).cast("decimal(27,6)")).cast("double")
+                den = F.sum(F.expr(spec["den"]).cast("decimal(27,6)")).cast("double")
+                aggs.append(F.when(den != 0, num / den).alias(name))
                 continue
             expr = F.expr(raw)
             if agg_name == "sum":

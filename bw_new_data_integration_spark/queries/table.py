@@ -1014,3 +1014,345 @@ def k15_commit_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "price", "status", "_change_type",
         F.col("_commit_version").cast("int").alias("_commit_version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K16 — change-driven REST sync, gated end-to-end (VERDICT r10 task 3):
+# source increments → CDC landing table → maintained rollup →
+# net_changes → batched keyed REST sink (sources/sync.py), across a
+# multi-commit lifecycle that includes a vacuum-past-watermark wave
+# (the re-bootstrap + sink-key delete reconciliation path, commit
+# 1c1a968 + ADVICE r10). The gate returns the FULL API traffic log —
+# every record that crossed the (capture) transport, tagged with its
+# sync ordinal and operation — plus the final sink state; the oracle
+# reconstructs all of it from the raw waves: sync 1 pushes the v0
+# aggregate, sync 2 pushes exactly the groups whose aggregate changed,
+# sync 3 (after retention erased the synced snapshot) re-pushes the
+# full live aggregate and tombstones the one group that vanished
+# inside the lost span. The reference re-pushes the WHOLE trailing
+# window nightly (modules/olap_sync.py:111-151 + modules/dataverse.py)
+# at 1,800–2,600 rows/s; this is the O(churn) replacement, proven row
+# by row.
+# ---------------------------------------------------------------------------
+@register(
+    "k16_change_driven_sync",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 100 = 2 THEN 'g_solo'
+              ELSE 'g' || CAST(o_orderkey % 40 AS VARCHAR) END AS grp,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 7 = 3
+),
+s0 AS (SELECT * FROM src WHERE k % 3 <> 1),
+s1 AS (  -- wave 2: reprice k%3=0, insert k%3=1
+  SELECT k, grp, CASE WHEN k % 3 = 0 THEN price * 2 ELSE price END AS price FROM s0
+  UNION ALL SELECT k, grp, price FROM src WHERE k % 3 = 1
+),
+s2 AS (SELECT * FROM s1 WHERE k % 5 <> 2),          -- wave 3: delete (g_solo vanishes)
+s3 AS (  -- wave 4: reprice k%11=4
+  SELECT k, grp, CASE WHEN k % 11 = 4 THEN price * 3 ELSE price END AS price FROM s2
+),
+a0 AS (SELECT grp, SUM(CAST(price AS DECIMAL(27,6))) AS s, COUNT(*) AS n FROM s0 GROUP BY grp),
+a1 AS (SELECT grp, SUM(CAST(price AS DECIMAL(27,6))) AS s, COUNT(*) AS n FROM s1 GROUP BY grp),
+a3 AS (SELECT grp, SUM(CAST(price AS DECIMAL(27,6))) AS s, COUNT(*) AS n FROM s3 GROUP BY grp),
+push1 AS (
+  SELECT 1 AS sync_no, 'upsert' AS op, grp, CAST(s AS DOUBLE) AS sum_price, n AS n_rows
+  FROM a0
+),
+push2 AS (  -- only groups whose aggregate CHANGED cross the API
+  SELECT 2, 'upsert', a1.grp, CAST(a1.s AS DOUBLE), a1.n
+  FROM a1 LEFT JOIN a0 USING (grp)
+  WHERE a0.grp IS NULL OR a1.s <> a0.s OR a1.n <> a0.n
+),
+push3 AS (  -- vacuum erased the watermark snapshot: full re-push ...
+  SELECT 3, 'upsert', grp, CAST(s AS DOUBLE), n FROM a3
+),
+push3_del AS (  -- ... plus tombstones for sink keys the lost span deleted
+  SELECT 3, 'delete', a1.grp, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+  FROM a1 LEFT JOIN a3 USING (grp) WHERE a3.grp IS NULL
+),
+sink_final AS (
+  SELECT 99, 'sink_final', grp, CAST(s AS DOUBLE), n FROM a3
+)
+SELECT * FROM push1 UNION ALL SELECT * FROM push2
+UNION ALL SELECT * FROM push3 UNION ALL SELECT * FROM push3_del
+UNION ALL SELECT * FROM sink_final
+""",
+)
+def k16_change_driven_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-driven REST sync lifecycle: only net changes cross the API; vacuum-raced watermark re-bootstraps with delete reconciliation."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from bw_new_data_integration_spark.operators.matview import maintain_rollup
+    from bw_new_data_integration_spark.sources import sync as sync_mod
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    tune_for_oracle_parity(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 3)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 100 == 2, F.lit("g_solo"))
+            .otherwise(F.concat(F.lit("g"), (F.col("o_orderkey") % 40).cast("string")))
+            .alias("grp"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="bw_sync_")
+    base = ParquetKeyedTable(root + "/base", ["k"], change_feed=True)
+    roll = ParquetKeyedTable(root + "/roll", ["grp"], change_feed=True)
+    mv = lambda: maintain_rollup(  # noqa: E731
+        spark, base, roll, ["grp"], {"sum_price": "price"}
+    )
+
+    def finish(df: DataFrame) -> DataFrame:
+        return df.select(
+            "grp",
+            F.col("sum_price").cast("double").alias("sum_price"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        )
+
+    def capture(path):
+        def factory():
+            def transport(batch):
+                with open(path, "a") as f:
+                    for rec in batch:
+                        f.write(_json.dumps(rec, default=str) + "\n")
+                return [204] * len(batch)
+
+            return transport
+
+        return factory
+
+    logs = [root + f"/push{i}.jsonl" for i in (1, 2, 3)]
+    run_sync = lambda i, **kw: sync_mod.sync_to_rest(  # noqa: E731
+        spark, roll, capture(logs[i - 1]), "grp", app="k16", finish=finish, **kw
+    )
+    # sync 1: bootstrap
+    base.upsert(spark, src.where(F.col("k") % 3 != 1))
+    mv()
+    run_sync(1)
+    # sync 2: net changes only (reprice k%3=0, insert k%3=1)
+    wave = (
+        src.where(F.col("k") % 3 == 0)
+        .withColumn("price", F.col("price") * 2)
+        .unionByName(src.where(F.col("k") % 3 == 1))
+        .localCheckpoint(eager=True)
+    )
+    base.upsert(spark, wave)
+    mv()
+    run_sync(2)
+    # the lost span: a delete that empties g_solo (every k%100==2 key is
+    # ≡2 mod 5) plus a reprice, then retention vacuums the synced
+    # rollup snapshot — sync 3 must re-bootstrap AND reconcile deletes
+    base.delete_keys(
+        spark, src.where(F.col("k") % 5 == 2).select("k").localCheckpoint(eager=True)
+    )
+    base.upsert(
+        spark,
+        base.read(spark)
+        .where(F.col("k") % 11 == 4)
+        .withColumn("price", F.col("price") * 3)
+        .localCheckpoint(eager=True),
+    )
+    mv()  # ONE refresh spanning the delete and the reprice commits
+    roll.vacuum(keep_last=1)
+
+    def list_sink_keys():
+        # replay the capture logs: what the sink holds right now
+        state: dict = {}
+        for p in logs:
+            if not _os.path.exists(p):
+                continue
+            with open(p) as f:
+                for line in f:
+                    rec = _json.loads(line)
+                    if "sum_price" in rec:
+                        state[rec["grp"]] = rec
+                    else:
+                        state.pop(rec["grp"], None)
+        return list(state)
+
+    st = run_sync(3, list_sink_keys=list_sink_keys)
+    assert st["action"] == "rebootstrap", st
+    # the traffic log + final sink state, one frame
+    schema = "grp string, sum_price double, n_rows bigint"
+    parts = []
+    for i, p in enumerate(logs, start=1):
+        df = spark.read.schema(schema).json(p)
+        parts.append(
+            df.select(
+                F.lit(i).alias("sync_no"),
+                F.when(F.col("sum_price").isNull(), F.lit("delete"))
+                .otherwise(F.lit("upsert"))
+                .alias("op"),
+                "grp", "sum_price", "n_rows",
+            )
+        )
+    final = spark.createDataFrame(
+        [
+            (99, "sink_final", r["grp"], r["sum_price"], r["n_rows"])
+            for r in sorted(
+                ({**v} for v in _final_sink_state(logs, _json).values()),
+                key=lambda r: r["grp"],
+            )
+        ],
+        "sync_no int, op string, grp string, sum_price double, n_rows bigint",
+    )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.unionByName(final).select(
+        F.col("sync_no").cast("int").alias("sync_no"),
+        "op", "grp", "sum_price",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def _final_sink_state(logs, _json) -> dict:
+    """Replay capture JSONL logs into the sink's final keyed state."""
+    import os as _os
+
+    state: dict = {}
+    for p in logs:
+        if not _os.path.exists(p):
+            continue
+        with open(p) as f:
+            for line in f:
+                rec = _json.loads(line)
+                if rec.get("sum_price") is not None:
+                    state[rec["grp"]] = rec
+                else:
+                    state.pop(rec["grp"], None)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# K17 — the reference's FLAGSHIP pipeline (daily_sales at its full
+# 47-measure width, reference pipelines.yaml:9-77 + the calculated
+# members of modules/mdx_queries.py:228-232) served from a maintained
+# view (VERDICT r10 task 4). k14 proved the YAML→matview compiler on
+# offers (3 measures); this gate is the scale-in-measure-COUNT proof:
+# 49 measures — 31 signed sums/counts, count(*), one maintained AVG
+# pair, five maintained ratio pairs — kept current through a
+# multi-commit lifecycle (upsert + insert + delete, ONE incremental
+# refresh), then served through the unchanged post-aggregate stages.
+# The oracle recomputes every measure from the final state with
+# DuckDB's own SUM/COUNT over the same YAML expressions (the measure
+# list below is GENERATED from the YAML at import, so an edit to the
+# pipeline cannot silently diverge from its oracle).
+# ---------------------------------------------------------------------------
+def _daily_sales_full_oracle() -> str:
+    from bw_new_data_integration_spark.plans import pipeline as _plans
+
+    spec = _plans.load_pipelines(_PIPELINES_YAML)["daily_sales_full"]
+    dec = lambda e: f"SUM(CAST(({e}) AS DECIMAL(27,6)))"  # noqa: E731
+    parts = []
+    for name, m in spec.aggregate.measures.items():
+        kind = m.get("agg", "sum")
+        raw = m.get("expr", name)
+        if kind == "count" and raw == "*":
+            parts.append(f"CAST(COUNT(*) AS INT) AS {name}")
+        elif kind == "count":
+            parts.append(f"CAST(COUNT({raw}) AS INT) AS {name}")
+        elif kind == "sum":
+            parts.append(f"CAST({dec(raw)} AS DOUBLE) AS {name}")
+        elif kind == "avg":
+            parts.append(
+                f"CASE WHEN COUNT({raw}) > 0 THEN CAST({dec(raw)} AS DOUBLE)"
+                f" / CAST(COUNT({raw}) AS DOUBLE) END AS {name}"
+            )
+        elif kind == "ratio":
+            num, den = m["num"], m["den"]
+            parts.append(
+                f"CASE WHEN CAST({dec(den)} AS DOUBLE) <> 0 THEN "
+                f"CAST({dec(num)} AS DOUBLE) / CAST({dec(den)} AS DOUBLE) "
+                f"END AS {name}"
+            )
+    measures_sql = ",\n         ".join(parts)
+    return f"""
+WITH src AS (
+  SELECT l_orderkey AS ok, l_orderkey * 8 + l_linenumber AS k, *
+  FROM lineitem WHERE l_orderkey % 5 = 0
+  QUALIFY row_number() OVER (
+    PARTITION BY l_orderkey * 8 + l_linenumber
+    ORDER BY l_extendedprice DESC, l_discount DESC, l_suppkey DESC,
+             l_partkey DESC, l_shipdate DESC, l_quantity DESC, l_tax DESC,
+             l_linenumber DESC, l_returnflag DESC, l_linestatus DESC
+  ) = 1
+),
+v0 AS (SELECT * FROM src WHERE ok % 4 <> 1),
+v1 AS (  -- upsert wave: reprice ok%4=0, insert ok%4=1
+  SELECT * REPLACE (CASE WHEN ok % 4 = 0 THEN l_extendedprice * 2
+                         ELSE l_extendedprice END AS l_extendedprice)
+  FROM v0
+  UNION ALL SELECT * FROM src WHERE ok % 4 = 1
+),
+v2 AS (SELECT * FROM v1 WHERE ok % 6 <> 2),  -- delete wave
+agg AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS store_number,
+         strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS calendar_date,
+         {measures_sql}
+  FROM v2 GROUP BY 1, 2
+)
+SELECT *, store_number || '_' || strftime(CAST(calendar_date AS DATE), '%Y%m%d')
+       AS business_key
+FROM agg
+"""
+
+
+@register("k17_daily_sales_full_matview", oracle=_daily_sales_full_oracle())
+def k17_daily_sales_full_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship 47-measure daily_sales pipeline served bit-equal from an incrementally-maintained rollup."""
+    import tempfile
+
+    from bw_new_data_integration_spark.plans import pipeline as plans
+    from bw_new_data_integration_spark.plans.matview_pipeline import (
+        maintain_pipeline_rollup,
+        serve_pipeline_from_matview,
+        staging_frame,
+    )
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    tune_for_oracle_parity(spark)
+    spec = plans.load_pipelines(_PIPELINES_YAML)["daily_sales_full"]
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .withColumn("ok", F.col("l_orderkey"))
+        .withColumn(
+            "k", (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("bigint")
+        )
+    )
+    # one row per key, picked by a TOTAL order over every column the
+    # measures read (the synthetic lineitem has duplicate keys)
+    w = Window.partitionBy("k").orderBy(
+        F.desc("l_extendedprice"), F.desc("l_discount"), F.desc("l_suppkey"),
+        F.desc("l_partkey"), F.desc("l_shipdate"), F.desc("l_quantity"),
+        F.desc("l_tax"), F.desc("l_linenumber"), F.desc("l_returnflag"),
+        F.desc("l_linestatus"),
+    )
+    li = li.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn")
+    staged = staging_frame(li, spec)
+    root = tempfile.mkdtemp(prefix="bw_dsf_")
+    base = ParquetKeyedTable(root + "/base", ["k"], change_feed=True)
+    roll = ParquetKeyedTable(root + "/roll", ["store_number", "calendar_date"])
+    mv = lambda: maintain_pipeline_rollup(spark, spec, base, roll)  # noqa: E731
+    base.upsert(spark, staged.where(F.col("ok") % 4 != 1))
+    mv()  # bootstrap
+    wave = staging_frame(
+        li.where(F.col("ok") % 4 == 0)
+        .withColumn("l_extendedprice", F.col("l_extendedprice") * 2)
+        .unionByName(li.where(F.col("ok") % 4 == 1)),
+        spec,
+    ).localCheckpoint(eager=True)
+    base.upsert(spark, wave)
+    dead = staged.where(F.col("ok") % 6 == 2).select("k").localCheckpoint(eager=True)
+    base.delete_keys(spark, dead)
+    stats = mv()  # ONE incremental refresh spanning upsert + delete
+    assert stats["action"] == "incremental", stats
+    return serve_pipeline_from_matview(spark, spec, roll)

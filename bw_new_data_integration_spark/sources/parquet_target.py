@@ -463,6 +463,7 @@ class ParquetKeyedTable:
         stats_cols: Sequence[str] = (),
         cluster: str | None = None,
         change_feed: bool = False,
+        write_mode: str | None = None,
     ) -> None:
         """``stats_cols``: columns whose per-FILE min/max/null-count are
         captured in each commit manifest (from parquet footers —
@@ -494,7 +495,26 @@ class ParquetKeyedTable:
         range — a snapshot diff is O(files rewritten), which for
         uniformly-distributed upserts is the entire table per commit.
         Costs one extra join at write time and O(batch) extra bytes per
-        commit (exactly Delta's CDC write amplification)."""
+        commit (exactly Delta's CDC write amplification).
+
+        ``write_mode="mor"`` (merge-on-read; default ``"cow"``) is the
+        deletion-vector analogue of Delta's DV-enabled tables (VERDICT
+        r10 #2): an upsert/delete no longer rewrites touched files.
+        Instead the commit hard-links EVERY previous data file forward,
+        writes only the batch rows as new files, and persists the
+        batch's keys as a *tombstone* sidecar (``_tombstones/tv=N/``).
+        Each data file records the version that wrote it (``wv``); a
+        row is live iff no tombstone for its key carries ``tv > wv`` —
+        row-level invalidation with key granularity instead of Delta's
+        positional bitmaps, which buys a strictly cheaper write side:
+        the commit never reads the table at all (positional DVs must
+        locate matched rows first), so an interleaved 1%-churn batch
+        costs O(batch), not O(table-rewrite). ``read``/``read_where``/
+        CDF consult the tombstones (one key join against the
+        churn-sized tombstone set, broadcast while small); ``compact``
+        folds them back into a clean copy-on-write layout. The read tax
+        and the default-vs-opt-in decision are measured in
+        docs/SCALING.md §R11."""
         self.path = path
         self.change_feed = bool(change_feed)
         self.key_cols = list(key_cols)
@@ -538,6 +558,29 @@ class ParquetKeyedTable:
             # key-range bounds per file come from the same footer-stats
             # machinery read_where prunes with — key cols always tracked
             self.stats_cols = list(dict.fromkeys([*self.key_cols, *self.stats_cols]))
+        if write_mode is None:
+            persisted_wm = self._persisted_write_mode()
+            write_mode = persisted_wm if persisted_wm in ("cow", "mor") else "cow"
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        if write_mode == "mor" and self.partition_by:
+            raise ValueError(
+                "write_mode='mor' requires an unpartitioned table — "
+                "partition-scoped merges already bound rewrite cost there"
+            )
+        self.write_mode = write_mode
+
+    def _persisted_write_mode(self) -> str | None:
+        """The 'write_mode' recorded in the latest committed manifest
+        (None for new/pre-upgrade tables). A table's mode follows its
+        last writer unless the constructor overrides it; flipping
+        mor→cow is always safe (the next full merge folds tombstones),
+        cow→mor only changes FUTURE commits."""
+        try:
+            m = self.manifest()
+        except Exception:
+            return None
+        return (m or {}).get("write_mode")
 
     def _persisted_cluster(self) -> str | None:
         """The 'cluster' value recorded in the latest committed
@@ -597,6 +640,11 @@ class ParquetKeyedTable:
         v = self.current_version() if version is None else version
         if v < 0 or (version is not None and version > self.current_version()):
             return None
+        m = self.manifest(v)
+        if m and m.get("tombstones"):
+            # merge-on-read snapshot: serve the live-rows view (the
+            # precedence join against the churn-sized tombstone set)
+            return self._mor_read(spark, v, m=m)
         return spark.read.parquet(self._snapshot_dir(v))
 
     def version_asof(self, ts: float) -> int | None:
@@ -653,8 +701,26 @@ class ParquetKeyedTable:
             "files_read": len(kept),
             "files_skipped": len(entries) - len(kept),
         }
+        tombs = (m or {}).get("tombstones") or []
         if not kept:
             df = self.read(spark, v).where(F.lit(False))
+        elif tombs:
+            # merge-on-read: the pruned data files still need the
+            # precedence join. Tombstones themselves are pruned by the
+            # KEY-column predicates only (a tombstone can only kill a
+            # row carrying its key, and rows a key predicate excludes
+            # are already excluded from the result) — via their footer
+            # key stats, never their path (the tv=N path segment is a
+            # sequence number, not a partition value).
+            key_preds = [p for p in predicates if p[0] in self.key_cols]
+            tkept = [
+                t
+                for t in tombs
+                if _file_may_match({"path": "f", "stats": t.get("stats")}, key_preds)
+            ]
+            report["tombstone_files_read"] = len(tkept)
+            report["tombstone_files_skipped"] = len(tombs) - len(tkept)
+            df = self._mor_read(spark, v, m=m, data_entries=kept, tomb_entries=tkept)
         else:
             df = spark.read.option("basePath", snap).parquet(
                 *(os.path.join(snap, e["path"]) for e in kept)
@@ -881,12 +947,16 @@ class ParquetKeyedTable:
         version directory, never a referenced-but-unmanifested one."""
         snap = self._snapshot_dir(version)
         prev_stats: dict[str, dict] = {}
-        if self.stats_cols:
+        prev_entries: dict[str, dict] = {}
+        prev_tombs: dict[str, dict] = {}
+        if self.stats_cols or self.write_mode == "mor":
             prev = self.manifest(version - 1) if version > 0 else None
             if prev:
+                prev_entries = {f["path"]: f for f in prev["files"]}
                 prev_stats = {
                     f["path"]: f for f in prev["files"] if "stats" in f
                 }
+                prev_tombs = {t["path"]: t for t in prev.get("tombstones") or []}
         files = []
         for d, _dirs, fs in os.walk(snap):
             # never descend into sidecar dirs (_changes CDC files live
@@ -928,6 +998,18 @@ class ParquetKeyedTable:
                             kb = _file_key_bounds(full, self.key_cols)
                             if kb is not None:
                                 entry["kb"] = kb
+                if self.write_mode == "mor":
+                    # write-version: the tombstone precedence term. A
+                    # linked file keeps the version that WROTE it (falls
+                    # back to version-1 for pre-MoR files — any value
+                    # below every future tombstone's tv is correct); a
+                    # fresh file was written by THIS commit.
+                    pe = prev_entries.get(entry["path"])
+                    entry["wv"] = (
+                        int(pe.get("wv", version - 1))
+                        if entry["linked"] and pe is not None
+                        else version
+                    )
                 files.append(entry)
         # Delta SetTransaction parity: the marker stamped by
         # set_commit_txn lands atomically with THIS commit and is also
@@ -960,6 +1042,13 @@ class ParquetKeyedTable:
             # key bounds live in its stats entry — what range-scoped
             # merges and key-predicate pruning rely on
             "cluster": self.cluster,
+            "write_mode": self.write_mode,
+            # live key-tombstone sidecars (merge-on-read): every reader
+            # of THIS version must anti-apply these. Empty/absent ⇒
+            # plain copy-on-write snapshot. Entries: {path (rel to the
+            # snapshot dir), tv (the commit that wrote the tombstones),
+            # bytes, rows, stats (key min/max for pruning)}.
+            "tombstones": self._tombstone_listing(version, prev_tombs),
             "n_files": len(files),
             "n_linked": sum(1 for f in files if f["linked"]),
             "total_bytes": sum(f["bytes"] for f in files),
@@ -1188,6 +1277,18 @@ class ParquetKeyedTable:
         checkpoint at the first surviving version (makes the truncated
         log well-formed) and one at the latest (snapshot construction
         replays O(1), not O(commits))."""
+        for v in range(self.current_version() + 1):
+            mv = self.manifest(v)
+            if mv and mv.get("tombstones"):
+                # the clean-room export writes plain add/remove actions;
+                # a MoR snapshot's files contain dead rows an external
+                # reader has no deletion vectors for — exporting would
+                # serve them. Compaction folds the tombstones.
+                raise ValueError(
+                    "export_delta_log: version "
+                    f"{v} carries merge-on-read tombstones; run compact() "
+                    "first (the export has no Delta deletion-vector writer)"
+                )
         log_dir = os.path.join(self.path, "_delta_log")
         os.makedirs(log_dir, exist_ok=True)
         # reconcile: drop every previously-exported log entry before
@@ -1585,6 +1686,18 @@ class ParquetKeyedTable:
                     # plainly and let the write re-cluster the union
                     source = source.dropDuplicates(self.key_cols)
                 if (
+                    self.write_mode == "mor"
+                    and not evolve_schema
+                    and set(target.columns) <= set(source.columns)
+                ):
+                    # merge-on-read: O(batch) commit, no table rewrite.
+                    # evolve_schema and narrower sources fall through to
+                    # the full COW merge below, which also FOLDS the
+                    # accumulated tombstones (a full rewrite clears them)
+                    return self._mor_upsert(
+                        spark, source, target.columns, source_rows=source_rows
+                    )
+                if (
                     self.partition_by
                     and set(self.partition_by) <= set(self.key_cols)
                     and set(source.columns) == set(target.columns)
@@ -1917,6 +2030,220 @@ class ParquetKeyedTable:
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.link(os.path.join(old_dir, rel), dst)
 
+    # -- merge-on-read: key tombstones (deletion-vector parity) ---------------
+
+    #: Below this many total tombstone bytes the precedence join's
+    #: build side is broadcast explicitly (churn-sized — the common
+    #: case between compactions); above it the join falls through to
+    #: AQE's choice.
+    TOMBSTONE_BROADCAST_BYTES = 32 << 20
+    #: maybe_compact folds tombstones once the dead-key rows exceed
+    #: this fraction of the data rows, or once the read plan's
+    #: write-version union grows past MOR_COMPACT_MAX_WV_GROUPS scans.
+    MOR_COMPACT_TOMBSTONE_FRACTION = 0.3
+    MOR_COMPACT_MAX_WV_GROUPS = 32
+
+    def _tombstone_dir(self, version: int) -> str:
+        return os.path.join(self._snapshot_dir(version), "_tombstones")
+
+    def _tombstone_listing(self, version: int, prev_tombs: dict[str, dict]) -> list[dict]:
+        """Manifest entries for the tombstone sidecars under
+        ``v=N/_tombstones/tv=M/`` (underscore-prefixed: invisible to
+        plain directory readers and the data-file walks). Hard-linked
+        carries inherit their recorded stats; only freshly written
+        tombstone files pay a footer read (key min/max — what lets
+        ``read_where`` prune tombstones by key predicates)."""
+        td = self._tombstone_dir(version)
+        out: list[dict] = []
+        if not os.path.isdir(td):
+            return out
+        snap = self._snapshot_dir(version)
+        for d, _dirs, fs in os.walk(td):
+            for f in fs:
+                if f.startswith(("_", ".")):
+                    continue
+                full = os.path.join(d, f)
+                rel = os.path.relpath(full, snap)
+                pe = prev_tombs.get(rel)
+                if pe is not None:
+                    out.append(dict(pe))
+                    continue
+                # rel = _tombstones/tv=<N>/<part file>
+                tv = int(rel.split(os.sep)[1].split("=", 1)[1])
+                stats, rows = _file_column_stats(full, self.key_cols)
+                out.append(
+                    {
+                        "path": rel,
+                        "tv": tv,
+                        "bytes": os.path.getsize(full),
+                        "rows": rows,
+                        "stats": stats,
+                    }
+                )
+        return sorted(out, key=lambda t: (t["tv"], t["path"]))
+
+    def _link_tombstones(self, old_v: int, new_v: int) -> None:
+        """Carry every live tombstone sidecar forward (hard links, like
+        data files — so vacuuming old versions never strips a surviving
+        snapshot's tombstones)."""
+        old_td = self._tombstone_dir(old_v)
+        if not os.path.isdir(old_td):
+            return
+        new_td = self._tombstone_dir(new_v)
+        for d, _dirs, fs in os.walk(old_td):
+            for f in fs:
+                if f.startswith(("_", ".")):
+                    continue
+                src = os.path.join(d, f)
+                rel = os.path.relpath(src, old_td)
+                dst = os.path.join(new_td, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(src, dst)
+
+    def _write_tombstone_set(self, keys_df: DataFrame, new_v: int) -> None:
+        """Persist this commit's invalidated-key set under
+        ``_tombstones/tv=<new_v>/``. O(batch) bytes — key columns only."""
+        try:
+            par = keys_df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect
+            par = 32
+        keys_df.select(*self.key_cols).coalesce(max(1, par // 8)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self._tombstone_dir(new_v), f"tv={new_v}"))
+
+    def _mor_read(
+        self,
+        spark: SparkSession,
+        version: int,
+        m: dict | None = None,
+        data_entries: Sequence[dict] | None = None,
+        tomb_entries: Sequence[dict] | None = None,
+    ) -> DataFrame:
+        """The LIVE-rows view of a merge-on-read snapshot: data files
+        grouped by write-version (``wv``), one key-precedence join
+        against the per-key newest tombstone version — a row survives
+        iff no tombstone for its key is newer than the file that wrote
+        it (``max_tv <= wv`` keeps the committing batch's own rows).
+        The tombstone side is churn-sized and aggregated to one row per
+        invalidated key; it is broadcast while small, so between
+        compactions the common plan is scan + broadcast-hash-anti —
+        no extra shuffle over the copy-on-write read."""
+        m = self.manifest(version) if m is None else m
+        snap = self._snapshot_dir(version)
+        data_entries = m["files"] if data_entries is None else data_entries
+        tomb_entries = (
+            (m.get("tombstones") or []) if tomb_entries is None else tomb_entries
+        )
+        by_wv: dict[int, list[dict]] = {}
+        for e in data_entries:
+            # a file with no recorded write-version predates MoR on this
+            # table — older than every tombstone, so the safe default is
+            # "killable by any tombstone", never "survives all"
+            by_wv.setdefault(int(e.get("wv", -1)), []).append(e)
+        parts = []
+        for wv in sorted(by_wv):
+            df = spark.read.option("basePath", snap).parquet(
+                *(os.path.join(snap, e["path"]) for e in by_wv[wv])
+            )
+            parts.append(df.withColumn("__wv", F.lit(wv).cast("long")))
+        data = parts[0]
+        for p in parts[1:]:
+            data = data.unionByName(p, allowMissingColumns=True)
+        out_cols = [c for c in data.columns if c != "__wv"]
+        if not tomb_entries:
+            return data.select(*out_cols)
+        by_tv: dict[int, list[dict]] = {}
+        for t in tomb_entries:
+            by_tv.setdefault(int(t["tv"]), []).append(t)
+        tparts = []
+        for tv in sorted(by_tv):
+            tdf = spark.read.parquet(
+                *(os.path.join(snap, t["path"]) for t in by_tv[tv])
+            )
+            tparts.append(
+                tdf.select(*self.key_cols).withColumn("__tv", F.lit(tv).cast("long"))
+            )
+        tomb = tparts[0]
+        for t in tparts[1:]:
+            tomb = tomb.unionByName(t)
+        tomb = tomb.groupBy(*self.key_cols).agg(F.max("__tv").alias("__tv"))
+        if sum(t.get("bytes") or 0 for t in tomb_entries) <= self.TOMBSTONE_BROADCAST_BYTES:
+            tomb = F.broadcast(tomb)
+        return (
+            data.join(tomb, self.key_cols, "left")
+            .where(F.col("__tv").isNull() | (F.col("__tv") <= F.col("__wv")))
+            .select(*out_cols)
+        )
+
+    def _mor_upsert(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        target_cols: Sequence[str],
+        source_rows: int | None = None,
+    ) -> int:
+        """Merge-on-read keyed upsert: O(batch) write cost regardless of
+        how the batch's keys interleave the table. The commit writes
+        ONLY the batch rows (range-clustered among themselves), links
+        every previous data file and tombstone forward, and tombstones
+        the batch's keys — old versions of those keys die by precedence
+        at read time instead of by rewrite at write time. With
+        ``change_feed`` the commit additionally reads the key-range-
+        intersecting files (read-only — the probe scope a COW merge
+        would have REWRITTEN) to derive exact four-type events."""
+        old_v = self.current_version()
+        src = source.select(*target_cols)
+        new_v = self._write_snapshot(src, base_bytes=0, source_rows=source_rows)
+        m = self.manifest(old_v) or {}
+        files = m.get("files") or []
+        if self.change_feed:
+            visible = self._mor_visible_scope(spark, old_v, m, src)
+            self._stage_change_files(self._merge_change_events(visible, src), new_v)
+        self._link_files(old_v, new_v, [f["path"] for f in files])
+        self._link_tombstones(old_v, new_v)
+        self._write_tombstone_set(src, new_v)
+        return self._flip(new_v, "mor_upsert")
+
+    def _mor_visible_scope(
+        self, spark: SparkSession, version: int, m: dict, probe_df: DataFrame
+    ) -> DataFrame:
+        """LIVE rows of version ``version`` restricted to the data files
+        whose key ranges intersect ``probe_df``'s keys (the probe scope
+        a COW merge would have rewritten — here read-only, for CDF
+        preimages). Tombstones apply in full for exact visibility."""
+        files = m.get("files") or []
+        entries = files
+        ranged, always = self._ranged_files(files)
+        if ranged and len(files) >= self.MIN_SCOPED_FILES:
+            touched_idx = self._probe_touched_ranges(probe_df, self.key_cols, ranged)
+            by_path = {f["path"]: f for f in files}
+            touched = [ranged[i][3] for i in sorted(touched_idx)] + always
+            entries = [by_path[p] for p in touched]
+        if not entries:
+            return self.read(spark, version).limit(0)
+        return self._mor_read(spark, version, m=m, data_entries=entries)
+
+    def _mor_delete(self, spark: SparkSession, keys_df: DataFrame) -> int:
+        """Merge-on-read mass delete: a tombstone-only commit — every
+        data file links forward, the delete keys land as tombstones.
+        O(batch) always; the matched rows stop being visible at the
+        precedence join."""
+        old_v = self.current_version()
+        m = self.manifest(old_v) or {}
+        files = m.get("files") or []
+        new_v = old_v + 1
+        os.makedirs(self._snapshot_dir(new_v), exist_ok=True)
+        if self.change_feed:
+            visible = self._mor_visible_scope(spark, old_v, m, keys_df)
+            self._stage_change_files(
+                self._delete_change_events(visible, keys_df), new_v
+            )
+        self._link_files(old_v, new_v, [f["path"] for f in files])
+        self._link_tombstones(old_v, new_v)
+        self._write_tombstone_set(keys_df, new_v)
+        self._last_rows_written = 0
+        return self._flip(new_v, "mor_delete")
+
     def delete_keys(self, spark: SparkSession, keys_df: DataFrame) -> int:
         keys_df, release = self._pin(keys_df)
         try:
@@ -1924,6 +2251,8 @@ class ParquetKeyedTable:
                 target = self.read(spark)
                 if target is None:
                     return self.current_version()
+                if self.write_mode == "mor":
+                    return self._mor_delete(spark, keys_df)
                 if self.cluster == "range":
                     return self._range_scoped_delete(spark, keys_df)
                 remaining = delete_matching(target, keys_df, self.key_cols)
@@ -2056,6 +2385,16 @@ class ParquetKeyedTable:
         False`` keeps the full-scan plan (the correctness control the
         tests diff against)."""
         to_version = self.current_version() if to_version is None else to_version
+        if prune_files:
+            # merge-on-read versions invalidate rows INSIDE carried-
+            # forward (shared-inode) files, so hard-link identity no
+            # longer implies same-rows — the diff must read the full
+            # merged views. MoR commits on change_feed tables stage CDC
+            # events, so this exact-but-unpruned path is the fallback,
+            # not the hot path.
+            ma, mb = self.manifest(from_version), self.manifest(to_version)
+            if (ma or {}).get("tombstones") or (mb or {}).get("tombstones"):
+                prune_files = False
         if prune_files and from_version >= 0 and to_version >= 0 and (
             os.path.isdir(self._snapshot_dir(from_version))
             and os.path.isdir(self._snapshot_dir(to_version))
@@ -2301,6 +2640,20 @@ class ParquetKeyedTable:
             return None
         files = m["files"]
         small = sum(1 for f in files if f["bytes"] < small_file_bytes)
+        # merge-on-read debt: compact (folding tombstones) when the
+        # dead-row share or the precedence join's union width has grown
+        # past the point where the read tax beats the rewrite cost —
+        # the MoR analogue of Delta's DV-rewrite threshold
+        tombs = m.get("tombstones") or []
+        if tombs:
+            trows = sum(t.get("rows") or 0 for t in tombs)
+            drows = sum(f.get("rows") or 0 for f in files)
+            wv_groups = len({int(f.get("wv", 0)) for f in files})
+            if (
+                (drows and trows > self.MOR_COMPACT_TOMBSTONE_FRACTION * drows)
+                or wv_groups > self.MOR_COMPACT_MAX_WV_GROUPS
+            ):
+                return self.compact(spark, target_file_bytes=target_file_bytes)
         if len(files) <= max_files and small <= small_file_fraction * len(files):
             return None
         return self.compact(spark, target_file_bytes=target_file_bytes)
@@ -2340,13 +2693,16 @@ class ParquetKeyedTable:
         if target is None:
             return self.current_version()
         snap = self._snapshot_dir(self.current_version())
-        size = sum(
-            os.path.getsize(os.path.join(d, f))
-            for d, _, fs in os.walk(snap)
-            if not os.path.basename(d).startswith(("_", "."))
-            for f in fs
-            if not f.startswith(("_", "."))
-        )
+        size = 0
+        for d, dns, fs in os.walk(snap):
+            # prune sidecar trees (_changes, _tombstones) — their bytes
+            # are not data and must not inflate the output file count
+            dns[:] = [x for x in dns if not x.startswith(("_", "."))]
+            size += sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in fs
+                if not f.startswith(("_", "."))
+            )
         n = max(1, math.ceil(size / max(1, target_file_bytes)))
         if zorder_by:
             from bw_new_data_integration_spark.operators.zorder import z_value
