@@ -4785,3 +4785,17 @@ def test_mor_random_lifecycle_property(spark, tmp_path):
         assert ca == cb, seq
 
     run()
+
+
+def test_streaming_dedup_drip_runs_on_rocksdb(spark, tmp_path):
+    """The drip-shape gate pins its provider: it must run on RocksDB
+    (the in-gate assertion fires otherwise) and must RESTORE the
+    session's provider afterwards, so sibling gates keep the default
+    store their shapes are optimal on (VERDICT r10 task 7)."""
+    from bw_new_data_integration_spark.queries import registry
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
+    out = registry()["streaming_dedup_drip"](spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    after = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
+    assert after == prev
