@@ -733,6 +733,14 @@ def streaming_matview_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream's event_ids interleave the whole key range, making every
     # epoch rewrite (and diff) the ENTIRE growing base (the r9 4.3x
     # decade; docs/SCALING.md r10)
+    # write_mode stays COW deliberately: the epochs are DISJOINT
+    # event_id thirds — pure-insert batches that the range-scoped merge
+    # already commits with ZERO rewrites (cdf=all_insert, every file
+    # linked forward), so this lifecycle is O(batch) under COW by
+    # construction. The r11 A/B measured the MoR flip at sf10 as a 25%
+    # REGRESSION here (52.2s -> 65.0s: tombstone machinery bought
+    # nothing; docs/SCALING.md §R11) — MoR is for interleaved UPDATE
+    # churn (k13/k14), not disjoint inserts.
     base = ParquetKeyedTable(
         _os.path.join(base_dir, "base"), ["event_id"], change_feed=True
     )

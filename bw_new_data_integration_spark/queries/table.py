@@ -780,7 +780,14 @@ def k13_pipeline_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
     )
     root = tempfile.mkdtemp(prefix="bw_pmv_")
-    base = ParquetKeyedTable(root + "/base", ["k"])
+    # merge-on-read base (r11): the lifecycle's waves are INTERLEAVED
+    # update churn — under COW every wave rewrote the whole base
+    # (copy-on-write amplification, VERDICT r10 #3); MoR commits
+    # O(batch) and the sf10 lifecycle wall dropped 36% (179.7s ->
+    # 114.7s, docs/SCALING.md §R11). The refresh feed here is the
+    # snapshot diff (no change_feed) — deliberately kept as the
+    # diff-path coverage twin of k14's CDC feed.
+    base = ParquetKeyedTable(root + "/base", ["k"], write_mode="mor")
     roll = ParquetKeyedTable(root + "/roll", ["store_number", "calendar_date"])
     avg = {"avg_qty": "quantity"}
     ratio = {"discount_rate": ("disc", "price")}
@@ -902,7 +909,10 @@ def k14_yaml_pipeline_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = li.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn")
     staged = staging_frame(li, spec)
     root = tempfile.mkdtemp(prefix="bw_ymv_")
-    base = ParquetKeyedTable(root + "/base", ["k"], change_feed=True)
+    # merge-on-read + CDC base (r11): interleaved repricing waves paid
+    # a full-table rewrite per commit under COW; MoR commits O(batch)
+    # (sf10 lifecycle 95.4s -> 82.5s, docs/SCALING.md §R11)
+    base = ParquetKeyedTable(root + "/base", ["k"], change_feed=True, write_mode="mor")
     roll = ParquetKeyedTable(
         root + "/roll", ["calendar_date", "store_number", "offer_code"]
     )

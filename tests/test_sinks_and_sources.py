@@ -4799,3 +4799,23 @@ def test_streaming_dedup_drip_runs_on_rocksdb(spark, tmp_path):
     assert out.count() > 0
     after = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
     assert after == prev
+
+
+def test_mor_strict_upsert_failure_leaves_no_partial_version(spark, tmp_path):
+    """A strict duplicate-key batch on a MoR table raises the contract
+    error and leaves neither a new version nor stray tombstones."""
+    import pytest as _pytest
+
+    t = ParquetKeyedTable(str(tmp_path / "ms"), ["k"], write_mode="mor")
+    t.upsert(spark, spark.createDataFrame([Row(k=1, v=1.0)]))
+    v = t.current_version()
+    dup = spark.createDataFrame([Row(k=2, v=1.0), Row(k=2, v=2.0)])
+    with _pytest.raises(ValueError, match="strict upsert"):
+        t.upsert(spark, dup, strict=True)
+    assert t.current_version() == v
+    assert not os.path.isdir(t._snapshot_dir(v + 1))
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == {(1, 1.0)}
+    # order_by last-write-wins arbitration works on the MoR path too
+    t.upsert(spark, dup.withColumn("ts", F.col("v")), order_by=["ts"])
+    rows = {(r["k"], r["v"]) for r in t.read(spark).select("k", "v").collect()}
+    assert rows == {(1, 1.0), (2, 2.0)}
