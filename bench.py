@@ -140,6 +140,10 @@ OPTIONAL = [
     "k13_pipeline_matview",
     "k14_yaml_pipeline_matview",
     "k15_commit_change_feed",
+    "k16_change_driven_sync",
+    "k17_daily_sales_full_matview",
+    "k18_mor_lifecycle",
+    "streaming_dedup_drip",
 ]
 
 
@@ -253,21 +257,29 @@ def calibration_probe(spark=None, samples: int = 5) -> dict:
     return out
 
 
-def drift_factor(probes: list[dict], ref: dict | None = None) -> float:
+def drift_factor(
+    probes: list[dict],
+    ref: dict | None = None,
+    components: tuple[str, ...] = ("python_spin_ms",),
+) -> float:
     """Geometric-mean speed ratio of the probed host vs CAL_REF, >1 =
     slower box. Averages over the given probes (typically run start +
-    end, so mid-run degradation is split, not ignored). Pure —
-    unit-pinned in tests/test_bench_record.py."""
+    end, so mid-run degradation is split, not ignored).
+
+    Folds ONLY the pure-Python spin by default: the r11 sf1 run showed
+    the Spark probe is contaminated by JVM compile state, not just box
+    speed — after ~50 queries the end-of-run probe read 74 ms vs the
+    150 ms pinned floor (no amount of fresh-JVM warmup reaches the
+    fully-hot state), while the spin component stayed within 10% of its
+    pin. spark_job_ms is still RECORDED in every calibration block as
+    context, just not folded. Pure — unit-pinned in
+    tests/test_bench_record.py."""
     import math
 
     ref = ref or CAL_REF
     ratios: list[float] = []
     for p in probes:
-        parts = [
-            p[k] / ref[k]
-            for k in ("python_spin_ms", "spark_job_ms")
-            if p.get(k) and ref.get(k)
-        ]
+        parts = [p[k] / ref[k] for k in components if p.get(k) and ref.get(k)]
         if parts:
             ratios.append(math.exp(sum(math.log(x) for x in parts) / len(parts)))
     if not ratios:

@@ -1689,7 +1689,12 @@ class ParquetKeyedTable:
                     self.write_mode == "mor"
                     and not evolve_schema
                     and set(target.columns) <= set(source.columns)
+                    and (self.manifest() or {}).get("files")
                 ):
+                    # the manifest guard matters: a MoR commit carries the
+                    # previous snapshot forward BY ITS MANIFEST file list —
+                    # a pre-manifest table (no list) must take the full
+                    # merge below or its history would be silently dropped
                     # merge-on-read: O(batch) commit, no table rewrite.
                     # evolve_schema and narrower sources fall through to
                     # the full COW merge below, which also FOLDS the
@@ -2251,7 +2256,7 @@ class ParquetKeyedTable:
                 target = self.read(spark)
                 if target is None:
                     return self.current_version()
-                if self.write_mode == "mor":
+                if self.write_mode == "mor" and (self.manifest() or {}).get("files"):
                     return self._mor_delete(spark, keys_df)
                 if self.cluster == "range":
                     return self._range_scoped_delete(spark, keys_df)

@@ -96,23 +96,24 @@ def test_drift_factor_geomean_and_average():
     per-component speed ratios vs CAL_REF; missing components are
     skipped; no probes -> 1.0 (VERDICT r10 #1)."""
     ref = {"python_spin_ms": 100.0, "spark_job_ms": 200.0}
-    # 2x slower on both components -> exactly 2.0
+    # default folds ONLY the spin (the spark probe is JVM-compile-state
+    # contaminated; it is recorded, not folded)
     assert bench.drift_factor(
-        [{"python_spin_ms": 200.0, "spark_job_ms": 400.0}], ref
-    ) == 2.0
-    # geometric mean: 1x and 4x -> 2x
-    assert bench.drift_factor(
-        [{"python_spin_ms": 100.0, "spark_job_ms": 800.0}], ref
+        [{"python_spin_ms": 200.0, "spark_job_ms": 9999.0}], ref
     ) == 2.0
     # average over start+end probes: 1x and 3x -> 2x
     assert bench.drift_factor(
         [
-            {"python_spin_ms": 100.0, "spark_job_ms": 200.0},
-            {"python_spin_ms": 300.0, "spark_job_ms": 600.0},
+            {"python_spin_ms": 100.0},
+            {"python_spin_ms": 300.0},
         ],
         ref,
     ) == 2.0
-    # spark component missing (no session): spin-only ratio
+    # opting extra components in: geometric mean, 1x and 4x -> 2x
+    assert bench.drift_factor(
+        [{"python_spin_ms": 100.0, "spark_job_ms": 800.0}], ref,
+        components=("python_spin_ms", "spark_job_ms"),
+    ) == 2.0
     assert bench.drift_factor([{"python_spin_ms": 150.0}], ref) == 1.5
     # degenerate inputs never divide by zero or crash the record
     assert bench.drift_factor([], ref) == 1.0

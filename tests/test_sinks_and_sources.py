@@ -4819,3 +4819,20 @@ def test_mor_strict_upsert_failure_leaves_no_partial_version(spark, tmp_path):
     t.upsert(spark, dup.withColumn("ts", F.col("v")), order_by=["ts"])
     rows = {(r["k"], r["v"]) for r in t.read(spark).select("k", "v").collect()}
     assert rows == {(1, 1.0), (2, 2.0)}
+
+
+def test_mor_premanifest_table_falls_back_to_full_merge(spark, tmp_path):
+    """A table with data but NO manifest (pre-upgrade layout) must not
+    take the MoR link-forward path — there is no file list to carry the
+    history by — and falls back to the full merge, losing nothing."""
+    import shutil
+
+    t = ParquetKeyedTable(str(tmp_path / "pmf"), ["k"], write_mode="mor")
+    t.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i)) for i in range(20)]))
+    os.remove(os.path.join(t._snapshot_dir(0), "_manifest.json"))
+    t.upsert(spark, spark.createDataFrame([Row(k=1, v=-1.0), Row(k=99, v=9.0)]))
+    rows = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert len(rows) == 21 and (1, -1.0) in rows and (99, 9.0) in rows
+    t.delete_keys(spark, spark.createDataFrame([Row(k=2)]))
+    assert t.read(spark).count() == 20
+    shutil.rmtree(str(tmp_path / "pmf"), ignore_errors=True)
