@@ -2047,6 +2047,9 @@ class ParquetKeyedTable:
     #: write-version union grows past MOR_COMPACT_MAX_WV_GROUPS scans.
     MOR_COMPACT_TOMBSTONE_FRACTION = 0.3
     MOR_COMPACT_MAX_WV_GROUPS = 32
+    #: past this many distinct tombstone SETS, maybe_compact folds them
+    #: with compact_tombstones (O(tombstones)) instead of a full rewrite
+    MOR_MINOR_COMPACT_SETS = 16
 
     def _tombstone_dir(self, version: int) -> str:
         return os.path.join(self._snapshot_dir(version), "_tombstones")
@@ -2165,9 +2168,19 @@ class ParquetKeyedTable:
             tdf = spark.read.parquet(
                 *(os.path.join(snap, t["path"]) for t in by_tv[tv])
             )
-            tparts.append(
-                tdf.select(*self.key_cols).withColumn("__tv", F.lit(tv).cast("long"))
-            )
+            if "__tv" in tdf.columns:
+                # a minor-compacted (folded) set carries each key's own
+                # newest tombstone version as a column — the directory
+                # tv is just its write slot
+                tparts.append(
+                    tdf.select(*self.key_cols, F.col("__tv").cast("long"))
+                )
+            else:
+                tparts.append(
+                    tdf.select(*self.key_cols).withColumn(
+                        "__tv", F.lit(tv).cast("long")
+                    )
+                )
         tomb = tparts[0]
         for t in tparts[1:]:
             tomb = tomb.unionByName(t)
@@ -2179,6 +2192,59 @@ class ParquetKeyedTable:
             .where(F.col("__tv").isNull() | (F.col("__tv") <= F.col("__wv")))
             .select(*out_cols)
         )
+
+    def compact_tombstones(self, spark: SparkSession) -> int:
+        """MINOR compaction (the Delta log-compaction analogue for
+        deletion vectors): fold every live tombstone sidecar into ONE
+        per-key-newest set — ``(key cols, __tv = max tombstone version
+        per key)`` — without rewriting a single data file. Only the
+        per-key maximum matters to the precedence join, so the fold is
+        semantics-preserving by construction. O(tombstone bytes), never
+        O(table): this is what bounds the sidecar listing and the
+        join's build side on a long merge-on-read commit chain when a
+        FULL compact (which rewrites the table) isn't due yet. A
+        logical no-op for the change feed."""
+        with self._txn_guard(), self._write_lock():
+            old_v = self.current_version()
+            m = self.manifest(old_v) or {}
+            tombs = m.get("tombstones") or []
+            if len({int(t["tv"]) for t in tombs}) <= 1:
+                return old_v  # nothing to fold
+            snap = self._snapshot_dir(old_v)
+            by_tv: dict[int, list[dict]] = {}
+            for t in tombs:
+                by_tv.setdefault(int(t["tv"]), []).append(t)
+            parts = []
+            for tv in sorted(by_tv):
+                tdf = spark.read.parquet(
+                    *(os.path.join(snap, t["path"]) for t in by_tv[tv])
+                )
+                if "__tv" in tdf.columns:
+                    parts.append(tdf.select(*self.key_cols, F.col("__tv").cast("long")))
+                else:
+                    parts.append(
+                        tdf.select(*self.key_cols).withColumn(
+                            "__tv", F.lit(tv).cast("long")
+                        )
+                    )
+            folded = parts[0]
+            for p in parts[1:]:
+                folded = folded.unionByName(p)
+            folded = folded.groupBy(*self.key_cols).agg(F.max("__tv").alias("__tv"))
+            new_v = old_v + 1
+            os.makedirs(self._snapshot_dir(new_v), exist_ok=True)
+            try:
+                par = spark.sparkContext.defaultParallelism
+            except Exception:
+                par = 32
+            folded.coalesce(max(1, par // 8)).write.mode("overwrite").parquet(
+                os.path.join(self._tombstone_dir(new_v), f"tv={new_v}")
+            )
+            self._link_files(old_v, new_v, [f["path"] for f in m.get("files") or []])
+            self._last_rows_written = 0
+            if self.change_feed:
+                self._last_cdf = "none"  # same live rows: zero change events
+            return self._flip(new_v, "compact_tombstones")
 
     def _mor_upsert(
         self,
@@ -2659,6 +2725,11 @@ class ParquetKeyedTable:
                 or wv_groups > self.MOR_COMPACT_MAX_WV_GROUPS
             ):
                 return self.compact(spark, target_file_bytes=target_file_bytes)
+            if len({int(t["tv"]) for t in tombs}) > self.MOR_MINOR_COMPACT_SETS:
+                # debt is in SIDECAR COUNT, not dead rows: fold the
+                # tombstones (O(tombstones)) instead of rewriting the
+                # table (O(table))
+                return self.compact_tombstones(spark)
         if len(files) <= max_files and small <= small_file_fraction * len(files):
             return None
         return self.compact(spark, target_file_bytes=target_file_bytes)

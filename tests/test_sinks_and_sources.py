@@ -4836,3 +4836,46 @@ def test_mor_premanifest_table_falls_back_to_full_merge(spark, tmp_path):
     t.delete_keys(spark, spark.createDataFrame([Row(k=2)]))
     assert t.read(spark).count() == 20
     shutil.rmtree(str(tmp_path / "pmf"), ignore_errors=True)
+
+
+def test_mor_minor_tombstone_compaction(spark, tmp_path):
+    """compact_tombstones folds N tombstone sidecars into one per-key-
+    newest set WITHOUT rewriting any data file; visibility (including
+    re-insert-after-delete precedence) is bit-identical before and
+    after, and the change feed sees a logical no-op."""
+    t = ParquetKeyedTable(str(tmp_path / "mt"), ["k"], write_mode="mor", change_feed=True)
+    t.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i)) for i in range(40)]))
+    # five churn commits -> five tombstone sets; k=3 deleted then
+    # re-inserted (per-key max-tv precedence must survive the fold)
+    t.upsert(spark, spark.createDataFrame([Row(k=i, v=-1.0) for i in range(0, 40, 4)]))
+    t.delete_keys(spark, spark.createDataFrame([Row(k=3), Row(k=5)]))
+    t.upsert(spark, spark.createDataFrame([Row(k=3, v=333.0)]))
+    t.upsert(spark, spark.createDataFrame([Row(k=8, v=88.0), Row(k=100, v=1.0)]))
+    m = t.manifest()
+    n_sets = len({int(x["tv"]) for x in m["tombstones"]})
+    assert n_sets == 4
+    before = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    data_files = {f["path"] for f in m["files"]}
+    v = t.compact_tombstones(spark)
+    m2 = t.manifest(v)
+    assert m2["operation"] == "compact_tombstones"
+    assert {f["path"] for f in m2["files"]} == data_files  # zero data rewrites
+    assert all(f["linked"] for f in m2["files"])
+    assert len({int(x["tv"]) for x in m2["tombstones"]}) == 1
+    after = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert after == before
+    assert (3, 333.0) in after and not any(k == 5 for k, _ in after)
+    # logical no-op for the feed
+    ev = t.commit_changes(spark, v - 1, v)
+    assert ev.count() == 0
+    # a LATER delete still supersedes the folded set
+    t.delete_keys(spark, spark.createDataFrame([Row(k=3)]))
+    assert not any(r["k"] == 3 for r in t.read(spark).collect())
+    # maybe_compact prefers the fold when only set-count debt exists
+    t2 = ParquetKeyedTable(str(tmp_path / "mt2"), ["k"], write_mode="mor")
+    t2.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i)) for i in range(1000)]))
+    for j in range(t2.MOR_MINOR_COMPACT_SETS + 1):
+        t2.upsert(spark, spark.createDataFrame([Row(k=j, v=-float(j))]))
+    nv = t2.maybe_compact(spark, max_files=10_000, small_file_bytes=0)
+    assert nv is not None and t2.manifest(nv)["operation"] == "compact_tombstones"
+    assert t2.read(spark).count() == 1000
