@@ -45,12 +45,15 @@ _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 
 class CleanRoomSnapshot:
     def __init__(self, table_root: str, version: int, protocol: dict,
-                 metadata: dict, live_adds: dict[str, dict]):
+                 metadata: dict, live_adds: dict[str, dict],
+                 txns: dict[str, int] | None = None):
         self.table_root = table_root
         self.version = version
         self.protocol = protocol
         self.metadata = metadata
         self.live_adds = live_adds  # encoded path -> add action
+        # SetTransaction reconciliation (spec: latest txn per appId)
+        self.txns = txns or {}
 
     @property
     def schema_fields(self) -> dict[str, str]:
@@ -135,6 +138,9 @@ def _apply_action(action: dict, state: dict) -> None:
     r = action.get("remove")
     if r is not None:
         state["live"].pop(r["path"], None)
+    t = action.get("txn")
+    if t is not None:
+        state["txns"][t["appId"]] = int(t["version"])
 
 
 def load_snapshot(table_root: str, version: int | None = None) -> CleanRoomSnapshot:
@@ -164,7 +170,7 @@ def load_snapshot(table_root: str, version: int | None = None) -> CleanRoomSnaps
             if hint not in ckpts:
                 raise ValueError(f"_last_checkpoint names missing version {hint}")
 
-    state = {"protocol": None, "metadata": None, "live": {}}
+    state = {"protocol": None, "metadata": None, "live": {}, "txns": {}}
     usable = [cv for cv in ckpts if cv <= version]
     start = 0
     if usable:
@@ -191,5 +197,6 @@ def load_snapshot(table_root: str, version: int | None = None) -> CleanRoomSnaps
     if state["protocol"]["minReaderVersion"] > 1:
         raise ValueError("table requires a newer reader per its protocol action")
     return CleanRoomSnapshot(
-        table_root, version, state["protocol"], state["metadata"], state["live"]
+        table_root, version, state["protocol"], state["metadata"], state["live"],
+        txns=state["txns"],
     )

