@@ -144,6 +144,8 @@ OPTIONAL = [
     "k17_daily_sales_full_matview",
     "k18_mor_lifecycle",
     "streaming_dedup_drip",
+    "k19_mor_partitioned_lifecycle",
+    "k20_delta_export_purge",
 ]
 
 

@@ -1468,3 +1468,283 @@ def k18_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(folded).alias("tombstones_folded"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K19 — merge-on-read × PARTITIONED table (VERDICT r11 gap #1): the
+# same O(batch) tombstone write path on a hive-partitioned landing
+# table, including a partition-MOVING update (the key's old row lives
+# in another directory — the key tombstone kills it wherever it is,
+# which a directory-scoped merge cannot express). mor_rewrites proves
+# the churn commits linked every previous data file forward.
+# ---------------------------------------------------------------------------
+@register(
+    "k19_mor_partitioned_lifecycle",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 7 = 3
+),
+s0 AS (SELECT * FROM src WHERE k % 3 <> 1),
+s1 AS (  -- update wave (every 3rd key) + inserts
+  SELECT k, CASE WHEN k % 3 = 0 THEN price * 2 ELSE price END AS price, prio
+  FROM s0
+  UNION ALL SELECT k, price, prio FROM src WHERE k % 3 = 1
+),
+s2 AS (SELECT * FROM s1 WHERE k % 5 <> 2),  -- delete wave
+s3 AS (  -- partition-moving update: surviving k%9=7 rows change prio
+  SELECT k, price,
+         CASE WHEN k % 9 = 7 THEN 'MOVED' ELSE prio END AS prio
+  FROM s2
+)
+SELECT prio,
+       CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows,
+       0 AS mor_rewrites,
+       TRUE AS tombstones_folded
+FROM s3 GROUP BY prio
+""",
+)
+def k19_mor_partitioned_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned merge-on-read lifecycle: churn + delete + partition-moving update with ZERO file rewrites, folded by compaction."""
+    import tempfile
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    tune_for_oracle_parity(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 3)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+    t = ParquetKeyedTable(
+        tempfile.mkdtemp(prefix="bw_morp_") + "/t",
+        ["k"],
+        partition_by=["prio"],
+        write_mode="mor",
+    )
+    k = F.col("k")
+    s0 = src.where(k % 3 != 1)
+    t.upsert(spark, s0)  # v0 initial load, hive-partitioned by prio
+    wave = (
+        s0.where(k % 3 == 0)
+        .withColumn("price", F.col("price") * 2)
+        .unionByName(src.where(k % 3 == 1))
+        .localCheckpoint(eager=True)
+    )
+    t.upsert(spark, wave, source_rows=wave.count())  # v1: cross-partition churn
+    t.delete_keys(
+        spark, src.where(k % 5 == 2).select("k").localCheckpoint(eager=True)
+    )  # v2: tombstone-only delete
+    s1 = wave.unionByName(s0.where((k % 3 != 0))).dropDuplicates(["k"])
+    move = (
+        s1.where((k % 5 != 2) & (k % 9 == 7))
+        .withColumn("prio", F.lit("MOVED"))
+        .localCheckpoint(eager=True)
+    )
+    t.upsert(spark, move, source_rows=move.count())  # v3: partition-moving update
+    rewrites = 0
+    for v in range(1, t.current_version() + 1):
+        m = t.manifest(v)
+        prev = t.manifest(v - 1)
+        carried = sum(1 for f in m["files"] if f["linked"])
+        rewrites += prev["n_files"] - carried
+    assert t.manifest()["tombstones"], "lifecycle must have live tombstones"
+    t.compact(spark)
+    folded = t.manifest()["tombstones"] == []
+    return (
+        t.read(spark)
+        .groupBy("prio")
+        .agg(
+            F.sum(F.col("price").cast("decimal(27,6)")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "prio", "sum_price", "n_rows",
+            F.lit(rewrites).cast("int").alias("mor_rewrites"),
+            F.lit(folded).alias("tombstones_folded"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K20 — Delta-log export of a merge-on-read table (VERDICT r11 gap #2):
+# purge=True is REORG TABLE ... APPLY (PURGE) parity — the dirty
+# current version is compacted (tombstones folded), the tombstoned
+# history is truncated out of the log exactly like vacuumed versions
+# (checkpoint makes the truncated log well-formed), and the gate then
+# REPLAYS the exported log (public-protocol JSON actions, parsed
+# driver-side) and serves the aggregate from the replayed file set —
+# proving an external Delta reader sees exactly the live rows.
+# ---------------------------------------------------------------------------
+@register(
+    "k20_delta_export_purge",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 7 = 1
+),
+s1 AS (
+  SELECT k, CASE WHEN k % 4 = 0 THEN price * 3 ELSE price END AS price, prio
+  FROM src
+),
+s2 AS (SELECT * FROM s1 WHERE k % 6 <> 3)
+SELECT prio,
+       CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows,
+       TRUE AS tombstones_folded,
+       TRUE AS log_truncated
+FROM s2 GROUP BY prio
+""",
+)
+def k20_delta_export_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR table exported to a Delta log via purge (REORG APPLY PURGE parity); the aggregate is served from the REPLAYED log."""
+    import json as _json
+    import os as _os
+    import tempfile
+    from urllib.parse import unquote as _unq
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    tune_for_oracle_parity(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 1)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+    t = ParquetKeyedTable(tempfile.mkdtemp(prefix="bw_dxp_") + "/t", ["k"], write_mode="mor")
+    t.upsert(spark, src)  # v0
+    wave = (
+        src.where(F.col("k") % 4 == 0)
+        .withColumn("price", F.col("price") * 3)
+        .localCheckpoint(eager=True)
+    )
+    t.upsert(spark, wave, source_rows=wave.count())  # v1: tombstones
+    t.delete_keys(
+        spark, src.where(F.col("k") % 6 == 3).select("k").localCheckpoint(eager=True)
+    )  # v2: tombstones
+    log_dir = t.export_delta_log(spark, purge=True)  # compacts to v3, exports
+    folded = t.manifest()["tombstones"] == []
+    deltas = sorted(f for f in _os.listdir(log_dir) if f.endswith(".json"))
+    # tombstoned v0-v2 are truncated out, like vacuumed versions
+    truncated = bool(deltas) and all(int(d.split(".")[0]) > 2 for d in deltas)
+    # replay the log (full-rewrite mapping: the latest delta's adds ARE
+    # the live set; earlier versions were removed by its remove actions)
+    adds: dict[str, dict] = {}
+    for d in deltas:
+        with open(_os.path.join(log_dir, d)) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "add" in a:
+                    adds[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    adds.pop(a["remove"]["path"], None)
+    paths = [
+        _os.path.join(t.path, "/".join(_unq(s) for s in p.split("/")))
+        for p in sorted(adds)
+    ]
+    replayed = spark.read.parquet(*paths)
+    return (
+        replayed.groupBy("prio")
+        .agg(
+            F.sum(F.col("price").cast("decimal(27,6)")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "prio", "sum_price", "n_rows",
+            F.lit(folded).alias("tombstones_folded"),
+            F.lit(truncated).alias("log_truncated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K21 — mor→cow flip with LIVE tombstones (ADVICE r11 #1 regression
+# gate): the first cow mutation after the flip must fold the tombstones
+# via the full merge, never resurrect dead rows through a range-scoped
+# commit. The value hash IS the resurrection check — a resurrected row
+# changes sum_price/n_rows.
+# ---------------------------------------------------------------------------
+@register(
+    "k21_mor_cow_flip",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 7 = 6
+),
+s1 AS (
+  SELECT k, CASE WHEN k % 3 = 0 THEN price * 2 ELSE price END AS price, prio
+  FROM src
+),
+s2 AS (SELECT * FROM s1 WHERE k % 5 <> 1),
+s3 AS (SELECT * FROM s2 UNION ALL SELECT 0 AS k, 0.5 AS price, 'FLIP' AS prio)
+SELECT prio,
+       CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows,
+       TRUE AS tombstones_folded
+FROM s3 GROUP BY prio
+""",
+)
+def k21_mor_cow_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mor→cow flip with live tombstones: the first cow mutation folds them — dead rows stay dead (ADVICE r11 #1)."""
+    import tempfile
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    tune_for_oracle_parity(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 6)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="bw_flip_") + "/t"
+    t = ParquetKeyedTable(root, ["k"], write_mode="mor")
+    t.upsert(spark, src)  # v0
+    # fragment the layout so the (buggy) range-scoped path would be the
+    # tempting plan after the flip
+    t.compact(spark, target_file_bytes=max(1, t.manifest()["total_bytes"] // 8))
+    wave = (
+        src.where(F.col("k") % 3 == 0)
+        .withColumn("price", F.col("price") * 2)
+        .localCheckpoint(eager=True)
+    )
+    t.upsert(spark, wave, source_rows=wave.count())  # tombstones
+    t.delete_keys(
+        spark, src.where(F.col("k") % 5 == 1).select("k").localCheckpoint(eager=True)
+    )  # more tombstones
+    assert t.manifest()["tombstones"], "flip must happen with live tombstones"
+    # reopen as copy-on-write and mutate: a single-key insert — exactly
+    # the batch shape a range-scoped merge would have taken
+    t2 = ParquetKeyedTable(root, ["k"], write_mode="cow")
+    t2.upsert(
+        spark,
+        spark.createDataFrame([(0, 0.5, "FLIP")], "k long, price double, prio string"),
+    )
+    folded = t2.manifest()["tombstones"] == []
+    return (
+        t2.read(spark)
+        .groupBy("prio")
+        .agg(
+            F.sum(F.col("price").cast("decimal(27,6)")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "prio", "sum_price", "n_rows",
+            F.lit(folded).alias("tombstones_folded"),
+        )
+    )
