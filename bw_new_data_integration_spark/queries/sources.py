@@ -966,3 +966,113 @@ def s14_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.unionByName(corrupt)
+
+
+# ---------------------------------------------------------------------------
+# S15 — Delta-table IMPORT (sources/delta_import.py): read a FOREIGN
+# Delta table — flat part files, partition values recorded only in the
+# transaction log (a real Delta writer never stores partition columns
+# in the parquet), a v1 repair commit that remove+adds one partition's
+# file. The gate builds the foreign table from orders, replays the log
+# through the product import path, and serves the aggregate from the
+# imported frame; the oracle reconstructs the same final state from
+# the raw rows. Beyond the reference inventory (its sources are
+# cube/CSV/OData — modules/get_data.py); at 100 TB this is the "an
+# upstream team hands you a Delta table" connector.
+# ---------------------------------------------------------------------------
+@register(
+    "s15_delta_import",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 7 = 4
+),
+final AS (  -- v1 repaired the '1-URGENT' partition: price doubled
+  SELECT k, CASE WHEN prio = '1-URGENT' THEN price * 2 ELSE price END AS price,
+         prio
+  FROM src
+)
+SELECT prio,
+       CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows
+FROM final GROUP BY prio
+""",
+)
+def s15_delta_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign Delta table import: log replay (flat files, partitionValues in the log, repair commit), served through read_delta."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from bw_new_data_integration_spark.sources.delta_import import read_delta
+
+    tune_for_oracle_parity(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 4)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="bw_dimp_") + "/t"
+    log_dir = _os.path.join(root, "_delta_log")
+    _os.makedirs(log_dir)
+    schema_json = src.schema.json()
+
+    def stage_partition(df, name):
+        """Write one partition's rows as ONE flat foreign-layout file
+        (partition column dropped — it lives only in the log)."""
+        staging = root + f"__stage_{name}"
+        df.drop("prio").coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in sorted(_os.listdir(staging))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        _os.replace(_os.path.join(staging, part), _os.path.join(root, name))
+        _shutil.rmtree(staging, ignore_errors=True)
+        return {
+            "path": name,
+            "size": _os.path.getsize(_os.path.join(root, name)),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+
+    prios = [r["prio"] for r in src.select("prio").distinct().collect()]
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "foreign-orders", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json, "partitionColumns": ["prio"],
+            "configuration": {}, "createdTime": 0,
+        }},
+    ]
+    for i, pv in enumerate(sorted(prios)):
+        add = stage_partition(src.where(F.col("prio") == pv), f"part-{i:05d}.parquet")
+        add["partitionValues"] = {"prio": pv}
+        actions.append({"add": add})
+    with open(_os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+    # v1: upstream repairs the 1-URGENT partition (price doubled)
+    urgent_idx = sorted(prios).index("1-URGENT")
+    repaired = stage_partition(
+        src.where(F.col("prio") == "1-URGENT").withColumn("price", F.col("price") * 2),
+        "part-v1-00000.parquet",
+    )
+    repaired["partitionValues"] = {"prio": "1-URGENT"}
+    v1 = [
+        {"remove": {"path": f"part-{urgent_idx:05d}.parquet", "dataChange": True}},
+        {"add": repaired},
+    ]
+    with open(_os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        for a in v1:
+            fh.write(_json.dumps(a) + "\n")
+    imported = read_delta(spark, root)
+    return imported.groupBy("prio").agg(
+        F.sum(F.col("price").cast("decimal(27,6)")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -5116,3 +5116,157 @@ def test_mor_partition_moving_update(spark, tmp_path):
     ev = t.commit_changes(spark, 0)
     kinds = {r["_change_type"] for r in ev.where("k = 1").collect()}
     assert kinds == {"update_preimage", "update_postimage"}
+
+
+# -- Delta-table IMPORT (sources/delta_import.py) ----------------------------
+
+
+def _foreign_delta_table(spark, root, rows_v0, rows_v1_replaced=None,
+                         part_col="p", protocol=None):
+    """Hand-craft a FOREIGN-layout Delta table: flat part files (no hive
+    dirs, partition column NOT in the files — exactly what a real Delta
+    writer produces), partitionValues only in the log."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    schema_json = spark.createDataFrame(rows_v0).schema.json()
+
+    def write_file(name, rows):
+        data = [{k: v for k, v in r.asDict().items() if k != part_col} for r in rows]
+        _pq.write_table(_pa.Table.from_pylist(data), os.path.join(root, name))
+        return name
+
+    by_p = {}
+    for r in rows_v0:
+        by_p.setdefault(r[part_col], []).append(r)
+    actions = [
+        {"protocol": protocol or {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "foreign", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json, "partitionColumns": [part_col],
+            "configuration": {}, "createdTime": 0,
+        }},
+    ]
+    v0_files = {}
+    for i, (pv, rows) in enumerate(sorted(by_p.items(), key=lambda kv: str(kv[0]))):
+        # a space in the name exercises percent-encoding round-trip
+        name = write_file(f"part 0000{i}.parquet", rows)
+        v0_files[pv] = name.replace(" ", "%20")
+        actions.append({"add": {
+            "path": name.replace(" ", "%20"),
+            "partitionValues": {part_col: None if pv is None else str(pv)},
+            "size": os.path.getsize(os.path.join(root, name)),
+            "modificationTime": 0, "dataChange": True,
+        }})
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+    if rows_v1_replaced is not None:
+        pv, rows = rows_v1_replaced
+        name = write_file("part-v1-00000.parquet", rows)
+        acts = [
+            {"remove": {"path": v0_files[pv], "dataChange": True}},
+            {"add": {
+                "path": name,
+                "partitionValues": {part_col: None if pv is None else str(pv)},
+                "size": os.path.getsize(os.path.join(root, name)),
+                "modificationTime": 1, "dataChange": True,
+            }},
+            {"txn": {"appId": "upstream", "version": 41, "lastUpdated": 1}},
+        ]
+        with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as fh:
+            for a in acts:
+                fh.write(_json.dumps(a) + "\n")
+    return root
+
+
+def test_delta_import_foreign_layout(spark, tmp_path):
+    """Flat files, partition values ONLY in the log (incl. the null
+    partition), percent-encoded paths, add/remove reconciliation,
+    VERSION AS OF, and the SetTransaction surface."""
+    from bw_new_data_integration_spark.sources import delta_import as di
+
+    rows = [Row(p="a", k=1, v=1.0), Row(p="a", k=2, v=2.0),
+            Row(p="b", k=3, v=3.0), Row(p=None, k=4, v=4.0)]
+    repl = ("a", [Row(p="a", k=1, v=-1.0)])  # v1 rewrites partition a
+    root = _foreign_delta_table(spark, str(tmp_path / "ft"), rows, repl)
+    got = {(r["p"], r["k"], r["v"]) for r in di.read_delta(spark, root).collect()}
+    assert got == {("a", 1, -1.0), ("b", 3, 3.0), (None, 4, 4.0)}
+    got0 = {(r["p"], r["k"], r["v"]) for r in di.read_delta(spark, root, version=0).collect()}
+    assert got0 == {("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0), (None, 4, 4.0)}
+    assert di.delta_last_txn(root, "upstream") == 41
+    assert di.delta_last_txn(root, "upstream", version=0) is None
+    # typed partition column (string here), schema order preserved
+    df = di.read_delta(spark, root)
+    assert df.columns == ["p", "k", "v"]
+    # column projection still attaches partition literals
+    got_kp = {(r["k"], r["p"]) for r in di.read_delta(spark, root, columns=["p", "k"]).collect()}
+    assert got_kp == {(1, "a"), (3, "b"), (4, None)}
+
+
+def test_delta_import_partition_pruning_and_typed_values(spark, tmp_path):
+    """partition_predicate drops whole partition groups before any file
+    enters the plan; an integer partition column round-trips typed."""
+    from bw_new_data_integration_spark.sources import delta_import as di
+
+    rows = [Row(p=i % 3, k=i, v=float(i)) for i in range(30)]
+    root = _foreign_delta_table(spark, str(tmp_path / "ip"), rows)
+    full = di.read_delta(spark, root)
+    assert dict(full.dtypes)["p"] == "bigint"
+    pruned = di.read_delta(
+        spark, root, partition_predicate=lambda pv: pv["p"] == "1"
+    )
+    assert len(set(pruned.inputFiles())) < len(set(full.inputFiles()))
+    got = {(r["p"], r["k"]) for r in pruned.collect()}
+    assert got == {(1, i) for i in range(30) if i % 3 == 1}
+    # fully pruned -> empty frame with the table schema
+    empty = di.read_delta(spark, root, partition_predicate=lambda pv: False)
+    assert empty.count() == 0 and empty.columns == ["p", "k", "v"]
+
+
+def test_delta_import_refuses_unsupported_protocol_and_gaps(spark, tmp_path):
+    from bw_new_data_integration_spark.sources import delta_import as di
+
+    rows = [Row(p="a", k=1, v=1.0)]
+    root = _foreign_delta_table(
+        spark, str(tmp_path / "rp"), rows,
+        protocol={"minReaderVersion": 3, "minWriterVersion": 7,
+                  "readerFeatures": ["deletionVectors"]},
+    )
+    with pytest.raises(ValueError, match="deletionVectors"):
+        di.read_delta(spark, root)
+    root2 = _foreign_delta_table(spark, str(tmp_path / "gap"), rows)
+    os.rename(
+        os.path.join(root2, "_delta_log", f"{0:020d}.json"),
+        os.path.join(root2, "_delta_log", f"{2:020d}.json"),
+    )
+    with pytest.raises(ValueError, match="starts at version 0"):
+        di.read_delta(spark, root2)
+
+
+def test_delta_import_roundtrips_own_export(spark, tmp_path):
+    """Interop closure: a table exported by export_delta_log reads back
+    identically through the import path at every exported version —
+    including a vacuum-truncated log served from its checkpoint."""
+    from bw_new_data_integration_spark.sources import delta_import as di
+
+    t = ParquetKeyedTable(
+        str(tmp_path / "rt"), ["part", "k"], partition_by=["part"]
+    )
+    t.overwrite(spark.createDataFrame(
+        [Row(part=f"p{i % 3}", k=i, v=float(i)) for i in range(30)]
+    ))
+    t.upsert(spark, spark.createDataFrame([Row(part="p1", k=1, v=-1.0)]))
+    t.upsert(spark, spark.createDataFrame([Row(part="p9", k=90, v=9.0)]))
+    t.export_delta_log(spark)
+    for v in range(t.current_version() + 1):
+        a = {tuple(r) for r in di.read_delta(spark, t.path, version=v).select("part", "k", "v").collect()}
+        b = {tuple(r) for r in t.read(spark, v).select("part", "k", "v").collect()}
+        assert a == b, f"version {v}"
+    t.vacuum(keep_last=1)
+    t.export_delta_log(spark)
+    a = {tuple(r) for r in di.read_delta(spark, t.path).select("part", "k", "v").collect()}
+    assert a == b
