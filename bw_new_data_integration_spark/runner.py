@@ -312,6 +312,15 @@ def run_one(spark, specs, name, args) -> dict:
         df = plans.build_plan(
             src, dataclasses.replace(spec, aggregate=None), audit_ts=True
         )
+    elif getattr(args, "from_delta", None):
+        # the pipeline's source table is an EXTERNAL Delta table
+        # (written by a real Delta writer, read via log replay); the
+        # normal slicer/aggregate plan applies unchanged on top
+        from bw_new_data_integration_spark.sources.delta_import import read_delta
+
+        path, _, v = args.from_delta.partition("@")
+        src = read_delta(spark, path, version=int(v) if v else None)
+        df = plans.build_plan(src, spec, slicer=build_slicer(spec, args), audit_ts=True)
     else:
         src = catalog.load(spark, args.sf_dir, spec.source_table)
         df = plans.build_plan(src, spec, slicer=build_slicer(spec, args), audit_ts=True)
@@ -432,6 +441,13 @@ def main(argv=None) -> int:
         help="fetch the source from the XMLA endpoint (source.mdx + "
         "source.hierarchies in pipelines.yaml) instead of the parquet "
         "fixture — the reference's production topology",
+    )
+    ap.add_argument(
+        "--from-delta",
+        metavar="PATH[@VERSION]",
+        help="read the pipeline's source from an external Delta table "
+        "(transaction-log replay via sources/delta_import) instead of "
+        "the parquet fixture; @VERSION time-travels",
     )
     ap.add_argument("--xmla-server", help="cube server base URL (https://host[/xmla/default])")
     ap.add_argument("--xmla-user")

@@ -5270,3 +5270,42 @@ def test_delta_import_roundtrips_own_export(spark, tmp_path):
     t.export_delta_log(spark)
     a = {tuple(r) for r in di.read_delta(spark, t.path).select("part", "k", "v").collect()}
     assert a == b
+
+
+def test_runner_from_delta_source(spark, tmp_path, capsys):
+    """--from-delta: the pipeline's source table arrives as an external
+    Delta table (log replay) instead of a parquet fixture — the plan,
+    slicers, and target merge run unchanged, and the result table is
+    bit-identical to the parquet-sourced run. @VERSION time-travels."""
+    from bw_new_data_integration_spark import catalog, runner
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    # stage lineitem as a keyed table and export its delta log (v0 full,
+    # v1 adds rows the parquet fixture does NOT have)
+    li = catalog.load(spark, "/root/testdata/sf0.001", "lineitem")
+    src_t = ParquetKeyedTable(
+        str(tmp_path / "li_delta"), ["l_orderkey", "l_linenumber"], cluster="none"
+    )
+    src_t.overwrite(li)  # v0 == the fixture
+    extra = li.limit(1).withColumn("l_orderkey", F.lit(999_999_999).cast("long"))
+    src_t.upsert(spark, extra.localCheckpoint(eager=True))  # v1 = fixture + 1 row
+    src_t.export_delta_log(spark)
+
+    base = ["--query", "daily_sales", "--sf-dir", "/root/testdata/sf0.001"]
+    assert runner.main(base + ["--target-root", str(tmp_path / "tp")]) == 0
+    assert runner.main(
+        base + ["--target-root", str(tmp_path / "td"),
+                "--from-delta", f"{src_t.path}@0"]
+    ) == 0
+    tp = ParquetKeyedTable(str(tmp_path / "tp" / "target_daily_sales"), ["business_key"])
+    td = ParquetKeyedTable(str(tmp_path / "td" / "target_daily_sales"), ["business_key"])
+    a = {tuple(r) for r in tp.read(spark).drop("last_refreshed").collect()}
+    b = {tuple(r) for r in td.read(spark).drop("last_refreshed").collect()}
+    assert a == b and a
+    # latest version sees the extra row -> one more business key group
+    assert runner.main(
+        base + ["--target-root", str(tmp_path / "td1"),
+                "--from-delta", src_t.path, "--dry-run"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "'rows_out':" in out
