@@ -5309,3 +5309,52 @@ def test_runner_from_delta_source(spark, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "'rows_out':" in out
+
+
+def test_delta_import_increment_append_only(spark, tmp_path):
+    """Incremental consumption of an append-only foreign Delta table:
+    versions' new adds ARE the increment; rewriting versions refuse
+    (no file-level increment exists); dataChange:false compaction adds
+    are skipped, not re-served."""
+    import json as _json
+
+    from bw_new_data_integration_spark.sources import delta_import as di
+
+    rows = [Row(p="a", k=1, v=1.0), Row(p="b", k=2, v=2.0)]
+    root = _foreign_delta_table(spark, str(tmp_path / "inc"), rows)
+
+    def append_version(v, name, rows, pv, data_change=True):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        data = [{k: x for k, x in r.asDict().items() if k != "p"} for r in rows]
+        _pq.write_table(_pa.Table.from_pylist(data), os.path.join(root, name))
+        with open(os.path.join(root, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            fh.write(_json.dumps({"add": {
+                "path": name, "partitionValues": {"p": pv},
+                "size": os.path.getsize(os.path.join(root, name)),
+                "modificationTime": v, "dataChange": data_change,
+            }}) + "\n")
+
+    append_version(1, "part-a1.parquet", [Row(p="a", k=10, v=10.0)], "a")
+    append_version(2, "part-c0.parquet", [Row(p="c", k=20, v=20.0)], "c")
+    inc = di.read_delta_increment(spark, root, from_version=0)
+    got = {(r["p"], r["k"], r["v"], r["_commit_version"]) for r in inc.collect()}
+    assert got == {("a", 10, 10.0, 1), ("c", 20, 20.0, 2)}
+    # partial range
+    inc1 = di.read_delta_increment(spark, root, 1, 2)
+    assert {(r["k"], r["_commit_version"]) for r in inc1.collect()} == {(20, 2)}
+    # empty range -> empty frame with schema + _commit_version
+    empty = di.read_delta_increment(spark, root, 2)
+    assert empty.count() == 0 and "_commit_version" in empty.columns
+    # dataChange:false (honest compaction) is skipped
+    append_version(3, "part-compact.parquet", [Row(p="a", k=1, v=1.0)], "a",
+                   data_change=False)
+    assert di.read_delta_increment(spark, root, 2).count() == 0
+    # a rewriting version refuses
+    with open(os.path.join(root, "_delta_log", f"{4:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"remove": {"path": "part-a1.parquet", "dataChange": True}}) + "\n")
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        di.read_delta_increment(spark, root, 0)
+    # ...but the range BEFORE the rewrite still serves
+    assert di.read_delta_increment(spark, root, 0, 2).count() == 2
