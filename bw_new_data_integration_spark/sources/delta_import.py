@@ -179,6 +179,78 @@ def load_delta_snapshot(root: str, version: int | None = None) -> DeltaSnapshot:
     )
 
 
+def _stat_range_match(mn, mx, op, v) -> bool:
+    """True unless the [mn, mx] interval PROVABLY excludes every value
+    the predicate accepts. Delta stats serialize dates/timestamps as
+    ISO strings (which order correctly as strings), numbers as JSON
+    numbers; incomparable pairs keep the file (the residual filter
+    restores exactness)."""
+    import datetime
+
+    def norm(x):
+        if isinstance(x, (datetime.datetime, datetime.date)):
+            return x.isoformat()
+        return x
+
+    mn, mx = norm(mn), norm(mx)
+    try:
+        if op == "=":
+            return mn <= norm(v) <= mx
+        if op == "<":
+            return mn < norm(v)
+        if op == "<=":
+            return mn <= norm(v)
+        if op == ">":
+            return mx > norm(v)
+        if op == ">=":
+            return mx >= norm(v)
+        if op == "between":
+            lo, hi = norm(v[0]), norm(v[1])
+            return mx >= lo and mn <= hi
+        if op == "in":
+            return any(mn <= norm(x) <= mx for x in v)
+    except TypeError:
+        return True
+    return True
+
+
+def _add_may_match(add: dict, predicates, part_values: dict) -> bool:
+    """File-level skipping verdict for one ``add`` action: False only
+    when a conjunct provably matches no row — via the log's partition
+    value or the add's ``stats`` JSON (numRecords / minValues /
+    maxValues / nullCount, the same stats export_delta_log writes).
+    Missing stats always keep the file."""
+    from bw_new_data_integration_spark.sources.parquet_target import (
+        _partition_may_match,
+    )
+
+    stats = None
+    raw = add.get("stats")
+    if raw:
+        try:
+            stats = json.loads(raw) if isinstance(raw, str) else dict(raw)
+        except (ValueError, TypeError):
+            stats = None
+    for col, op, v in predicates:
+        if col in part_values:
+            if not _partition_may_match(part_values[col], op, v):
+                return False
+            continue
+        if not stats:
+            continue
+        n = stats.get("numRecords")
+        nc = (stats.get("nullCount") or {}).get(col)
+        if n is not None and nc == n and n > 0:
+            return False  # column is all-null in this file; ops are null-rejecting
+        mn = (stats.get("minValues") or {}).get(col)
+        mx = (stats.get("maxValues") or {}).get(col)
+        if mn is None or mx is None:
+            continue
+        if not _stat_range_match(mn, mx, op, v):
+            return False
+    return True
+
+
 def _partition_literal(raw: str | None, dtype):
     """Deserialize one ``partitionValues`` string per the spec's
     partition-value serialization rules into a typed literal column."""
@@ -196,7 +268,9 @@ def read_delta(
     version: int | None = None,
     partition_predicate: Callable[[dict[str, str | None]], bool] | None = None,
     columns: Sequence[str] | None = None,
-) -> DataFrame:
+    predicates: Sequence[tuple] | None = None,
+    with_report: bool = False,
+):
     """Read an external Delta table as a DataFrame.
 
     ``version`` — time travel (``VERSION AS OF``), default latest.
@@ -208,6 +282,15 @@ def read_delta(
     hint only: apply the exact row filter on the returned frame too.
     ``columns`` — optional projection (data columns pruned at the
     parquet scan; partition columns are literals either way).
+    ``predicates`` — conjunction of ``(col, op, value)`` with op in
+    ``= < <= > >= between in`` (the same algebra as
+    ``ParquetKeyedTable.read_where``): files whose log partition value
+    or ``add.stats`` min/max PROVABLY exclude every row are dropped
+    driver-side, and the same predicates are applied as an exact Spark
+    filter — pruning changes the plan, never the answer. This is the
+    import-side twin of the data skipping export_delta_log ships in
+    ``add.stats``. ``with_report=True`` returns ``(df, {"files_total",
+    "files_read", "files_skipped"})``.
 
     Files are grouped by their partition tuple; each group is one
     ``spark.read.parquet`` with the partition columns attached as
@@ -224,34 +307,53 @@ def read_delta(
         if unknown:
             raise ValueError(f"unknown columns: {sorted(unknown)}")
         out_cols = [c for c in out_cols if c in set(columns)]
+        if predicates:
+            dropped = {p[0] for p in predicates} - set(out_cols)
+            if dropped:
+                raise ValueError(
+                    f"predicates reference projected-away columns: {sorted(dropped)}"
+                )
     # the scan contract is the FULL data schema (partition columns are
     # never in the files, per the protocol); Catalyst prunes ReadSchema
     # down to the projected columns regardless
     read_schema = StructType(data_fields)
     by_part: dict[tuple, list[str]] = {}
     raw_by_part: dict[tuple, dict[str, str | None]] = {}
+    report = {"files_total": len(snap.live_adds), "files_read": 0, "files_skipped": 0}
     for enc, add in snap.live_adds.items():
         pv = add.get("partitionValues") or {}
         if not isinstance(pv, dict):  # pyarrow map columns round-trip as pairs
             pv = dict(pv)
+        raw = {c: pv.get(c) for c in part_cols}
+        if predicates and not _add_may_match(add, predicates, raw):
+            report["files_skipped"] += 1
+            continue
         key = tuple(pv.get(c) for c in part_cols)
         by_part.setdefault(key, []).append(snap.file_path(enc))
-        raw_by_part[key] = {c: pv.get(c) for c in part_cols}
+        raw_by_part[key] = raw
     frames: list[DataFrame] = []
     for key, paths in sorted(by_part.items(), key=lambda kv: str(kv[0])):
         if partition_predicate is not None and not partition_predicate(raw_by_part[key]):
+            report["files_skipped"] += len(paths)
             continue
+        report["files_read"] += len(paths)
         df = spark.read.schema(read_schema).parquet(*sorted(paths))
         for c, raw in zip(part_cols, key):
             df = df.withColumn(c, _partition_literal(raw, schema[c].dataType))
         frames.append(df.select(*out_cols))
     if not frames:
-        empty = spark.createDataFrame([], schema)
-        return empty.select(*out_cols)
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+        out = spark.createDataFrame([], schema).select(*out_cols)
+    else:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+    if predicates:
+        from bw_new_data_integration_spark.sources.parquet_target import (
+            _predicates_to_column,
+        )
+
+        out = out.where(_predicates_to_column(predicates))
+    return (out, report) if with_report else out
 
 
 def delta_last_txn(root: str, app: str, version: int | None = None) -> int | None:

@@ -2116,9 +2116,12 @@ class ParquetKeyedTable:
     #: keys and OOM the driver if broadcast on file size (ADVICE r11
     #: #3).
     TOMBSTONE_BROADCAST_BYTES = 32 << 20
-    #: Conservative decompressed-bytes-per-row term per key column
-    #: (JVM UnsafeRow: 8B fixed slot + offset/len word + string body).
-    TOMBSTONE_EST_ROW_BYTES_PER_KEY_COL = 48
+    #: Conservative decompressed-bytes-per-row terms (JVM UnsafeRow: 8B
+    #: fixed slot per column; variable-width adds an offset/len word +
+    #: the string body). Fixed-width key columns are 4x cheaper than
+    #: strings — the manifest's footer-stat type tags tell them apart.
+    TOMBSTONE_EST_ROW_BYTES_STR_COL = 48
+    TOMBSTONE_EST_ROW_BYTES_FIXED_COL = 12
     #: Fallback on-disk threshold when any tombstone entry lacks a row
     #: count (pre-upgrade manifests): low enough that even a 20x
     #: compression ratio stays well inside executor broadcast budgets.
@@ -2126,15 +2129,29 @@ class ParquetKeyedTable:
 
     def _tombstones_broadcastable(self, tomb_entries: Sequence[dict]) -> bool:
         rows = [t.get("rows") for t in tomb_entries]
-        if all(r is not None for r in rows):
-            est = sum(rows) * (
-                16 + self.TOMBSTONE_EST_ROW_BYTES_PER_KEY_COL * len(self.key_cols)
+        if not all(r is not None for r in rows):
+            return (
+                sum(t.get("bytes") or 0 for t in tomb_entries)
+                <= self.TOMBSTONE_BROADCAST_FALLBACK_BYTES
             )
-            return est <= self.TOMBSTONE_BROADCAST_BYTES
-        return (
-            sum(t.get("bytes") or 0 for t in tomb_entries)
-            <= self.TOMBSTONE_BROADCAST_FALLBACK_BYTES
-        )
+        # per-key-column width from the tombstone files' own footer-stat
+        # type tags (any entry that has them): numeric/date/ts columns
+        # are fixed-width, strings (or unknown — safe side) cost full
+        per_row = 16
+        for c in self.key_cols:
+            tag = None
+            for t in tomb_entries:
+                st = (t.get("stats") or {}).get(c)
+                if st and st.get("t"):
+                    tag = st["t"]
+                    break
+            fixed = tag in ("int", "float", "dec", "ts", "date", "bool")
+            per_row += (
+                self.TOMBSTONE_EST_ROW_BYTES_FIXED_COL
+                if fixed
+                else self.TOMBSTONE_EST_ROW_BYTES_STR_COL
+            )
+        return sum(rows) * per_row <= self.TOMBSTONE_BROADCAST_BYTES
     #: maybe_compact folds tombstones once the dead-key rows exceed
     #: this fraction of the data rows, or once the read plan's
     #: write-version union grows past MOR_COMPACT_MAX_WV_GROUPS scans.

@@ -4978,6 +4978,18 @@ def test_tombstone_broadcast_gate_uses_row_counts(spark, tmp_path):
     legacy_big = [{"path": "_tombstones/tv=1/p0", "tv": 1, "bytes": 8 << 20}]
     assert t._tombstones_broadcastable(legacy_small) is True
     assert t._tombstones_broadcastable(legacy_big) is False
+    # type-aware width: a fixed-width (long) key is ~4x cheaper than the
+    # string assumption, so 1M int-keyed rows still force-broadcast
+    # while the same count without type tags would not
+    intk = lambda n: [{  # noqa: E731
+        "path": "_tombstones/tv=1/p0", "tv": 1, "bytes": 4 << 20, "rows": n,
+        "stats": {"k": {"t": "int", "min": 0, "max": n, "nulls": 0}},
+    }]
+    assert t._tombstones_broadcastable(intk(1_000_000)) is True
+    assert t._tombstones_broadcastable(intk(2_000_000)) is False
+    untagged = [{"path": "_tombstones/tv=1/p0", "tv": 1, "bytes": 4 << 20,
+                 "rows": 1_000_000}]
+    assert t._tombstones_broadcastable(untagged) is False  # unknown -> string-safe
     # end-to-end: a real churn-sized read still plans a broadcast join
     t.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i)) for i in range(200)]))
     t.delete_keys(spark, spark.createDataFrame([Row(k=1)]))
@@ -5358,3 +5370,71 @@ def test_delta_import_increment_append_only(spark, tmp_path):
         di.read_delta_increment(spark, root, 0)
     # ...but the range BEFORE the rewrite still serves
     assert di.read_delta_increment(spark, root, 0, 2).count() == 2
+
+
+def test_delta_import_stats_pruning(spark, tmp_path):
+    """Import-side data skipping: add.stats min/max (the same stats the
+    exporter ships) prune files driver-side; the residual filter keeps
+    the answer exact; all-null columns are null-rejecting; partition
+    predicates prune via the log's partitionValues."""
+    from bw_new_data_integration_spark.sources import delta_import as di
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    # exporter-written stats: keyed range table, k-sorted files
+    t = ParquetKeyedTable(str(tmp_path / "sp"), ["k"], stats_cols=["v"])
+    t.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i)) for i in range(2000)]))
+    t.compact(spark, target_file_bytes=8192)  # many k-ranged files with stats
+    t.export_delta_log(spark)
+    df, rep = di.read_delta(
+        spark, t.path, predicates=[("k", "between", (100, 150))], with_report=True
+    )
+    assert rep["files_skipped"] > 0 and rep["files_read"] >= 1
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    assert got == {(i, float(i)) for i in range(100, 151)}
+    # stats on a non-key column prune too (v tracks k here)
+    df2, rep2 = di.read_delta(
+        spark, t.path, predicates=[("v", ">=", 1900.0)], with_report=True
+    )
+    assert rep2["files_skipped"] > 0
+    assert df2.count() == 100
+    # foreign table: hand-written stats incl. an all-null column
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = str(tmp_path / "fs")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema_json = spark.createDataFrame([Row(p="a", k=1, v=1.0)]).schema.json()
+    acts = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "f", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_json, "partitionColumns": ["p"],
+                      "configuration": {}, "createdTime": 0}},
+    ]
+    _pq.write_table(_pa.Table.from_pylist([{"k": 1, "v": None}]), os.path.join(root, "f0.parquet"))
+    _pq.write_table(_pa.Table.from_pylist([{"k": 9, "v": 9.0}]), os.path.join(root, "f1.parquet"))
+    acts.append({"add": {"path": "f0.parquet", "partitionValues": {"p": "a"},
+                         "size": 1, "modificationTime": 0, "dataChange": True,
+                         "stats": _json.dumps({"numRecords": 1, "minValues": {"k": 1},
+                                               "maxValues": {"k": 1},
+                                               "nullCount": {"k": 0, "v": 1}})}})
+    acts.append({"add": {"path": "f1.parquet", "partitionValues": {"p": "b"},
+                         "size": 1, "modificationTime": 0, "dataChange": True,
+                         "stats": _json.dumps({"numRecords": 1, "minValues": {"k": 9, "v": 9.0},
+                                               "maxValues": {"k": 9, "v": 9.0},
+                                               "nullCount": {"k": 0, "v": 0}})}})
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in acts:
+            fh.write(_json.dumps(a) + "\n")
+    # v is all-null in f0 -> any v predicate skips it
+    d, r = di.read_delta(spark, root, predicates=[("v", ">", 0.0)], with_report=True)
+    assert r["files_skipped"] == 1
+    assert {(x["p"], x["k"]) for x in d.collect()} == {("b", 9)}
+    # partition predicate via the log value
+    d2, r2 = di.read_delta(spark, root, predicates=[("p", "=", "a")], with_report=True)
+    assert r2["files_skipped"] == 1
+    assert {(x["p"], x["k"]) for x in d2.collect()} == {("a", 1)}
+    # projecting away a predicated column is an error, not silence
+    with pytest.raises(ValueError, match="projected-away"):
+        di.read_delta(spark, root, predicates=[("v", ">", 0.0)], columns=["k"])
