@@ -1729,7 +1729,6 @@ class ParquetKeyedTable:
                     source = source.dropDuplicates(self.key_cols)
                 if (
                     self.write_mode == "mor"
-                    and not evolve_schema
                     and set(target.columns) <= set(source.columns)
                     and (self.manifest() or {}).get("files")
                 ):
@@ -1738,11 +1737,21 @@ class ParquetKeyedTable:
                     # a pre-manifest table (no list) must take the full
                     # merge below or its history would be silently dropped
                     # merge-on-read: O(batch) commit, no table rewrite.
-                    # evolve_schema and narrower sources fall through to
-                    # the full COW merge below, which also FOLDS the
-                    # accumulated tombstones (a full rewrite clears them)
+                    # Narrower sources fall through to the full COW merge
+                    # below, which also FOLDS the accumulated tombstones
+                    # (a full rewrite clears them).
+                    #
+                    # evolve_schema is METADATA-ONLY here (Delta parity):
+                    # only the batch's files carry the new columns; the
+                    # linked history reads as null through _mor_read's
+                    # allowMissingColumns union — adding a column to a
+                    # 100 TB table costs O(batch), not a rewrite. K5.
+                    cols = list(target.columns)
+                    if evolve_schema:
+                        cols += [c for c in source.columns if c not in cols]
                     return self._mor_upsert(
-                        spark, source, target.columns, source_rows=source_rows
+                        spark, source, cols, source_rows=source_rows,
+                        evolving=len(cols) > len(target.columns),
                     )
                 # A mor→cow flip with LIVE tombstones must take the full
                 # merge below (which reads the live view and folds the
@@ -2362,6 +2371,7 @@ class ParquetKeyedTable:
         source: DataFrame,
         target_cols: Sequence[str],
         source_rows: int | None = None,
+        evolving: bool = False,
     ) -> int:
         """Merge-on-read keyed upsert: O(batch) write cost regardless of
         how the batch's keys interleave the table. The commit writes
@@ -2388,7 +2398,11 @@ class ParquetKeyedTable:
         new_v = self._write_snapshot(src, base_bytes=0, source_rows=source_rows)
         m = self.manifest(old_v) or {}
         files = m.get("files") or []
-        if self.change_feed:
+        if self.change_feed and not evolving:
+            # schema-evolving commits stay CDF-UNTRACKED (same rule as
+            # the COW path): events staged against the old schema would
+            # silently drop the new columns from postimages, so the
+            # consumer's exact snapshot-diff fallback serves instead
             visible = self._mor_visible_scope(spark, old_v, m, src)
             self._stage_change_files(self._merge_change_events(visible, src), new_v)
         self._link_files(old_v, new_v, [f["path"] for f in files])

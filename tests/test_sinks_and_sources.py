@@ -5438,3 +5438,39 @@ def test_delta_import_stats_pruning(spark, tmp_path):
     # projecting away a predicated column is an error, not silence
     with pytest.raises(ValueError, match="projected-away"):
         di.read_delta(spark, root, predicates=[("v", ">", 0.0)], columns=["k"])
+
+
+def test_mor_schema_evolution_is_metadata_only(spark, tmp_path):
+    """K5 on merge-on-read: adding a column is O(batch) — only the
+    batch's files carry it, the linked history reads as null through
+    the allowMissingColumns union; the evolved commit is CDF-untracked
+    (exact snapshot-diff fallback), and a later narrower source falls
+    back to the full merge, folding the tombstones."""
+    t = ParquetKeyedTable(str(tmp_path / "ev"), ["k"], write_mode="mor",
+                          change_feed=True)
+    t.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i)) for i in range(50)]))
+    n_files = t.manifest()["n_files"]
+    wave = spark.createDataFrame([Row(k=1, v=-1.0, extra="x"), Row(k=99, v=9.0, extra="y")])
+    t.upsert(spark, wave, evolve_schema=True)
+    m = t.manifest()
+    assert m["operation"] == "mor_upsert"
+    assert m["n_linked"] == n_files  # O(batch): every old file carried forward
+    assert m.get("cdf") is None  # evolving commit is CDF-untracked
+    df = t.read(spark)
+    assert "extra" in df.columns
+    rows = {(r["k"], r["v"], r["extra"]) for r in df.collect()}
+    assert (1, -1.0, "x") in rows and (99, 9.0, "y") in rows
+    assert (2, 2.0, None) in rows and len(rows) == 51
+    # commit feed is exact via the snapshot-diff fallback
+    ev = t.commit_changes(spark, 0)
+    kinds = {(r["k"], r["_change_type"]) for r in ev.collect()}
+    assert (1, "update_preimage") in kinds and (1, "update_postimage") in kinds
+    assert (99, "insert") in kinds
+    post = {r["extra"] for r in ev.where("k = 99").collect()}
+    assert post == {"y"}  # the new column reaches the feed
+    # narrower source (no 'extra', mergeSchema semantics) -> full COW
+    # merge, tombstones folded
+    t.upsert(spark, spark.createDataFrame([Row(k=2, v=22.0)]), evolve_schema=True)
+    assert t.manifest()["tombstones"] == []
+    rows2 = {(r["k"], r["v"], r["extra"]) for r in t.read(spark).collect()}
+    assert (2, 22.0, None) in rows2 and (1, -1.0, "x") in rows2
