@@ -1748,3 +1748,86 @@ def k21_mor_cow_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(folded).alias("tombstones_folded"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K22 — partition-scoped compaction (Delta's OPTIMIZE ... WHERE): a
+# many-task ingest fragments every partition of a hive-partitioned
+# table; compacting ONE partition rewrites only its files (right-sized
+# via the key-hash salt) and hard-links every other partition forward.
+# Rows are provably unchanged (the oracle recomputes the aggregate
+# from the raw source); the scoping proof rides in-row.
+# ---------------------------------------------------------------------------
+@register(
+    "k22_compact_where",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 3 = 1
+)
+SELECT prio,
+       CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows,
+       TRUE AS scoped_partition_rewritten,
+       TRUE AS other_partitions_linked
+FROM src GROUP BY prio
+""",
+)
+def k22_compact_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... WHERE parity: compact one fragmented partition; every other partition hard-links forward untouched."""
+    import tempfile
+
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    tune_for_oracle_parity(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 3 == 1)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+    t = ParquetKeyedTable(
+        tempfile.mkdtemp(prefix="bw_cw_") + "/t", ["k"], partition_by=["prio"]
+    )
+    # many-task load -> tasks x partitions files (the nightly-ingest
+    # fragmentation shape); AQE would coalesce the tiny fixture shuffle
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    try:
+        spark.conf.set(coalesce_key, "false")
+        t.upsert(spark, src.repartition(8))
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    m0 = t.manifest()
+    scoped_dir = "prio=1-URGENT/"
+    before = sum(1 for f in m0["files"] if f["path"].startswith(scoped_dir))
+    others_before = {f["path"] for f in m0["files"] if not f["path"].startswith(scoped_dir)}
+    v = t.compact_where(spark, [("prio", "=", "1-URGENT")])
+    m1 = t.manifest(v)
+    scoped = [f for f in m1["files"] if f["path"].startswith(scoped_dir)]
+    rewritten = (
+        m1["operation"] == "compact_where"
+        and len(scoped) < before
+        and all(not f["linked"] for f in scoped)
+    )
+    others = {f["path"] for f in m1["files"] if not f["path"].startswith(scoped_dir)}
+    linked = others == others_before and all(
+        f["linked"] for f in m1["files"] if not f["path"].startswith(scoped_dir)
+    )
+    return (
+        t.read(spark)
+        .groupBy("prio")
+        .agg(
+            F.sum(F.col("price").cast("decimal(27,6)")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "prio", "sum_price", "n_rows",
+            F.lit(rewritten).alias("scoped_partition_rewritten"),
+            F.lit(linked).alias("other_partitions_linked"),
+        )
+    )

@@ -2757,7 +2757,7 @@ class ParquetKeyedTable:
         m = self.manifest(version)
         return bool(m) and (
             m.get("cdf") in ("files", "all_insert", "none")
-            or m.get("operation") == "compact"
+            or m.get("operation") in ("compact", "compact_where")
         )
 
     def commit_changes(
@@ -2789,7 +2789,9 @@ class ParquetKeyedTable:
         for v in range(from_version + 1, to_version + 1):
             m = self.manifest(v)
             tag = (m or {}).get("cdf")
-            if tag == "none" or (m and m.get("operation") == "compact"):
+            if tag == "none" or (
+                m and m.get("operation") in ("compact", "compact_where")
+            ):
                 continue
             if tag == "files":
                 d = os.path.join(self._snapshot_dir(v), "_changes")
@@ -2901,6 +2903,82 @@ class ParquetKeyedTable:
         if len(files) <= max_files and small <= small_file_fraction * len(files):
             return None
         return self.compact(spark, target_file_bytes=target_file_bytes)
+
+    def compact_where(
+        self,
+        spark: SparkSession,
+        predicates: Sequence[tuple],
+        target_file_bytes: int = 128 << 20,
+    ) -> int:
+        """Partition-scoped compaction (Delta's ``OPTIMIZE ... WHERE``):
+        rewrite into right-sized files ONLY the partitions matching
+        ``predicates`` — ``(col, op, value)`` conjuncts over PARTITION
+        columns only — and hard-link every other data file forward. At
+        100 TB this is the only affordable shape: a nightly ingest
+        fragments yesterday's partition, and re-tightening it must not
+        rewrite years of history. Data is unchanged (same rows, new
+        layout); a logical no-op for the change feed.
+
+        Restrictions, both honest: the table must be partitioned and
+        every predicate column must be a partition column (directory
+        matching decides membership exactly — a stats-based guess could
+        split a file's rows across the rewrite boundary); live
+        merge-on-read tombstones require a FULL :meth:`compact` first
+        (a tombstone may kill rows in partitions this call would link
+        forward untouched — folding it partially is unsound, keeping it
+        while rewriting its targets double-applies it later)."""
+        if not self.partition_by:
+            raise ValueError("compact_where: table is not partitioned — use compact()")
+        off = {p[0] for p in predicates} - set(self.partition_by)
+        if off:
+            raise ValueError(
+                f"compact_where: predicate columns {sorted(off)} are not "
+                "partition columns — OPTIMIZE WHERE scopes by partition only"
+            )
+        with self._txn_guard(), self._write_lock():
+            old_v = self.current_version()
+            m = self.manifest(old_v)
+            if not m or not m.get("files"):
+                return old_v
+            if m.get("tombstones"):
+                raise ValueError(
+                    "compact_where: live merge-on-read tombstones — run "
+                    "compact() (full) first; a partial rewrite cannot fold "
+                    "them soundly"
+                )
+            files = m["files"]
+            # partition-path matching only (predicate cols are partition
+            # cols, so _file_may_match decides from the hive path alone)
+            matched = [f for f in files if _file_may_match(f, predicates)]
+            if not matched:
+                return old_v  # nothing in scope: no-op, no new version
+            snap = self._snapshot_dir(old_v)
+            scoped = spark.read.option("basePath", snap).parquet(
+                *(os.path.join(snap, f["path"]) for f in matched)
+            )
+            size = sum(f["bytes"] for f in matched)
+            n = max(1, math.ceil(size / max(1, target_file_bytes)))
+            # hashing on the partition columns alone would put ALL of a
+            # partition's rows on one task (one oversized file); a
+            # deterministic key-hash salt splits each partition into
+            # ~target_file_bytes files while keeping the write stable
+            # across runs and cluster sizes
+            n_parts = len({os.path.dirname(f["path"]) for f in matched})
+            per_part = max(1, math.ceil(n / max(1, n_parts)))
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(per_part)
+            )
+            compacted = scoped.repartition(
+                n, *[F.col(c) for c in self.partition_by], salt
+            ).sortWithinPartitions(*self.key_cols)
+            new_v = self._write_snapshot(compacted, layout="preserve")
+            matched_set = {f["path"] for f in matched}
+            self._link_files(
+                old_v, new_v, [f["path"] for f in files if f["path"] not in matched_set]
+            )
+            if self.change_feed:
+                self._last_cdf = "none"  # same rows: zero change events
+            return self._flip(new_v, "compact_where")
 
     def compact(
         self,

@@ -5474,3 +5474,70 @@ def test_mor_schema_evolution_is_metadata_only(spark, tmp_path):
     assert t.manifest()["tombstones"] == []
     rows2 = {(r["k"], r["v"], r["extra"]) for r in t.read(spark).collect()}
     assert (2, 22.0, None) in rows2 and (1, -1.0, "x") in rows2
+
+
+def test_compact_where_rewrites_only_matching_partitions(spark, tmp_path):
+    """OPTIMIZE ... WHERE parity: fragment one partition with many
+    small upserts, compact only it — other partitions' files hard-link
+    forward untouched, rows are unchanged, the feed sees a no-op, and
+    the fragmented partition's file count drops."""
+    t = ParquetKeyedTable(
+        str(tmp_path / "cw"), ["p", "k"], partition_by=["p"], change_feed=True
+    )
+    # a many-task load fragments every partition dir (tasks x dirs
+    # files — the nightly-ingest shape compaction exists for); AQE
+    # would coalesce this tiny fixture shuffle, hiding the fragmentation
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.upsert(spark, spark.createDataFrame(
+            [Row(p=i % 4, k=i, v=float(i)) for i in range(400)]
+        ).repartition(8))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    m0 = t.manifest()
+    p1_before = sum(1 for f in m0["files"] if f["path"].startswith("p=1/"))
+    other_before = {f["path"] for f in m0["files"] if not f["path"].startswith("p=1/")}
+    assert p1_before >= 7
+    want = {(r["p"], r["k"], r["v"]) for r in t.read(spark).collect()}
+    v = t.compact_where(spark, [("p", "=", 1)])
+    m1 = t.manifest(v)
+    assert m1["operation"] == "compact_where"
+    p1_after = [f for f in m1["files"] if f["path"].startswith("p=1/")]
+    assert len(p1_after) < p1_before and all(not f["linked"] for f in p1_after)
+    kept = {f["path"] for f in m1["files"] if not f["path"].startswith("p=1/")}
+    assert kept == other_before  # byte-identical hard links elsewhere
+    assert all(f["linked"] for f in m1["files"] if not f["path"].startswith("p=1/"))
+    assert {(r["p"], r["k"], r["v"]) for r in t.read(spark).collect()} == want
+    ev = t.commit_changes(spark, v - 1, v)
+    assert ev.count() == 0  # logical no-op
+    # no-match scope: no new version
+    assert t.compact_where(spark, [("p", "=", 99)]) == v
+    # guards: non-partition predicate / unpartitioned table / MoR tombstones
+    with pytest.raises(ValueError, match="not partition columns"):
+        t.compact_where(spark, [("k", ">", 0)])
+    u = ParquetKeyedTable(str(tmp_path / "cw_u"), ["k"])
+    u.upsert(spark, spark.createDataFrame([Row(k=1, v=1.0)]))
+    with pytest.raises(ValueError, match="not partitioned"):
+        u.compact_where(spark, [("p", "=", 1)])
+    mt = ParquetKeyedTable(
+        str(tmp_path / "cw_m"), ["p", "k"], partition_by=["p"], write_mode="mor"
+    )
+    mt.upsert(spark, spark.createDataFrame([Row(p=0, k=1, v=1.0), Row(p=1, k=2, v=2.0)]))
+    mt.upsert(spark, spark.createDataFrame([Row(p=0, k=1, v=-1.0)]))
+    with pytest.raises(ValueError, match="tombstones"):
+        mt.compact_where(spark, [("p", "=", 0)])
+
+
+def test_compact_where_splits_oversized_partitions(spark, tmp_path):
+    """The key-hash salt honors target_file_bytes WITHIN a partition:
+    one big partition compacts into several right-sized files, not one
+    giant one — deterministically (same assignment on re-run)."""
+    t = ParquetKeyedTable(str(tmp_path / "cs"), ["p", "k"], partition_by=["p"])
+    t.upsert(spark, spark.createDataFrame(
+        [Row(p=0, k=i, v=float(i), pad="x" * 200) for i in range(5000)]
+    ))
+    want = t.read(spark).count()
+    v = t.compact_where(spark, [("p", "=", 0)], target_file_bytes=8 << 10)
+    files = [f for f in t.manifest(v)["files"] if f["path"].startswith("p=0/")]
+    assert len(files) > 1  # split, not one giant file
+    assert t.read(spark).count() == want
