@@ -2902,6 +2902,46 @@ class ParquetKeyedTable:
                 return self.compact_tombstones(spark)
         if len(files) <= max_files and small <= small_file_fraction * len(files):
             return None
+        if self.partition_by and not tombs:
+            # partition-aware: when the fragmentation is confined to a
+            # subset of partitions (the nightly-ingest shape — today's
+            # partition fragments, history is already tight), rewrite
+            # only those via compact_where instead of the whole table.
+            # Per-dir policy mirrors the table-level one, scaled to the
+            # dir. Manifest-only decision, like everything above.
+            by_dir: dict[str, list[dict]] = {}
+            for f in files:
+                by_dir.setdefault(os.path.dirname(f["path"]), []).append(f)
+            per_dir_cap = max(4, max_files // max(1, len(by_dir)))
+            bad_dirs = [
+                d
+                for d, fs in by_dir.items()
+                if len(fs) > per_dir_cap
+                or (
+                    len(fs) > 1
+                    and sum(1 for f in fs if f["bytes"] < small_file_bytes)
+                    > small_file_fraction * len(fs)
+                )
+            ]
+            if bad_dirs and len(bad_dirs) < len(by_dir):
+                vals: dict[str, set] = {}
+                targetable = True
+                for d in bad_dirs:
+                    pv = _rel_partition_values(d + "/f")
+                    for c in self.partition_by:
+                        v = pv.get(c)
+                        if v is None:
+                            # hive default (null) partition is not
+                            # addressable by a null-rejecting predicate
+                            targetable = False
+                        vals.setdefault(c, set()).add(v)
+                if targetable:
+                    preds = [
+                        (c, "in", sorted(vals[c])) for c in self.partition_by
+                    ]
+                    return self.compact_where(
+                        spark, preds, target_file_bytes=target_file_bytes
+                    )
         return self.compact(spark, target_file_bytes=target_file_bytes)
 
     def compact_where(

@@ -5541,3 +5541,43 @@ def test_compact_where_splits_oversized_partitions(spark, tmp_path):
     files = [f for f in t.manifest(v)["files"] if f["path"].startswith("p=0/")]
     assert len(files) > 1  # split, not one giant file
     assert t.read(spark).count() == want
+
+
+def test_maybe_compact_partition_aware(spark, tmp_path):
+    """When fragmentation is confined to a subset of partitions, the
+    auto-compaction policy issues a partition-scoped compact_where —
+    untouched partitions hard-link forward — and falls back to the full
+    compact when every partition is fragmented."""
+    t = ParquetKeyedTable(str(tmp_path / "mcp"), ["p", "k"], partition_by=["p"])
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        # partition 0: tight (1 task); partitions 1-2 written fragmented
+        t.upsert(spark, spark.createDataFrame(
+            [Row(p=0, k=i, v=float(i)) for i in range(100)]
+        ).coalesce(1))
+        t.upsert(spark, spark.createDataFrame(
+            [Row(p=1 + i % 2, k=1000 + i, v=float(i)) for i in range(200)]
+        ).repartition(8))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    m0 = t.manifest()
+    p0_before = {f["path"] for f in m0["files"] if f["path"].startswith("p=0/")}
+    want = {(r["p"], r["k"], r["v"]) for r in t.read(spark).collect()}
+    v = t.maybe_compact(spark, max_files=12, small_file_bytes=4 << 20)
+    assert v is not None
+    m1 = t.manifest(v)
+    assert m1["operation"] == "compact_where"  # scoped, not full
+    assert {f["path"] for f in m1["files"] if f["path"].startswith("p=0/")} == p0_before
+    assert all(f["linked"] for f in m1["files"] if f["path"].startswith("p=0/"))
+    assert {(r["p"], r["k"], r["v"]) for r in t.read(spark).collect()} == want
+    # all partitions fragmented -> full compact
+    t2 = ParquetKeyedTable(str(tmp_path / "mcp2"), ["p", "k"], partition_by=["p"])
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t2.upsert(spark, spark.createDataFrame(
+            [Row(p=i % 3, k=i, v=float(i)) for i in range(300)]
+        ).repartition(8))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    v2 = t2.maybe_compact(spark, max_files=6, small_file_bytes=4 << 20)
+    assert v2 is not None and t2.manifest(v2)["operation"] == "compact"
