@@ -1076,3 +1076,120 @@ def s15_delta_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("price").cast("decimal(27,6)")).cast("double").alias("sum_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S16 — incremental lake ingest (sources/delta_import.sync_from_delta):
+# the INGEST twin of k16's change-driven REST sync. A foreign
+# append-only Delta table is consumed with a watermark stored as the
+# keyed table's SetTransaction marker (advances atomically with each
+# commit): first sync bootstraps, the second applies only the two
+# appended versions (newest commit wins for a re-appended key), the
+# third is a no-op. The oracle reconstructs the final keyed state; the
+# action sequence rides in-row.
+# ---------------------------------------------------------------------------
+@register(
+    "s16_delta_incremental_sync",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+base AS (SELECT * FROM src WHERE k % 2 = 0),            -- v0
+app1 AS (SELECT * FROM src WHERE k % 4 = 1),            -- v1 append
+app2 AS (SELECT k, price * 3 AS price, prio FROM src    -- v2 re-append (LWW)
+         WHERE k % 6 = 0),
+final AS (
+  SELECT * FROM base WHERE k % 6 <> 0
+  UNION ALL SELECT * FROM app1
+  UNION ALL SELECT * FROM app2
+)
+SELECT prio,
+       CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows,
+       'bootstrap' AS first_action,
+       'incremental' AS second_action,
+       'noop' AS third_action
+FROM final GROUP BY prio
+""",
+)
+def s16_delta_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked incremental ingest of a foreign append-only Delta table into a keyed table (bootstrap -> incremental -> noop)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from bw_new_data_integration_spark.sources.delta_import import sync_from_delta
+    from bw_new_data_integration_spark.sources.parquet_target import ParquetKeyedTable
+
+    tune_for_oracle_parity(spark)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="bw_dsync_") + "/t"
+    log_dir = _os.path.join(root, "_delta_log")
+    _os.makedirs(log_dir)
+
+    def stage(df, name):
+        staging = root + f"__stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in sorted(_os.listdir(staging))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        _os.replace(_os.path.join(staging, part), _os.path.join(root, name))
+        _shutil.rmtree(staging, ignore_errors=True)
+        return {
+            "path": name, "partitionValues": {},
+            "size": _os.path.getsize(_os.path.join(root, name)),
+            "modificationTime": 0, "dataChange": True,
+        }
+
+    k = F.col("k")
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "upstream-orders", "format": {"provider": "parquet", "options": {}},
+            "schemaString": src.schema.json(), "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }},
+        {"add": stage(src.where(k % 2 == 0), "part-00000.parquet")},
+    ]
+    with open(_os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        for a in v0:
+            fh.write(_json.dumps(a) + "\n")
+    t = ParquetKeyedTable(root + "_sink", ["k"])
+    first = sync_from_delta(spark, root, t)["action"]
+    # upstream appends: new keys (v1) and a repriced re-append (v2)
+    for v, df, name in (
+        (1, src.where(k % 4 == 1), "part-v1.parquet"),
+        (2, src.where(k % 6 == 0).withColumn("price", F.col("price") * 3),
+         "part-v2.parquet"),
+    ):
+        add = stage(df, name)
+        with open(_os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+            fh.write(_json.dumps({"add": add}) + "\n")
+    second = sync_from_delta(spark, root, t)["action"]
+    third = sync_from_delta(spark, root, t)["action"]
+    return (
+        t.read(spark)
+        .groupBy("prio")
+        .agg(
+            F.sum(F.col("price").cast("decimal(27,6)")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "prio", "sum_price", "n_rows",
+            F.lit(first).alias("first_action"),
+            F.lit(second).alias("second_action"),
+            F.lit(third).alias("third_action"),
+        )
+    )

@@ -98,7 +98,7 @@ class DeltaSnapshot:
         )
 
 
-def _apply(action: dict, state: dict) -> None:
+def _apply(action: dict, state: dict, cv: int) -> None:
     p = action.get("protocol")
     if p is not None:
         state["protocol"] = p
@@ -107,6 +107,12 @@ def _apply(action: dict, state: dict) -> None:
         state["metadata"] = m
     a = action.get("add")
     if a is not None:
+        a = dict(a)
+        # commit version that (re)added this file — tracked during
+        # replay because the protocol does not record it in the action.
+        # For checkpoint-loaded adds only the checkpoint version is
+        # knowable (an upper bound shared by all of them).
+        a["__cv"] = cv
         state["live"][a["path"]] = a
     r = action.get("remove")
     if r is not None:
@@ -150,7 +156,7 @@ def load_delta_snapshot(root: str, version: int | None = None) -> DeltaSnapshot:
     if usable:
         cv = max(usable)
         for row in pq.read_table(ckpts[cv]).to_pylist():
-            _apply(row, state)
+            _apply(row, state, cv)
         start = cv + 1
     elif 0 not in deltas:
         raise ValueError(
@@ -163,7 +169,7 @@ def load_delta_snapshot(root: str, version: int | None = None) -> DeltaSnapshot:
             for line in fh:
                 line = line.strip()
                 if line:
-                    _apply(json.loads(line), state)
+                    _apply(json.loads(line), state, v)
     if state["protocol"] is None or state["metadata"] is None:
         raise ValueError("replayed log has no protocol/metaData action")
     rv = int(state["protocol"].get("minReaderVersion", 1))
@@ -439,6 +445,121 @@ def read_delta_increment(
     if not frames:
         base = read_delta(spark, root, version=to_version).limit(0)
         return base.withColumn("_commit_version", F.lit(None).cast("int"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def sync_from_delta(
+    spark: SparkSession,
+    delta_root: str,
+    table,
+    app: str = "delta_sync",
+) -> dict:
+    """Incremental, idempotent ingest of a foreign Delta table into a
+    keyed table (the INGEST twin of ``sources/sync.sync_to_rest``): read
+    only the versions newer than the stored watermark
+    (:func:`read_delta_increment`), keyed-upsert them with
+    last-write-wins by ``_commit_version``, and advance the watermark
+    ATOMICALLY with the commit (``set_commit_txn`` — the marker lands in
+    the same manifest, so a crash between read and commit replays the
+    same span instead of skipping it; the upsert is idempotent by key).
+
+    ``table`` is a ``ParquetKeyedTable`` whose key columns exist in the
+    source schema. Outcomes:
+
+    - first sync (no watermark): bootstrap — ``overwrite`` with the
+      snapshot at the latest version;
+    - nothing new: ``noop`` (no commit — re-scanning the empty span
+      next time costs one driver-side log listing);
+    - appended versions: ``incremental`` — one upsert of the increment;
+    - the span contains a REWRITING version (compaction/merge upstream)
+      or was checkpoint-truncated: ``rebootstrap`` — overwrite with the
+      current snapshot (the honest fallback read_delta_increment's
+      refusal forces; at 100 TB pair it with upstream CDF if rewrites
+      are frequent).
+
+    At-least-once by construction; exactly-once effect through the
+    keyed merge."""
+    from bw_new_data_integration_spark.operators.merge import dedupe_latest
+
+    last = table.last_txn(app)
+    frm = int(last["base_version"]) if last and "base_version" in last else -1
+    snap = load_delta_snapshot(delta_root)
+    latest = snap.version
+    if frm >= latest:
+        return {"action": "noop", "watermark": frm, "source_version": latest}
+
+    def lww_order(cols) -> list[str]:
+        # an append-only EVENT source may carry a key in several files;
+        # newest commit wins, ties (same commit / checkpoint-flattened
+        # history) broken by a TOTAL order over the value columns so the
+        # pick is deterministic on any cluster
+        nonkey = sorted(
+            c for c in cols if c not in set(table.key_cols) | {"_commit_version"}
+        )
+        return ["_commit_version", *nonkey]
+
+    def bootstrap(action: str) -> dict:
+        src = _read_snapshot_with_versions(spark, snap)
+        deduped = dedupe_latest(
+            src, table.key_cols, lww_order(src.columns), desc=True
+        ).drop("_commit_version")
+        table.set_commit_txn({"app": app, "base_version": latest})
+        table.overwrite(deduped)
+        return {"action": action, "watermark": latest, "source_version": latest}
+
+    if frm < 0:
+        return bootstrap("bootstrap")
+    try:
+        inc = read_delta_increment(spark, delta_root, frm, latest)
+    except ValueError:
+        return bootstrap("rebootstrap")
+    if inc.isEmpty():
+        # only dataChange:false housekeeping in the span — nothing to
+        # apply, nothing to commit; the watermark intentionally stays
+        # (advancing it would cost a data-less table version)
+        return {"action": "noop", "watermark": frm, "source_version": latest}
+    table.set_commit_txn({"app": app, "base_version": latest})
+    table.upsert(spark, inc, order_by=lww_order(inc.columns))
+    return {
+        "action": "incremental",
+        "applied_versions": [frm + 1, latest],
+        "watermark": latest,
+        "source_version": latest,
+    }
+
+
+def _read_snapshot_with_versions(spark: SparkSession, snap: DeltaSnapshot) -> DataFrame:
+    """Live rows of a replayed snapshot plus ``_commit_version`` — the
+    commit that (re)added each file, tracked during replay (checkpoint-
+    loaded adds carry the checkpoint version, the only knowable upper
+    bound). The keyed-bootstrap input for :func:`sync_from_delta`."""
+    schema = snap.schema
+    part_cols = snap.partition_columns
+    read_schema = StructType([f for f in schema.fields if f.name not in part_cols])
+    groups: dict[tuple, list[str]] = {}
+    for enc, add in snap.live_adds.items():
+        pv = add.get("partitionValues") or {}
+        if not isinstance(pv, dict):
+            pv = dict(pv)
+        key = (int(add.get("__cv", 0)), tuple(pv.get(c) for c in part_cols))
+        groups.setdefault(key, []).append(snap.file_path(enc))
+    frames: list[DataFrame] = []
+    for (cv, pvals), paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(read_schema).parquet(*sorted(paths))
+        for c, raw in zip(part_cols, pvals):
+            df = df.withColumn(c, _partition_literal(raw, schema[c].dataType))
+        frames.append(
+            df.select(*[f.name for f in schema.fields]).withColumn(
+                "_commit_version", F.lit(cv).cast("int")
+            )
+        )
+    if not frames:
+        return spark.createDataFrame([], schema).withColumn(
+            "_commit_version", F.lit(None).cast("int")
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

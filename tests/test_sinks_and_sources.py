@@ -5607,3 +5607,50 @@ def test_partitioned_mor_purge_export_import_roundtrip(spark, tmp_path):
     # partition pruning through the import path agrees with the engine
     pruned = di.read_delta(spark, t.path, predicates=[("p", "=", 9)])
     assert {(r["k"], r["v"]) for r in pruned.collect()} == {(1, -1.0)}
+
+
+def test_sync_from_delta_watermarked_ingest(spark, tmp_path):
+    """Incremental lake ingest: bootstrap from the snapshot, noop when
+    nothing is new, apply appended versions with last-write-wins by
+    commit version, and re-bootstrap when upstream rewrote files. The
+    watermark advances atomically with each commit."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from bw_new_data_integration_spark.sources import delta_import as di
+
+    rows = [Row(p="a", k=1, v=1.0), Row(p="b", k=2, v=2.0)]
+    root = _foreign_delta_table(spark, str(tmp_path / "ing"), rows)
+
+    def append(v, name, data, pv):
+        _pq.write_table(_pa.Table.from_pylist(data), os.path.join(root, name))
+        with open(os.path.join(root, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            fh.write(_json.dumps({"add": {
+                "path": name, "partitionValues": {"p": pv},
+                "size": os.path.getsize(os.path.join(root, name)),
+                "modificationTime": v, "dataChange": True,
+            }}) + "\n")
+
+    t = ParquetKeyedTable(str(tmp_path / "ing_t"), ["k"])
+    st = di.sync_from_delta(spark, root, t)
+    assert st["action"] == "bootstrap" and st["watermark"] == 0
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == {(1, 1.0), (2, 2.0)}
+    assert di.sync_from_delta(spark, root, t)["action"] == "noop"
+    # two appends; k=1 re-appended in v2 (newest commit must win)
+    append(1, "a1.parquet", [{"k": 3, "v": 3.0}], "a")
+    append(2, "a2.parquet", [{"k": 1, "v": -1.0}, {"k": 4, "v": 4.0}], "b")
+    st = di.sync_from_delta(spark, root, t)
+    assert st["action"] == "incremental" and st["applied_versions"] == [1, 2]
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, -1.0), (2, 2.0), (3, 3.0), (4, 4.0)}
+    assert di.sync_from_delta(spark, root, t)["action"] == "noop"  # replay-safe
+    # upstream rewrite (compaction/merge) -> honest re-bootstrap
+    with open(os.path.join(root, "_delta_log", f"{3:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"remove": {"path": "a1.parquet", "dataChange": True}}) + "\n")
+    st = di.sync_from_delta(spark, root, t)
+    assert st["action"] == "rebootstrap" and st["watermark"] == 3
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, -1.0), (2, 2.0), (4, 4.0)}  # k=3's file was removed upstream
+    assert di.sync_from_delta(spark, root, t)["action"] == "noop"
