@@ -146,6 +146,9 @@ OPTIONAL = [
     "streaming_dedup_drip",
     "k19_mor_partitioned_lifecycle",
     "k20_delta_export_purge",
+    "k22_compact_where",
+    "s15_delta_import",
+    "s16_delta_incremental_sync",
 ]
 
 
