@@ -1491,6 +1491,110 @@ class ParquetKeyedTable:
                 json.dump({"version": last_state[0], "size": n_actions}, fh)
         return log_dir
 
+    def sync_delta_log(self, spark: SparkSession) -> str:
+        """INCREMENTAL Delta-log export: append one ``{v:020d}.json`` per
+        table version committed since the last export — O(new commits),
+        never O(history). This is what keeps external Delta readers
+        continuously current on a table that commits every few minutes:
+        :meth:`export_delta_log` rewrites the whole log (O(versions)),
+        which a per-commit hook cannot afford at 100 TB commit rates.
+
+        No new checkpoint is written — the existing checkpoint plus the
+        appended contiguous deltas keep the log protocol-readable (a
+        reader replays a slightly longer tail); run the full export
+        periodically to re-checkpoint. Falls back to the FULL export
+        when there is no log yet or a version in the gap was vacuumed
+        (the truncation machinery lives there). Raises like the full
+        export if a new version carries merge-on-read tombstones."""
+        from bw_new_data_integration_spark.sources.delta_import import (
+            load_delta_snapshot,
+        )
+
+        log_dir = os.path.join(self.path, "_delta_log")
+        cur = self.current_version()
+        try:
+            snap = load_delta_snapshot(self.path)
+        except (FileNotFoundError, ValueError):
+            return self.export_delta_log(spark)
+        if snap.version >= cur:
+            return log_dir  # already current
+        gap = range(snap.version + 1, cur + 1)
+        if any(self.manifest(v) is None for v in gap):
+            # vacuum ate part of the gap: only the full export knows how
+            # to truncate + re-checkpoint
+            return self.export_delta_log(spark)
+        for v in gap:
+            if (self.manifest(v) or {}).get("tombstones"):
+                raise ValueError(
+                    "sync_delta_log: version "
+                    f"{v} carries merge-on-read tombstones; run compact() "
+                    "then export_delta_log(purge=...) — the incremental "
+                    "sync cannot truncate the log"
+                )
+        prev_files = [{"path": p} for p in snap.live_adds]
+        prev_schema = snap.metadata["schemaString"]
+        for v in gap:
+            m = self.manifest(v)
+            schema_json = spark.read.parquet(self._snapshot_dir(v)).schema.json()
+            actions: list[dict] = []
+            if schema_json != prev_schema:
+                md = dict(snap.metadata)
+                md["schemaString"] = schema_json
+                actions.append({"metaData": md})
+                prev_schema = schema_json
+            actions.append(
+                {
+                    "commitInfo": {
+                        "timestamp": int(m["timestamp"] * 1000),
+                        "operation": m["operation"].upper(),
+                        "operationParameters": {
+                            "keyCols": json.dumps(self.key_cols),
+                            "nLinked": m["n_linked"],
+                        },
+                    }
+                }
+            )
+            if isinstance(m.get("txn"), dict):
+                actions.append(
+                    {
+                        "txn": {
+                            "appId": str(m["txn"].get("app")),
+                            "version": int(m["txn"].get("base_version", v)),
+                            "lastUpdated": int(m["timestamp"] * 1000),
+                        }
+                    }
+                )
+            for f in prev_files:
+                actions.append({"remove": {"path": f["path"], "dataChange": True}})
+            ts_ms = int(m["timestamp"] * 1000)
+            cur_files = [
+                {
+                    "path": "/".join(
+                        quote(seg, safe="=")
+                        for seg in f"v={v}/{f['path']}".split("/")
+                    ),
+                    "bytes": f["bytes"],
+                    "stats": _delta_stats_json(f),
+                }
+                for f in m["files"]
+            ]
+            for f in cur_files:
+                add = {
+                    "path": f["path"],
+                    "partitionValues": _partition_values(f["path"]),
+                    "size": f["bytes"],
+                    "modificationTime": ts_ms,
+                    "dataChange": True,
+                }
+                if f["stats"] is not None:
+                    add["stats"] = f["stats"]
+                actions.append({"add": add})
+            with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+                for a in actions:
+                    fh.write(json.dumps(a) + "\n")
+            prev_files = cur_files
+        return log_dir
+
     @staticmethod
     def _write_checkpoint(
         log_dir: str,

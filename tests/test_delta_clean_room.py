@@ -220,3 +220,52 @@ def test_export_truncates_tombstoned_history_and_purges(spark, tmp_path):
     for v in range(last_tomb + 1, clean_v + 1):
         s = crr.load_snapshot(t.path, version=v)
         assert _canon_pandas(s.to_pandas()) == _canon_spark(t.read(spark, version=v))
+
+
+def test_sync_delta_log_appends_incrementally(spark, tmp_path):
+    """sync_delta_log appends ONLY the new versions' delta files
+    (pre-existing log files untouched — O(new commits), not
+    O(history)); the appended tail replays correctly through the
+    independent reader, including a schema-evolution metaData action,
+    and falls back to the full export after a vacuum."""
+    t = ParquetKeyedTable(str(tmp_path / "sy"), ["k"], stats_cols=["v"])
+    t.upsert(spark, spark.createDataFrame(
+        [Row(k=i, v=float(i), s=f"s{i}") for i in range(20)]
+    ))
+    t.export_delta_log(spark)
+    log_dir = os.path.join(t.path, "_delta_log")
+    before = {f: os.path.getmtime(os.path.join(log_dir, f)) for f in os.listdir(log_dir)}
+    # three commits incl. a schema evolution
+    t.upsert(spark, spark.createDataFrame([Row(k=1, v=-1.0, s="s1x")]))
+    t.delete_keys(spark, spark.createDataFrame([Row(k=2)]))
+    t.upsert(spark, spark.createDataFrame([Row(k=99, v=9.0, s="s99", tag="x")]), evolve_schema=True)
+    t.sync_delta_log(spark)
+    after = {f: os.path.getmtime(os.path.join(log_dir, f)) for f in os.listdir(log_dir)}
+    assert all(after[f] == mt for f, mt in before.items())  # old files untouched
+    new = sorted(set(after) - set(before))
+    assert new == [f"{v:020d}.json" for v in (1, 2, 3)]
+    snap = crr.load_snapshot(t.path)
+    assert snap.version == 3
+    assert "tag" in snap.schema_fields  # evolution metaData reached the log
+    got = _canon_pandas(snap.to_pandas())
+    assert got == _canon_spark(t.read(spark))
+    # intermediate appended version replays too
+    snap1 = crr.load_snapshot(t.path, version=1)
+    assert _canon_pandas(snap1.to_pandas()) == _canon_spark(t.read(spark, 1))
+    # idempotent when current
+    t.sync_delta_log(spark)
+    assert sorted(os.listdir(log_dir)) == sorted(after)
+    # vacuum through part of the unexported gap -> full-export fallback
+    t.upsert(spark, spark.createDataFrame([Row(k=5, v=55.0, s="s5", tag="y")]))
+    t.upsert(spark, spark.createDataFrame([Row(k=6, v=66.0, s="s6", tag="z")]))
+    t.vacuum(keep_last=2)
+    t.sync_delta_log(spark)  # falls back internally, no raise
+    snap = crr.load_snapshot(t.path)
+    assert _canon_pandas(snap.to_pandas()) == _canon_spark(t.read(spark))
+    # a tombstoned new version refuses (the sync cannot truncate)
+    m = ParquetKeyedTable(str(tmp_path / "sym"), ["k"], write_mode="mor")
+    m.upsert(spark, spark.createDataFrame([Row(k=1, v=1.0)]))
+    m.export_delta_log(spark)
+    m.upsert(spark, spark.createDataFrame([Row(k=1, v=2.0)]))
+    with pytest.raises(ValueError, match="tombstones"):
+        m.sync_delta_log(spark)
