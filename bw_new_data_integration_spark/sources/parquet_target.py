@@ -2532,14 +2532,21 @@ class ParquetKeyedTable:
             entries = [by_path[p] for p in touched]
         elif (
             self.partition_by
+            and set(self.partition_by) <= set(self.key_cols)
             and set(self.partition_by) <= set(probe_df.columns)
             and len(files) >= self.MIN_SCOPED_FILES
         ):
             # partitioned MoR: the preimage scan only needs partitions
-            # the batch touches. Per-column IN predicates over the
-            # batch's distinct partition values give a conservative
-            # superset (the cross of the columns) matched against each
-            # file's hive path — capped like the partition-scoped merge.
+            # the batch touches — SOUND ONLY when the partition columns
+            # are part of the key (then a key can never move between
+            # partitions). Otherwise a partition-moving update's OLD row
+            # lives in a directory the batch doesn't name, and pruning
+            # would turn its update_preimage into a phantom insert —
+            # caught by the matview-over-partitioned-MoR composition
+            # test. Per-column IN predicates over the batch's distinct
+            # partition values give a conservative superset (the cross
+            # of the columns) matched against each file's hive path —
+            # capped like the partition-scoped merge.
             vals = (
                 probe_df.select(*self.partition_by)
                 .distinct()

@@ -5654,3 +5654,40 @@ def test_sync_from_delta_watermarked_ingest(spark, tmp_path):
     got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
     assert got == {(1, -1.0), (2, 2.0), (4, 4.0)}  # k=3's file was removed upstream
     assert di.sync_from_delta(spark, root, t)["action"] == "noop"
+
+
+def test_matview_maintenance_over_partitioned_mor_base(spark, tmp_path):
+    """Round-12 composition: the incremental rollup consumes a
+    PARTITIONED merge-on-read base's CDC feed — churn across
+    partitions, a partition-moving update, and a delete all fold into
+    the maintained aggregate bit-equal to full recompute."""
+    from bw_new_data_integration_spark.operators.matview import (
+        _full_rollup,
+        maintain_rollup,
+    )
+
+    t = ParquetKeyedTable(
+        str(tmp_path / "pmvb"), ["k"], partition_by=["grp"],
+        write_mode="mor", change_feed=True,
+    )
+    roll = ParquetKeyedTable(str(tmp_path / "pmvr"), ["grp"])
+    mv = lambda: maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})  # noqa: E731
+    t.upsert(spark, spark.createDataFrame(
+        [Row(k=i, grp=i % 5, v=float(i)) for i in range(200)]
+    ))
+    mv()
+    t.upsert(spark, spark.createDataFrame(
+        [Row(k=i, grp=i % 5, v=-2.0) for i in range(0, 200, 3)]
+    ))
+    # partition-moving update: k=7 leaves grp 2 for grp 9
+    t.upsert(spark, spark.createDataFrame([Row(k=7, grp=9, v=77.0)]))
+    t.delete_keys(spark, spark.createDataFrame([Row(k=i) for i in range(10, 30)]))
+    stats = mv()
+    assert stats["action"] == "incremental"
+    got = {r["grp"]: (str(r["sum_v"]), r["n_rows"]) for r in roll.read(spark).collect()}
+    want = {
+        r["grp"]: (str(r["sum_v"]), r["n_rows"])
+        for r in _full_rollup(t.read(spark), ["grp"], {"sum_v": "v"}, "n_rows").collect()
+    }
+    assert got == want
+    assert 9 in got  # the moved key's new partition group exists
