@@ -2933,7 +2933,7 @@ class ParquetKeyedTable:
                 out = out.withColumn(c, F.lit(None).cast(dest.schema[c].dataType))
         return out.select(*out_cols)
 
-    def vacuum(self, keep_last: int = 2) -> list[int]:
+    def vacuum(self, keep_last: int = 2, min_age_seconds: float = 0.0) -> list[int]:
         """Delete all but the newest ``keep_last`` snapshot versions
         (Delta's VACUUM). Removed versions stop being addressable by
         ``read(version=...)`` and their ``_delta_log`` entries go stale
@@ -2945,6 +2945,16 @@ class ParquetKeyedTable:
         versions. At 100 TB this is the retention job that bounds
         snapshot storage to (churn × retained versions), not
         (table size × versions).
+
+        ``min_age_seconds`` is the retention guard (the spirit of
+        Delta's deleted-file retention duration): a version whose
+        commit is younger than this is kept even beyond ``keep_last``,
+        because a reader that resolved its file list moments ago may
+        still be scanning those files — readers are lock-free by
+        design, so age is the only safety signal the writer has.
+        Default 0 keeps today's behavior; production retention at
+        100 TB should be hours. Commit timestamps are monotone, so the
+        walk stops at the first too-young version.
 
         Returns the removed version numbers."""
         import shutil
@@ -2961,8 +2971,16 @@ class ParquetKeyedTable:
                 self._sync_txn_sidecar(current)
             except OSError:
                 pass
+            cutoff = time.time() - min_age_seconds
             removed = []
             for v in range(0, max(0, current - keep_last + 1)):
+                m = self.manifest(v)
+                if (
+                    min_age_seconds > 0
+                    and m is not None
+                    and m.get("timestamp", 0) > cutoff
+                ):
+                    break  # timestamps are monotone: the rest are younger
                 snap = self._snapshot_dir(v)
                 if os.path.isdir(snap):
                     shutil.rmtree(snap)

@@ -5691,3 +5691,25 @@ def test_matview_maintenance_over_partitioned_mor_base(spark, tmp_path):
     }
     assert got == want
     assert 9 in got  # the moved key's new partition group exists
+
+
+def test_vacuum_retention_guard(spark, tmp_path):
+    """min_age_seconds keeps versions younger than the retention even
+    beyond keep_last (a lock-free reader that just resolved its file
+    list may still be scanning) — and an aged history still vacuums."""
+    t = ParquetKeyedTable(str(tmp_path / "vr"), ["k"])
+    for i in range(4):
+        t.upsert(spark, spark.createDataFrame([Row(k=i, v=float(i))]))
+    # everything committed seconds ago: a 1-hour retention removes nothing
+    assert t.vacuum(keep_last=1, min_age_seconds=3600) == []
+    assert all(t.manifest(v) is not None for v in range(4))
+    # age the early commits below the cutoff (manifests carry the time)
+    for v in (0, 1):
+        m = t.manifest(v)
+        m["timestamp"] -= 7200
+        with open(os.path.join(t._snapshot_dir(v), "_manifest.json"), "w") as fh:
+            json.dump(m, fh)
+    assert t.vacuum(keep_last=1, min_age_seconds=3600) == [0, 1]
+    assert t.manifest(2) is not None and t.read(spark).count() == 4
+    # default stays unguarded
+    assert t.vacuum(keep_last=1) == [2]
