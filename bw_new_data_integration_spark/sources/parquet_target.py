@@ -3078,6 +3078,7 @@ class ParquetKeyedTable:
         spark: SparkSession,
         predicates: Sequence[tuple],
         target_file_bytes: int = 128 << 20,
+        zorder_by: Sequence[str] | None = None,
     ) -> int:
         """Partition-scoped compaction (Delta's ``OPTIMIZE ... WHERE``):
         rewrite into right-sized files ONLY the partitions matching
@@ -3095,9 +3096,21 @@ class ParquetKeyedTable:
         merge-on-read tombstones require a FULL :meth:`compact` first
         (a tombstone may kill rows in partitions this call would link
         forward untouched — folding it partially is unsound, keeping it
-        while rewriting its targets double-applies it later)."""
+        while rewriting its targets double-applies it later).
+
+        ``zorder_by=(colA, colB)`` is ``OPTIMIZE ... WHERE ... ZORDER
+        BY``: the matched partitions' rows re-cluster on the Morton
+        interleave (same quantized curve as :meth:`compact`) instead of
+        the key sort — the layout for a partition queried by 2-D box
+        predicates, refreshed partition-by-partition. Partition columns
+        cannot be z-ordered (their value is constant within every file
+        the directory layout already prunes by)."""
         if not self.partition_by:
             raise ValueError("compact_where: table is not partitioned — use compact()")
+        if zorder_by and set(zorder_by) & set(self.partition_by):
+            raise ValueError(
+                "compact_where: zorder_by must not include partition columns"
+            )
         off = {p[0] for p in predicates} - set(self.partition_by)
         if off:
             raise ValueError(
@@ -3132,14 +3145,17 @@ class ParquetKeyedTable:
             # deterministic key-hash salt splits each partition into
             # ~target_file_bytes files while keeping the write stable
             # across runs and cluster sizes
-            n_parts = len({os.path.dirname(f["path"]) for f in matched})
-            per_part = max(1, math.ceil(n / max(1, n_parts)))
-            salt = F.pmod(
-                F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(per_part)
-            )
-            compacted = scoped.repartition(
-                n, *[F.col(c) for c in self.partition_by], salt
-            ).sortWithinPartitions(*self.key_cols)
+            if zorder_by:
+                compacted = self._zorder_frame(scoped, zorder_by, n)
+            else:
+                n_parts = len({os.path.dirname(f["path"]) for f in matched})
+                per_part = max(1, math.ceil(n / max(1, n_parts)))
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(per_part)
+                )
+                compacted = scoped.repartition(
+                    n, *[F.col(c) for c in self.partition_by], salt
+                ).sortWithinPartitions(*self.key_cols)
             new_v = self._write_snapshot(compacted, layout="preserve")
             matched_set = {f["path"] for f in matched}
             self._link_files(
@@ -3148,6 +3164,61 @@ class ParquetKeyedTable:
             if self.change_feed:
                 self._last_cdf = "none"  # same rows: zero change events
             return self._flip(new_v, "compact_where")
+
+    def _zorder_frame(
+        self, target: DataFrame, zorder_by: Sequence[str], n: int
+    ) -> DataFrame:
+        """Cluster ``target`` into ``n`` Morton-interleave ranges of the
+        two ``zorder_by`` columns (OPTIMIZE ZORDER BY's layout): each
+        dimension is quantized into the interleave's 16-bit budget over
+        its ACTUAL min/max (one tiny aggregate job) — z_value takes the
+        LOW 16 bits, so an unquantized column wider than 16 bits (price
+        in cents, epoch days far from 1970, ...) would alias every
+        65,536 units and silently destroy locality; the curve must span
+        the observed range, not the type's range."""
+        from bw_new_data_integration_spark.operators.zorder import z_value
+
+        if len(zorder_by) != 2:
+            raise ValueError("zorder_by takes exactly two columns")
+        dtypes = dict(target.dtypes)
+
+        def as_zkey(c: str):
+            # the Morton interleave needs non-negative integers;
+            # map each supported type to a locality-preserving one
+            dt = dtypes.get(c, "")
+            if dt in ("date",) or dt.startswith("timestamp"):
+                return F.datediff(F.col(c).cast("date"), F.lit("1970-01-01"))
+            if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
+                "decimal"
+            ):
+                return F.col(c).cast("bigint")
+            raise ValueError(
+                f"zorder_by column {c!r} has type {dt!r} — numeric or "
+                "date/timestamp required (a string key has no numeric "
+                "locality to interleave; cast or derive one first)"
+            )
+
+        kx, ky = as_zkey(zorder_by[0]), as_zkey(zorder_by[1])
+        b = target.agg(
+            F.min(kx).alias("x0"), F.max(kx).alias("x1"),
+            F.min(ky).alias("y0"), F.max(ky).alias("y1"),
+        ).collect()[0]
+
+        def quant(k, lo, hi):
+            span = max(1, int(hi) - int(lo)) if hi is not None else 1
+            return F.floor(
+                (k - F.lit(int(lo or 0))).cast("double") * (65535.0 / span)
+            ).cast("bigint")
+
+        z = z_value(
+            quant(kx, b["x0"], b["x1"]), quant(ky, b["y0"], b["y1"])
+        ).alias("__z")
+        return (
+            target.withColumn("__z", z)
+            .repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
 
     def compact(
         self,
@@ -3196,56 +3267,7 @@ class ParquetKeyedTable:
             )
         n = max(1, math.ceil(size / max(1, target_file_bytes)))
         if zorder_by:
-            from bw_new_data_integration_spark.operators.zorder import z_value
-
-            if len(zorder_by) != 2:
-                raise ValueError("zorder_by takes exactly two columns")
-            dtypes = dict(target.dtypes)
-
-            def as_zkey(c: str):
-                # the Morton interleave needs non-negative integers;
-                # map each supported type to a locality-preserving one
-                dt = dtypes.get(c, "")
-                if dt in ("date",) or dt.startswith("timestamp"):
-                    return F.datediff(F.col(c).cast("date"), F.lit("1970-01-01"))
-                if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
-                    "decimal"
-                ):
-                    return F.col(c).cast("bigint")
-                raise ValueError(
-                    f"zorder_by column {c!r} has type {dt!r} — numeric or "
-                    "date/timestamp required (a string key has no numeric "
-                    "locality to interleave; cast or derive one first)"
-                )
-
-            # quantize each dimension into the interleave's 16-bit
-            # budget over its ACTUAL min/max (one tiny aggregate job):
-            # z_value takes the LOW 16 bits, so an unquantized column
-            # wider than 16 bits (price in cents, epoch days far from
-            # 1970, ...) would alias every 65,536 units and silently
-            # destroy locality — the curve must span the observed
-            # range, not the type's range
-            kx, ky = as_zkey(zorder_by[0]), as_zkey(zorder_by[1])
-            b = target.agg(
-                F.min(kx).alias("x0"), F.max(kx).alias("x1"),
-                F.min(ky).alias("y0"), F.max(ky).alias("y1"),
-            ).collect()[0]
-
-            def quant(k, lo, hi):
-                span = max(1, int(hi) - int(lo)) if hi is not None else 1
-                return F.floor(
-                    (k - F.lit(int(lo or 0))).cast("double") * (65535.0 / span)
-                ).cast("bigint")
-
-            z = z_value(
-                quant(kx, b["x0"], b["x1"]), quant(ky, b["y0"], b["y1"])
-            ).alias("__z")
-            compacted = (
-                target.withColumn("__z", z)
-                .repartitionByRange(n, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
+            compacted = self._zorder_frame(target, zorder_by, n)
             # the Morton layout IS the point — never re-sort it by key
             return self._commit(compacted, "compact", layout="preserve")
         if self.cluster == "range":

@@ -5713,3 +5713,43 @@ def test_vacuum_retention_guard(spark, tmp_path):
     assert t.manifest(2) is not None and t.read(spark).count() == 4
     # default stays unguarded
     assert t.vacuum(keep_last=1) == [2]
+
+
+def test_compact_where_zorder_scoped(spark, tmp_path):
+    """OPTIMIZE ... WHERE ... ZORDER BY: one partition re-clusters on
+    the Morton curve (box queries touch strictly fewer files via
+    read_where), other partitions hard-link forward, rows unchanged;
+    z-ordering a partition column refuses."""
+    t = ParquetKeyedTable(
+        str(tmp_path / "zw"), ["p", "k"], partition_by=["p"], stats_cols=["x", "y"]
+    )
+    rows = [
+        Row(p=i % 2, k=i, x=(i * 7) % 100, y=(i * 13) % 100, v=float(i))
+        for i in range(4000)
+    ]
+    t.upsert(spark, spark.createDataFrame(rows))
+    want = {(r["p"], r["k"]) for r in t.read(spark).collect()}
+    with pytest.raises(ValueError, match="partition columns"):
+        t.compact_where(spark, [("p", "=", 0)], zorder_by=("p", "x"))
+    v = t.compact_where(
+        spark, [("p", "=", 0)], target_file_bytes=16 << 10, zorder_by=("x", "y")
+    )
+    m = t.manifest(v)
+    p0 = [f for f in m["files"] if f["path"].startswith("p=0/")]
+    assert len(p0) > 1 and all(not f["linked"] for f in p0)
+    assert all(f["linked"] for f in m["files"] if not f["path"].startswith("p=0/"))
+    assert {(r["p"], r["k"]) for r in t.read(spark).collect()} == want
+    # the z layout makes a 2-D box prune within the scoped partition
+    df, rep = t.read_where(
+        spark, [("p", "=", 0), ("x", "between", (0, 20)), ("y", "between", (0, 20))],
+        with_report=True,
+    )
+    assert rep["files_skipped"] > 0
+    got = {(r["p"], r["k"]) for r in df.collect()}
+    exact = {
+        (r["p"], r["k"])
+        for r in t.read(spark)
+        .where("p = 0 and x between 0 and 20 and y between 0 and 20")
+        .collect()
+    }
+    assert got == exact
