@@ -174,7 +174,10 @@ def load_delta_snapshot(root: str, version: int | None = None) -> DeltaSnapshot:
         raise ValueError("replayed log has no protocol/metaData action")
     rv = int(state["protocol"].get("minReaderVersion", 1))
     feats = set(state["protocol"].get("readerFeatures") or [])
-    if rv > MAX_READER_VERSION and not feats <= SUPPORTED_READER_FEATURES:
+    # rv=2 (legacy column mapping) carries NO readerFeatures list, so a
+    # subset test alone is vacuously true for it — only rv=3 tables
+    # whose listed features are all supported may pass the gate.
+    if rv > MAX_READER_VERSION and (rv != 3 or not feats <= SUPPORTED_READER_FEATURES):
         raise ValueError(
             f"table requires minReaderVersion={rv} / readerFeatures={sorted(feats)}; "
             "this import implements the version-1 read protocol only"
@@ -421,7 +424,12 @@ def read_delta_increment(
                 if not line:
                     continue
                 a = json.loads(line)
-                if a.get("remove") is not None:
+                if a.get("remove") is not None and a["remove"].get("dataChange", True):
+                    # dataChange:false removes are honest compaction
+                    # (OPTIMIZE pairs them with dataChange:false adds —
+                    # same rows, new files): skip the commit instead of
+                    # forcing a full-table rebootstrap on every upstream
+                    # compaction (skipChangeCommits parity).
                     raise ValueError(
                         f"read_delta_increment: version {v} removes/rewrites "
                         "files — no file-level increment exists; re-bootstrap "

@@ -5250,6 +5250,15 @@ def test_delta_import_refuses_unsupported_protocol_and_gaps(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="deletionVectors"):
         di.read_delta(spark, root)
+    # minReaderVersion=2 (legacy column mapping) has NO readerFeatures
+    # list — the subset test is vacuously true, so the gate must refuse
+    # on the version alone (serving it would read physical names wrong)
+    root_rv2 = _foreign_delta_table(
+        spark, str(tmp_path / "rv2"), rows,
+        protocol={"minReaderVersion": 2, "minWriterVersion": 5},
+    )
+    with pytest.raises(ValueError, match="minReaderVersion=2"):
+        di.read_delta(spark, root_rv2)
     root2 = _foreign_delta_table(spark, str(tmp_path / "gap"), rows)
     os.rename(
         os.path.join(root2, "_delta_log", f"{0:020d}.json"),
@@ -5363,8 +5372,21 @@ def test_delta_import_increment_append_only(spark, tmp_path):
     append_version(3, "part-compact.parquet", [Row(p="a", k=1, v=1.0)], "a",
                    data_change=False)
     assert di.read_delta_increment(spark, root, 2).count() == 0
-    # a rewriting version refuses
+    # a REAL OPTIMIZE commit pairs dataChange:false adds with
+    # dataChange:false removes — the span must stay incremental (no
+    # rebootstrap for honest compaction), serving zero new rows
     with open(os.path.join(root, "_delta_log", f"{4:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"remove": {
+            "path": "part-a1.parquet", "dataChange": False,
+        }}) + "\n")
+        fh.write(_json.dumps({"add": {
+            "path": "part-compact.parquet", "partitionValues": {"p": "a"},
+            "size": os.path.getsize(os.path.join(root, "part-compact.parquet")),
+            "modificationTime": 4, "dataChange": False,
+        }}) + "\n")
+    assert di.read_delta_increment(spark, root, 2).count() == 0
+    # a rewriting version (dataChange:true remove) refuses
+    with open(os.path.join(root, "_delta_log", f"{5:020d}.json"), "w") as fh:
         fh.write(_json.dumps({"remove": {"path": "part-a1.parquet", "dataChange": True}}) + "\n")
     with pytest.raises(ValueError, match="re-bootstrap"):
         di.read_delta_increment(spark, root, 0)
