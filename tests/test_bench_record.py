@@ -139,3 +139,47 @@ def test_merge_partial_record_appends_calibration_reprobe():
         mover_reprobe={}, calibration=cal,
     )
     assert len(merged["calibration_reprobes"]) == 2
+
+
+def test_chunk_metrics_split_is_order_preserving_and_complete():
+    """The chunked-sweep split (VERDICT r12 #1): order preserved, every
+    metric in exactly one chunk, no chunk above the cap; size<=0 =
+    single-process legacy mode."""
+    names = [f"q{i}" for i in range(47)]
+    chunks = bench.chunk_metrics(names, 20)
+    assert [len(c) for c in chunks] == [20, 20, 7]
+    assert [n for c in chunks for n in c] == names
+    assert bench.chunk_metrics(names, 0) == [names]
+    assert bench.chunk_metrics([], 20) == []
+    # the real sweep fits the cap too
+    full = bench.HEADLINE + bench.OPTIONAL + bench.SPECIAL_METRICS
+    real = bench.chunk_metrics(full, 20)
+    assert all(len(c) <= 20 for c in real)
+    assert [n for c in real for n in c] == full
+
+
+def test_refloor_movers_keeps_min_and_reports_evidence():
+    """Round-close re-floor: floor = min(sweep, solo); a mover absent
+    from either side is skipped, never invented."""
+    before = {"a": 2.6, "b": 1.0, "c": 5.0}
+    after = {"a": 2.0, "b": 1.4, "d": 9.9}
+    floored, ev = bench.refloor_movers(before, after, ["a", "b", "c", "zzz"])
+    assert floored == {"a": 2.0, "b": 1.0}
+    assert ev["a"] == {"sweep": 2.6, "solo_reprobe": 2.0, "floor": 2.0}
+    assert ev["b"]["floor"] == 1.0  # solo slower than sweep -> sweep stands
+    assert "c" not in floored and "zzz" not in floored
+
+
+def test_merge_partial_record_upserts_noise_probe():
+    prev = _full_sweep_record()
+    merged = bench.merge_partial_record(
+        prev, {"other_q": 9.0}, excluded=[], only={"other_q"},
+        mover_reprobe={}, noise={"a1_pricing_summary": [1.0, 1.1, 0.9]},
+    )
+    assert merged["noise_probe_3x"] == {"a1_pricing_summary": [1.0, 1.1, 0.9]}
+    # absent/None noise leaves the existing probe alone
+    bench.merge_partial_record(
+        merged, {"other_q": 8.0}, excluded=[], only={"other_q"},
+        mover_reprobe={}, noise=None,
+    )
+    assert merged["noise_probe_3x"] == {"a1_pricing_summary": [1.0, 1.1, 0.9]}
