@@ -192,6 +192,13 @@ def remove_boilerplate_lines(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+    # the line fan-out feeds BOTH the frequency aggregate and the
+    # flagged reassembly — pin it (lazy) so the upstream text plan and
+    # the explode run once, not twice. Spark Connect: recompute.
+    try:
+        lines = lines.localCheckpoint(eager=False)
+    except Exception:
+        pass
     boiler = (
         lines.groupBy("norm")
         .agg(F.countDistinct(id_col).alias("line_df"))

@@ -659,6 +659,14 @@ def duplicate_spans(
             F.transform(F.sequence(F.lit(1), F.size("t") - k + 1), gram)
         ).alias("pos0", "h"),
     ).select(id_col, (F.col("pos0") + 1).alias("s"), "h")
+    # the gram fan-out feeds BOTH the dup-detection aggregate and the
+    # join-back — pin it (lazy: materializes inside the first action,
+    # shared by the second) so tokenize + per-window md5 runs once,
+    # not twice. Spark Connect lacks localCheckpoint; recompute there.
+    try:
+        grams = grams.localCheckpoint(eager=False)
+    except Exception:
+        pass
     dup = (
         grams.groupBy("h")
         .agg(F.count("*").alias("n"))
@@ -791,6 +799,12 @@ def cut_duplicate_spans(
         )
         .select(id_col, (F.col("pos0") + 1).alias("s"), "h")
     )
+    # pin the gram fan-out: consumed by the canonical-occurrence
+    # aggregate AND the redundant-window join-back (see duplicate_spans)
+    try:
+        grams = grams.localCheckpoint(eager=False)
+    except Exception:
+        pass
     clusters = (
         grams.groupBy("h")
         .agg(F.min(F.struct(F.col(id_col), F.col("s"))).alias("keep"), F.count("*").alias("n"))

@@ -740,10 +740,13 @@ def training_corpus_e2e_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = F.when(F.col("doc_id") % 3 == 0, corrupt).otherwise(raw)
     base = d.select("doc_id", "source", "lang", content.alias("content"))
 
-    # stage 2: encoding repair (must reproduce the clean construction)
+    # stage 2: encoding repair (must reproduce the clean construction).
+    # Pinned: the repaired corpus feeds the boilerplate line-frequency
+    # aggregate, the flagged reassembly pass AND the 02_repaired stage
+    # row — unpinned, the encode/decode/translate repair chain ran 3x.
     fixed = base.select(
         "doc_id", "source", "lang", text.fix_mojibake(F.col("content")).alias("fixed")
-    )
+    ).localCheckpoint(eager=True)
     # stage 3: corpus-frequent line removal (NAV headers + footer drop)
     min_docs = math.ceil(0.05 * n_input)
     cleaned = (
@@ -756,9 +759,13 @@ def training_corpus_e2e_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = sampling.quality_percentile_filter(
         cleaned.withColumn("score", F.length("text_clean")), "score", "source", 0.7
     ).localCheckpoint(eager=True)
-    # stage 5: exact substring cut among survivors (k=8)
-    cut = cut_duplicate_spans(kept, k=8, text_col="text_clean").select(
-        "doc_id", "text_dedup", F.col("n_tokens_cut").alias("sub_cut")
+    # stage 5: exact substring cut among survivors (k=8). Pinned: the
+    # cut corpus feeds both the decontamination gram scan and the fin
+    # join — unpinned, the gram-index island-merge plan ran twice.
+    cut = (
+        cut_duplicate_spans(kept, k=8, text_col="text_clean")
+        .select("doc_id", "text_dedup", F.col("n_tokens_cut").alias("sub_cut"))
+        .localCheckpoint(eager=True)
     )
     # stage 6: decontamination vs eval slices of the ORIGINAL corpus
     toks = tokens(F.col("text"))
