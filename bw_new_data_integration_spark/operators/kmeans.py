@@ -141,19 +141,36 @@ def kmeans_fit(
                 F.col("best.d2").alias("d2"),
                 vec_col,
             )
-            .localCheckpoint(eager=True)
         )
+        last = it == max_iter - 1
+        # ONE Spark job per iteration: every iteration rebuilds its
+        # assignment from ``data`` (never from the previous iteration's
+        # frame), so materializing each ``assigned`` was pure overhead —
+        # only the FINAL assignment (returned to the caller) is
+        # checkpointed. The inertia scalar rides whatever job the
+        # iteration runs anyway as an Observation instead of a separate
+        # aggregate job.
+        obs = None
         if collect_inertia:
-            v = assigned.agg(
-                F.sum(F.floor(F.col("d2") * SCALE).cast("bigint")).alias("i")
-            ).collect()[0]["i"]
-            inertias.append(int(v) if v is not None else 0)  # SUM over 0 rows is NULL
-        # update: integer-exact scaled component sums, k*dim rows total
-        if it == max_iter - 1 and not final_update:
+            import uuid as _uuid
+
+            from pyspark.sql import Observation
+
+            obs = Observation(f"kmeans_inertia_{it}_" + _uuid.uuid4().hex[:8])
+            assigned = assigned.observe(
+                obs, F.sum(F.floor(F.col("d2") * SCALE).cast("bigint")).alias("i")
+            )
+        if last:
+            assigned = assigned.localCheckpoint(eager=True)
+        if last and not final_update:
+            if obs is not None:  # the checkpoint was the action obs rides
+                v = obs.get["i"]
+                inertias.append(int(v) if v is not None else 0)
             assigned = assigned.drop("d2") if keep_vector else assigned.drop(
                 "d2", vec_col
             )
             break
+        # update: integer-exact scaled component sums, k*dim rows total
         sums = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "e"))
             .withColumn("se", F.floor(F.col("e").cast("double") * SCALE).cast("bigint"))
@@ -161,8 +178,11 @@ def kmeans_fit(
             .agg(F.sum("se").alias("ssum"), F.count("*").alias("n"))
             .collect()
         )
+        if obs is not None:  # the sums collect (or the final checkpoint) ran the plan
+            v = obs.get["i"]
+            inertias.append(int(v) if v is not None else 0)  # SUM over 0 rows is NULL
         assigned = assigned.drop("d2") if (
-            keep_vector and it == max_iter - 1
+            keep_vector and last
         ) else assigned.drop("d2", vec_col)
         by_cluster: dict[int, dict[int, float]] = {}
         for r in sums:
