@@ -594,6 +594,13 @@ def cluster_duplicates(
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # the convergence probe rides the checkpoint job as an
+        # Observation (one job per round, not two)
+        import uuid as _uuid
+
+        from pyspark.sql import Observation
+
+        obs = Observation("cc_improved_" + _uuid.uuid4().hex[:8])
         labels = (
             labels.join(neigh, labels[id_col] == neigh.u, "left")
             .select(
@@ -602,9 +609,13 @@ def cluster_duplicates(
                 # convergence probe, evaluated on the PRE-update label
                 (F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl")).alias("__improved"),
             )
+            .observe(
+                obs,
+                F.sum(F.when(F.col("__improved"), 1).otherwise(0)).alias("n"),
+            )
             .localCheckpoint(eager=True)
         )
-        improved = labels.where(F.col("__improved")).limit(1).count()
+        improved = int(obs.get["n"] or 0)
         labels = labels.drop("__improved")
         if improved == 0:
             # label propagation is monotone: once a round changes no
