@@ -553,9 +553,19 @@ def maintain_rollup(
     # the marker lands, a full re-run converges; once it lands, the
     # re-run noops.
     upserted = n_safe + n_recomp
-    if deleted:
+    if deleted and upserted:
+        # one combined commit: the dead-group delete and the live-group
+        # merge share one range probe and one rewrite of the touched
+        # rollup files (apply_changes; previously two commits rewriting
+        # largely the same files), and the txn marker lands atomically
+        # with BOTH effects
+        rollup.set_commit_txn(
+            {"app": "matview", "base_path": base.path, "base_version": current}
+        )
+        rollup.apply_changes(spark, live, dead, source_rows=upserted)
+    elif deleted:
         rollup.delete_keys(spark, dead)
-    if upserted:
+    elif upserted:
         rollup.set_commit_txn(
             {"app": "matview", "base_path": base.path, "base_version": current}
         )

@@ -2678,6 +2678,113 @@ class ParquetKeyedTable:
         finally:
             release()
 
+    def apply_changes(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        delete_keys_df: DataFrame,
+        source_rows: int | None = None,
+    ) -> int:
+        """ONE commit with the exact semantics of
+        ``delete_keys(delete_keys_df)`` followed by ``upsert(source)``
+        (a key in both sides ends up with the source row, same as the
+        sequential pair). The matview refresh shape — dead groups
+        deleted, changed groups merged — previously paid two commits,
+        each probing and REWRITING largely the same touched files;
+        here the key sets share one range probe and the union of
+        touched files is rewritten once (guide §1.2: don't do the same
+        pass twice). The single commit is also strictly better for
+        crash recovery: the caller's txn marker lands atomically with
+        BOTH effects instead of riding only the second commit.
+
+        Tables without a combined path (MoR, hive-partitioned, live
+        tombstones from a mor→cow flip, unclustered tables, empty
+        tables) fall back to the sequential pair with today's ordering
+        and marker placement. Sub-``MIN_SCOPED_FILES`` layouts take the
+        combined path WITHOUT the range probe (touched = every file):
+        the sequential pair rewrites the whole table twice there, so
+        one full rewrite is still strictly half the work.
+        """
+        m = self.manifest() if self.exists() else None
+        files = (m or {}).get("files") or []
+        combined = (
+            self.write_mode != "mor"
+            and not self.partition_by
+            and self.cluster == "range"
+            and not (m or {}).get("tombstones")
+            and bool(files)
+        )
+        if not combined:
+            # sequential fallback, preserving the caller's marker
+            # placement: the idempotent delete first WITHOUT the txn
+            # marker, then the upsert consumes it (the order the
+            # matview refresh always used)
+            pending = self.__dict__.pop("_pending_txn", None)
+            self.delete_keys(spark, delete_keys_df)
+            if pending is not None:
+                self._pending_txn = pending
+            return self.upsert(spark, source, source_rows=source_rows)
+        source, release_s = self._pin(source)
+        delete_keys_df, release_k = self._pin(delete_keys_df)
+        try:
+            with self._txn_guard(), self._write_lock():
+                # merge paths re-shuffle on the key anyway; dedupe the
+                # source plainly (same discipline as _upsert_pinned)
+                source = source.dropDuplicates(self.key_cols)
+                if set(source.columns) != set(self.read(spark).columns):
+                    raise ValueError(
+                        "apply_changes: source schema must match the table "
+                        "(no evolution on the combined path)"
+                    )
+                if len(files) < self.MIN_SCOPED_FILES:
+                    # tiny layout: the probe costs more than it saves
+                    # (same threshold as the scoped merge); rewrite all
+                    touched = [f["path"] for f in files]
+                else:
+                    ranged, always = self._ranged_files(files)
+                    probe_src = source.select(*self.key_cols).unionByName(
+                        delete_keys_df.select(*self.key_cols)
+                    )
+                    touched_idx = self._probe_touched_ranges(
+                        probe_src, self.key_cols, ranged
+                    )
+                    touched = [ranged[i][3] for i in sorted(touched_idx)] + always
+                old_v = self.current_version()
+                snap = self._snapshot_dir(old_v)
+                tgt = None
+                if not touched:
+                    # neither key set intersects any file: the deletes
+                    # match nothing and the batch is pure insert
+                    if source.isEmpty():
+                        return old_v
+                    merged = source
+                    if self.change_feed:
+                        self._last_cdf = "all_insert"
+                else:
+                    tgt = spark.read.option("basePath", snap).parquet(
+                        *(os.path.join(snap, p) for p in touched)
+                    )
+                    after_del = delete_matching(tgt, delete_keys_df, self.key_cols)
+                    merged = merge_upsert(after_del, source, self.key_cols)
+                touched_set = set(touched)
+                touched_bytes = sum(
+                    f["bytes"] for f in files if f["path"] in touched_set
+                )
+                new_v = self._write_snapshot(merged, base_bytes=touched_bytes)
+                if self.change_feed and tgt is not None:
+                    after_del = delete_matching(tgt, delete_keys_df, self.key_cols)
+                    events = self._delete_change_events(
+                        tgt, delete_keys_df
+                    ).unionByName(self._merge_change_events(after_del, source))
+                    self._stage_change_files(events, new_v)
+                self._link_files(
+                    old_v, new_v, {f["path"] for f in files} - touched_set
+                )
+                return self._flip(new_v, "apply_changes")
+        finally:
+            release_k()
+            release_s()
+
     def _range_scoped_delete(self, spark: SparkSession, keys_df: DataFrame) -> int:
         """Range-scoped mass delete: a file whose key interval contains
         no delete key keeps every row under the anti-join, so only

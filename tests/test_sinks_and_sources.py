@@ -1205,6 +1205,131 @@ def test_range_scoped_insert_only_batch_links_everything(spark, tmp_path):
     assert got["b250"] == -1 and got["z002"] == -2 and len(got) == 505
 
 
+def test_apply_changes_combined_commit_equals_sequential(spark, tmp_path):
+    """``apply_changes(source, dead_keys)`` must equal
+    ``delete_keys(dead_keys); upsert(source)`` — including a key in
+    BOTH sides (the source row wins) — while paying ONE commit on the
+    combined (range-clustered COW) path and linking untouched files."""
+    import os
+
+    def mk(name, **kw):
+        t = ParquetKeyedTable(str(tmp_path / name), ["business_key"], **kw)
+        t.upsert(spark, spark.createDataFrame(
+            [Row(business_key=f"k{i:04d}", v=i) for i in range(1000)]
+        ))
+        t.compact(spark, target_file_bytes=2048)
+        return t
+
+    dead = spark.createDataFrame(
+        [Row(business_key=f"k{i:04d}") for i in range(100, 140)]
+    )
+    # k0130..k0139 in BOTH: deleted then re-upserted -> source wins
+    src = spark.createDataFrame(
+        [Row(business_key=f"k{i:04d}", v=-i) for i in range(130, 180)]
+        + [Row(business_key="new_a", v=1), Row(business_key="new_b", v=2)]
+    )
+    want = {f"k{i:04d}": i for i in range(1000)}
+    for i in range(100, 140):
+        del want[f"k{i:04d}"]
+    want.update({f"k{i:04d}": -i for i in range(130, 180)})
+    want.update({"new_a": 1, "new_b": 2})
+
+    # combined path: one version bump, untouched files linked
+    t = mk("ac")
+    m0, v0 = t.manifest(), t.current_version()
+    assert m0["n_files"] >= ParquetKeyedTable.MIN_SCOPED_FILES
+    t.apply_changes(spark, src, dead)
+    v1, m1 = t.current_version(), t.manifest()
+    assert v1 == v0 + 1, "combined path must commit exactly once"
+    assert m1["operation"] == "apply_changes"
+    assert m1["n_linked"] > 0  # narrow churn: most files carried forward
+    linked = [f for f in m1["files"] if f["linked"]]
+    for f in linked[:3]:
+        assert os.path.samefile(
+            os.path.join(t._snapshot_dir(v0), f["path"]),
+            os.path.join(t._snapshot_dir(v1), f["path"]),
+        )
+    assert {r["business_key"]: r["v"] for r in t.read(spark).collect()} == want
+
+    # sequential reference on a twin table: same final rows
+    s = mk("seq")
+    s.delete_keys(spark, dead)
+    s.upsert(spark, src)
+    assert {r["business_key"]: r["v"] for r in s.read(spark).collect()} == want
+
+    # small table (below MIN_SCOPED_FILES): still ONE commit, same rows
+    t2 = ParquetKeyedTable(str(tmp_path / "ac_small"), ["business_key"])
+    t2.upsert(spark, spark.createDataFrame(
+        [Row(business_key=f"k{i:04d}", v=i) for i in range(50)]
+    ))
+    t2.compact(spark)  # one file: below the probe threshold
+    assert t2.manifest()["n_files"] < ParquetKeyedTable.MIN_SCOPED_FILES
+    v0 = t2.current_version()
+    t2.apply_changes(
+        spark,
+        spark.createDataFrame([Row(business_key="k0005", v=-5)]),
+        spark.createDataFrame([Row(business_key="k0001"),
+                               Row(business_key="k0005")]),
+    )
+    assert t2.current_version() == v0 + 1
+    got = {r["business_key"]: r["v"] for r in t2.read(spark).collect()}
+    assert "k0001" not in got and got["k0005"] == -5 and len(got) == 49
+
+    # MoR table: fallback (two commits), identical final rows
+    t3 = ParquetKeyedTable(str(tmp_path / "ac_mor"), ["business_key"],
+                           write_mode="mor")
+    t3.upsert(spark, spark.createDataFrame(
+        [Row(business_key=f"k{i:04d}", v=i) for i in range(1000)]
+    ))
+    t3.apply_changes(spark, src, dead)
+    assert {r["business_key"]: r["v"] for r in t3.read(spark).collect()} == want
+
+
+def test_apply_changes_change_feed_replay(spark, tmp_path):
+    """On a change_feed table the combined commit's change feed must
+    be indistinguishable from the sequential pair's: the netted
+    ``changes()`` over the span is compared row-for-row against a twin
+    table that ran ``delete_keys`` then ``upsert``."""
+    def mk(name):
+        t = ParquetKeyedTable(str(tmp_path / name), ["business_key"],
+                              change_feed=True)
+        t.upsert(spark, spark.createDataFrame(
+            [Row(business_key=f"k{i:02d}", v=i) for i in range(30)]
+        ))
+        t.compact(spark, target_file_bytes=1024)
+        return t
+
+    dead = spark.createDataFrame([Row(business_key="k01"),
+                                  Row(business_key="k02")])
+    src = spark.createDataFrame([Row(business_key="k02", v=-2),
+                                 Row(business_key="k05", v=-5),
+                                 Row(business_key="zz", v=99)])
+    t = mk("cf")
+    v0 = t.current_version()
+    t.apply_changes(spark, src, dead)
+    assert t.current_version() == v0 + 1  # ONE commit
+    s = mk("cf_seq")
+    s.delete_keys(spark, dead)
+    s.upsert(spark, src)
+    assert s.current_version() == v0 + 2  # the pair it must match
+
+    def feed(tbl):
+        return sorted(
+            (r["business_key"], r["v"], r["_change_type"])
+            for r in tbl.changes(spark, v0)
+            .select("business_key", "v", "_change_type").collect()
+        )
+
+    assert feed(t) == feed(s)  # identical netted change feed
+    rows = lambda tbl: sorted(  # noqa: E731
+        (r["business_key"], r["v"]) for r in tbl.read(spark).collect()
+    )
+    assert rows(t) == rows(s)
+    got = dict(rows(t))
+    assert "k01" not in got and got["k02"] == -2 and got["k05"] == -5
+    assert got["zz"] == 99 and len(got) == 30  # 30 - 2 dead + k02 back + zz
+
+
 def test_range_scoped_delete_links_untouched_files(spark, tmp_path):
     """Mass delete on a range-clustered table rewrites only the files
     whose key range intersects the delete set; a provably-no-match
@@ -3423,12 +3548,13 @@ def test_maintain_rollup_prunes_rollup_side_read(spark, tmp_path):
 
 def test_maintain_rollup_crash_recovery_exactly_once(spark, tmp_path):
     """Crash-window recovery (Delta SetTransaction pattern): the live
-    upsert commit carries a txn marker stamped atomically with the
-    commit, the dead-group delete is ordered first (idempotent), and
-    recovery keys off max(sidecar, marker) — so dying after the commits
-    but before the sidecar write noops on re-run (no double-applied
-    delta), and dying between the delete and the upsert re-runs to the
-    exact recompute."""
+    refresh commit carries a txn marker stamped atomically with the
+    commit (ONE combined delete+merge commit where the table supports
+    it; delete-then-upsert on the fallback, delete first because it is
+    idempotent), and recovery keys off max(sidecar, marker) — so dying
+    after the commits but before the sidecar write noops on re-run (no
+    double-applied delta), and dying inside the rollup write re-runs
+    to the exact recompute."""
     from unittest import mock
 
     from bw_new_data_integration_spark.operators.matview import (
@@ -3457,14 +3583,24 @@ def test_maintain_rollup_crash_recovery_exactly_once(spark, tmp_path):
                 with pytest.raises(RuntimeError):
                     maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
         else:
-            orig = ParquetKeyedTable.upsert
+            # crash the rollup WRITE whichever path the refresh takes:
+            # the combined delete+merge commit (apply_changes) or the
+            # sequential fallback's upsert
+            orig_up = ParquetKeyedTable.upsert
+            orig_ac = ParquetKeyedTable.apply_changes
 
-            def boom(self, *a, **k):
+            def boom_up(self, *a, **k):
                 if self.path == roll.path:
                     raise RuntimeError("crash")
-                return orig(self, *a, **k)
+                return orig_up(self, *a, **k)
 
-            with mock.patch.object(ParquetKeyedTable, "upsert", boom):
+            def boom_ac(self, *a, **k):
+                if self.path == roll.path:
+                    raise RuntimeError("crash")
+                return orig_ac(self, *a, **k)
+
+            with mock.patch.object(ParquetKeyedTable, "upsert", boom_up), \
+                    mock.patch.object(ParquetKeyedTable, "apply_changes", boom_ac):
                 with pytest.raises(RuntimeError):
                     maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
         stats = maintain_rollup(spark, t, roll, ["grp"], {"sum_v": "v"})
