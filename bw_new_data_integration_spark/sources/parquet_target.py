@@ -2165,12 +2165,28 @@ class ParquetKeyedTable:
         import bisect
 
         try:
+            import pyarrow as pa
+
             head_tbl = (
                 source.select(*key_cols)
                 .limit(ParquetKeyedTable.DRIVER_PROBE_MAX_KEYS + 1)
                 .toArrow()
             )
-            head = list(zip(*(c.to_pylist() for c in head_tbl.columns)))
+            # toArrow exports Spark timestamps tz-AWARE (tz = the
+            # session zone label over UTC-epoch storage); file bounds
+            # are UTC-NAIVE (_stat_encode). Normalize to UTC-naive —
+            # values unchanged, tz relabel + drop — or the aware/naive
+            # compare raises and the TypeError guard marks EVERY file
+            # touched (a silent full rewrite: 0 links, no skip).
+            cols = []
+            for c in head_tbl.columns:
+                t = c.type
+                if pa.types.is_timestamp(t) and t.tz is not None:
+                    c = c.cast(pa.timestamp(t.unit, tz="UTC")).cast(
+                        pa.timestamp(t.unit)
+                    )
+                cols.append(c)
+            head = list(zip(*(c.to_pylist() for c in cols)))
             if head_tbl.num_rows == 0:
                 head = []
         except Exception:
