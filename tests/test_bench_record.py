@@ -183,3 +183,59 @@ def test_merge_partial_record_upserts_noise_probe():
         mover_reprobe={}, noise=None,
     )
     assert merged["noise_probe_3x"] == {"a1_pricing_summary": [1.0, 1.1, 0.9]}
+
+
+def test_render_stdout_line_never_drops_prev_round_queries(tmp_path):
+    """VERDICT r13 #1: the stdout line's last-resort truncation must not
+    be a value-sorted top-N — every query in COMMON_CORE or in the
+    previous round's parsed stdout line stays in the line, so the
+    driver's PERF comparison can never see a phantom drop."""
+    import json
+
+    core = bench.COMMON_CORE
+    # previous round's stdout line: a few core + non-core names
+    prev_names = [core[0], core[1], "prev_only_slowpoke", "prev_only_fast"]
+    (tmp_path / "BENCH_r13.json").write_text(json.dumps({
+        "parsed": {"queries": {n: 1.0 for n in prev_names}, "sf": 0.1}
+    }))
+    # a big per-query map that cannot fit in one 1990-char line
+    per_query = {f"filler_query_with_a_long_name_{i:03d}": 0.01 + i / 100.0
+                 for i in range(120)}
+    for n in core:
+        per_query[n] = 1.5
+    per_query["prev_only_slowpoke"] = 9.0
+    per_query["prev_only_fast"] = 0.02  # faster than every filler: old
+    # top-40 logic would have cut it -> phantom drop
+    compact = {"metric": "headline_queries_wall", "value": 1.0,
+               "unit": "sec", "queries": per_query, "sf": 0.1,
+               "method": "x" * 400}
+    line = bench.render_stdout_line(
+        compact, per_query, "BENCH.json", str(tmp_path))
+    assert len(line) <= 1990
+    parsed = json.loads(line)
+    got = set(parsed["queries"])
+    for n in core:
+        assert n in got
+    assert "prev_only_slowpoke" in got
+    assert "prev_only_fast" in got
+    assert parsed["queries_truncated_see"] == "BENCH.json"
+    # remaining budget is filled with the slowest non-guaranteed queries
+    fillers = sorted((k for k in got if k.startswith("filler_")),
+                     key=lambda k: -per_query[k])
+    assert fillers, "budget fill should add non-guaranteed queries"
+    assert per_query[fillers[0]] == max(
+        per_query[k] for k in per_query if k.startswith("filler_"))
+
+
+def test_render_stdout_line_short_map_untouched(tmp_path):
+    import json
+    per_query = {"a": 1.234, "b": 2.345}
+    compact = {"metric": "headline_queries_wall", "value": 3.6,
+               "unit": "sec", "queries": per_query, "sf": 0.1,
+               "method": "m"}
+    line = bench.render_stdout_line(
+        compact, per_query, "BENCH.json", str(tmp_path))
+    parsed = json.loads(line)
+    assert parsed["queries"] == per_query
+    assert parsed["method"] == "m"
+    assert "queries_truncated_see" not in parsed

@@ -86,29 +86,24 @@ def main() -> None:
         base.delete_keys(spark, dead)
 
         # --- instrument the refresh ---
-        st = spark.sparkContext.statusTracker()
-        before_ids = set(st.getJobIdsForGroup(None) or [])
+        # New-job set from the AppStatusStore jobsList delta (ADVICE
+        # r13: statusTracker().getJobIdsForGroup(None) misses any job
+        # submitted under a job group, deflating the job sum and
+        # inflating the reported driver gaps).
+        jsc = spark.sparkContext._jsc.sc()
+        store = jsc.statusStore()
+
+        def _all_job_ids() -> set:
+            jd = store.jobsList(None)
+            return {jd.apply(i).jobId() for i in range(jd.size())}
+
+        before_ids = _all_job_ids()
         t0 = time.perf_counter()
         stats = maintain_pipeline_rollup(spark, spec, base, roll)
         wall = time.perf_counter() - t0
         assert stats["action"] == "incremental", stats
         time.sleep(0.5)
-        ids = sorted(set(st.getJobIdsForGroup(None) or []) - before_ids)
-        total_job = 0.0
-        rows = []
-        for jid in ids:
-            ji = st.getJobInfo(jid)
-            if ji is None:
-                continue
-            dur = 0.0
-            for sid in ji.stageIds:
-                si = st.getStageInfo(sid)
-                if si and si.numCompletedTasks:
-                    pass
-            rows.append(jid)
-        # JVM-side: pull per-job duration via the AppStatusStore
-        jsc = spark.sparkContext._jsc.sc()
-        store = jsc.statusStore()
+        ids = sorted(_all_job_ids() - before_ids)
         jdata = store.jobsList(None)
         n = jdata.size()
         per_job = []
