@@ -1259,11 +1259,27 @@ def quality_classifier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.when(y == 1, vocab_text(pos)).otherwise(vocab_text(neg)), body
         ).alias("text2"),
     )
-    model = fit_linear_text_classifier(
-        spark, fixture, "y", text_col="text2", dim=1024, iters=5, lr=2.0
+    # featurize ONCE and pin: fit's iterations and the scoring pass both
+    # read this checkpoint instead of re-running scan+explode+groupBy
+    # (the r13 shape featurized twice — guide §1.2)
+    from bw_new_data_integration_spark.operators.classifier import (
+        _with_bias_feature,
+        featurize_hashed,
     )
-    scored = score_linear_text_classifier(spark, fixture, model, text_col="text2")
-    joined = scored.join(fixture.select("doc_id", "y"), "doc_id")
+
+    feats_b = _with_bias_feature(
+        featurize_hashed(fixture, "text2", "doc_id", 1024), fixture, "doc_id"
+    ).localCheckpoint(eager=True)
+    model = fit_linear_text_classifier(
+        spark, fixture, "y", text_col="text2", dim=1024, iters=5, lr=2.0,
+        feats_b=feats_b,
+    )
+    scored = score_linear_text_classifier(
+        spark, fixture, model, text_col="text2", feats_b=feats_b
+    )
+    # y is a pure function of doc_id (defined above as doc_id % 2 == 0),
+    # so re-derive it instead of joining the fixture back in
+    joined = scored.withColumn("y", y)
     return joined.agg(
         F.count("*").cast("bigint").alias("n_scored"),
         F.countDistinct("doc_id").cast("bigint").alias("n_unique"),
