@@ -709,15 +709,27 @@ def streaming_matview_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_dir = tempfile.mkdtemp(prefix="bw_smv_")
     staging = _os.path.join(base_dir, "src")
     _os.makedirs(staging)
-    # three staged files → three sequential micro-batches
+    # three staged files → three sequential micro-batches. ONE
+    # partitioned write stages all three (one events scan + one job;
+    # the old per-wave coalesce(1) writes were three scans + three
+    # jobs of pure fixture cost inside the timed gate). Hash
+    # partitioning puts each wave in exactly one task, so each wave
+    # dir holds exactly one data file; epoch contents are identical
+    # (row order within a staged file is irrelevant: the sink is a
+    # keyed upsert and every rollup measure is an order-independent
+    # decimal-exact fold).
+    (
+        ev.withColumn("wave", (F.col("event_id") % 3).cast("int"))
+        .repartition("wave")
+        .write.partitionBy("wave")
+        .parquet(_os.path.join(base_dir, "w"))
+    )
     for wave in range(3):
-        ev.where(F.col("event_id") % 3 == wave).coalesce(1).write.parquet(
-            _os.path.join(base_dir, f"w{wave}")
-        )
-        for f in _os.listdir(_os.path.join(base_dir, f"w{wave}")):
+        wdir = _os.path.join(base_dir, "w", f"wave={wave}")
+        for f in _os.listdir(wdir):
             if f.endswith(".parquet"):
                 _os.rename(
-                    _os.path.join(base_dir, f"w{wave}", f),
+                    _os.path.join(wdir, f),
                     _os.path.join(staging, f"wave{wave}.parquet"),
                 )
     schema = T.StructType(

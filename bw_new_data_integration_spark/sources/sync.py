@@ -202,17 +202,36 @@ def sync_to_rest(
         return out
     net = net_changes(spark, table, frm, current)
     # both branches reuse the net frame: pin it (small: changed keys)
+    # branch counts ride the pin job as an Observation: an empty side
+    # then skips its whole push job (repartition + foreachPartition +
+    # a Python worker round per task, ~0.5 s at gate scale for zero
+    # rows — a pure-upsert span paid it every sync)
+    n_up = n_del = None
     try:
+        import uuid as _uuid
+
+        from pyspark.sql import Observation
+
+        obs = Observation("sync_net_" + _uuid.uuid4().hex[:8])
+        net = net.observe(
+            obs,
+            F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0)).alias("n_del"),
+            F.count(F.lit(1)).alias("n_all"),
+        )
         net = net.localCheckpoint(eager=True)
+        m = obs.get
+        n_del = int(m["n_del"] or 0)
+        n_up = int(m["n_all"] or 0) - n_del
     except Exception:
         pass
+    _zero = {"created": 0, "updated": 0, "errors": 0, "batches": 0}
     upserts = finish(net.where(F.col("_change_type") != "delete").drop("_change_type"))
     deletes = finish(net.where(F.col("_change_type") == "delete").drop("_change_type"))
-    up_stats = odata.write_batched(
+    up_stats = _zero if n_up == 0 else odata.write_batched(
         upserts, transport_factory, key_col,
         batch_size=batch_size, concurrency=concurrency,
     )
-    del_stats = odata.delete_batched(
+    del_stats = _zero if n_del == 0 else odata.delete_batched(
         deletes.select(key_col), transport_factory, key_col,
         batch_size=delete_batch_size, concurrency=concurrency,
     )
